@@ -1,0 +1,31 @@
+"""seekr_tpu — a TPU-native k-mer sequence-analysis framework.
+
+Capabilities mirror CalabreseLab/seekr v2.0.2 (FASTA -> k-mer count matrix ->
+Pearson all-pairs correlation -> background-distribution p-values -> multiple
+test correction -> clustering/visualization) but the architecture is built
+for TPUs from scratch:
+
+  * 2-bit nucleotide tokenization with length bucketing (``seekr_tpu.io``)
+  * MXU-friendly outer-product histogram k-mer counting and a fused
+    normalization epilogue under ``jit`` (``seekr_tpu.ops``)
+  * tiled all-pairs Pearson as an XLA GEMM (``seekr_tpu.ops.pearson``)
+  * SPMD data parallelism over a ``jax.sharding.Mesh`` with XLA collectives
+    (``seekr_tpu.parallel``)
+  * host-side statistics, graph clustering (native C++ Leiden) and plotting
+    consuming TPU-computed matrices (``seekr_tpu.stats``, ``.graph``, ``.viz``)
+
+File artifacts (counts CSV/npy, mean/std npy, pearson npy/csv, p-value CSV)
+are byte-compatible with the reference tool so shell pipelines carry over.
+"""
+
+from seekr_tpu.__version__ import __version__, __title__, __description__, __url__, __license__
+
+from seekr_tpu.models.counter import KmerCounter, BasicCounter
+from seekr_tpu.models.pearson import pearson
+
+__all__ = [
+    "KmerCounter",
+    "BasicCounter",
+    "pearson",
+    "__version__",
+]

@@ -1,0 +1,144 @@
+"""Tokenize nucleotide strings into dense device-ready arrays.
+
+The reference counts k-mers with a per-character Python loop
+(seekr/kmer_counts.py:140-151).  The TPU-native design instead encodes each
+base to a 2-bit digit once on the host and ships padded ``[rows, L]`` int8
+arrays to the device, where k-mer window codes are formed by shifts and the
+histogram is accumulated on the MXU (see seekr_tpu.ops.count).
+
+Column-order contract: the reference enumerates k-mers as
+``itertools.product("AGTC", repeat=k)`` (seekr/kmer_counts.py:100,121-122),
+i.e. base-4 digits with A=0, G=1, T=2, C=3 and the FIRST character most
+significant.  The encoder uses exactly that digit assignment so device
+histogram bins line up with reference CSV columns with no permutation.
+
+Bases outside the alphabet (N, IUPAC codes, ...) get the sentinel INVALID;
+any window containing one is skipped while the per-kb denominator still uses
+the full ``len(seq) - k + 1`` window count (reference kmer_counts.py:144-150).
+"""
+
+from __future__ import annotations
+
+import itertools
+from dataclasses import dataclass
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+ALPHABET_AGTC = "AGTC"
+INVALID = 4  # any value >= 4 marks a non-alphabet base; also used for padding
+
+_LUT_CACHE = {}
+
+
+def base_lut(alphabet: str = ALPHABET_AGTC) -> np.ndarray:
+    """256-entry byte -> digit lookup table (INVALID for other bytes).
+
+    Upper- and lower-case bytes both map to their digit, although the FASTA
+    reader upper-cases sequences already.
+    """
+    lut = _LUT_CACHE.get(alphabet)
+    if lut is None:
+        lut = np.full(256, INVALID, dtype=np.int8)
+        for digit, ch in enumerate(alphabet):
+            lut[ord(ch)] = digit
+            lut[ord(ch.lower())] = digit
+        _LUT_CACHE[alphabet] = lut
+    return lut
+
+
+def encode_seq(seq: str, alphabet: str = ALPHABET_AGTC) -> np.ndarray:
+    """Encode one sequence to int8 digits (INVALID where not in alphabet)."""
+    raw = np.frombuffer(seq.encode("ascii"), dtype=np.uint8)
+    return base_lut(alphabet)[raw]
+
+
+def kmer_strings(k: int, alphabet: str = ALPHABET_AGTC) -> List[str]:
+    """All k-mers in reference column order (product order, first char MSB)."""
+    return ["".join(t) for t in itertools.product(alphabet, repeat=k)]
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def pick_bucket_length(length: int, k: int, min_len: int = 256) -> int:
+    """Padded length for a sequence: next power of two >= max(length, min).
+
+    Power-of-two buckets bound the number of distinct compiled shapes to
+    O(log(max_len)) while wasting < 2x padding in the worst case.
+    """
+    need = max(length, k, min_len)
+    padded = min_len
+    while padded < need:
+        padded *= 2
+    return padded
+
+
+@dataclass
+class EncodedSeqs:
+    """A set of sequences encoded and grouped into padded length buckets.
+
+    Attributes
+    ----------
+    buckets : list of (bases, lengths, row_ids)
+        ``bases`` is ``[rows, Lpad]`` int8 (digits 0..A-1; INVALID elsewhere,
+        padding included), ``lengths`` is ``[rows]`` int32 true sequence
+        lengths, ``row_ids`` maps bucket rows back to original fasta order.
+    n_seqs : int
+    alphabet : str
+    """
+
+    buckets: List[Tuple[np.ndarray, np.ndarray, np.ndarray]]
+    n_seqs: int
+    alphabet: str
+    lengths: np.ndarray  # [n_seqs] original order
+
+    @property
+    def total_bases(self) -> int:
+        return int(self.lengths.sum())
+
+
+def encode_seqs(
+    seqs: Sequence[str],
+    k: int,
+    alphabet: str = ALPHABET_AGTC,
+    min_bucket_len: int = 256,
+    row_multiple: int = 8,
+    max_rows_per_bucket: Optional[int] = None,
+) -> EncodedSeqs:
+    """Encode + bucket sequences for device counting.
+
+    Rows in each bucket are padded with zero-length dummy rows up to the next
+    power of two (>= ``row_multiple``) so the number of distinct compiled
+    (rows, length) shapes stays O(log(m) * log(max_len)); dummy rows have
+    length 0 and produce all-zero count rows which are dropped on gather.
+    """
+    lut = base_lut(alphabet)
+    lengths = np.fromiter((len(s) for s in seqs), dtype=np.int32, count=len(seqs))
+
+    by_bucket = {}
+    for i, seq in enumerate(seqs):
+        lpad = pick_bucket_length(len(seq), k, min_bucket_len)
+        by_bucket.setdefault(lpad, []).append(i)
+
+    buckets = []
+    for lpad in sorted(by_bucket):
+        ids = by_bucket[lpad]
+        if max_rows_per_bucket:
+            chunks = [ids[j:j + max_rows_per_bucket] for j in range(0, len(ids), max_rows_per_bucket)]
+        else:
+            chunks = [ids]
+        for chunk in chunks:
+            rows = row_multiple
+            while rows < len(chunk):
+                rows *= 2
+            bases = np.full((rows, lpad), INVALID, dtype=np.int8)
+            blens = np.zeros(rows, dtype=np.int32)
+            for r, i in enumerate(chunk):
+                raw = np.frombuffer(seqs[i].encode("ascii"), dtype=np.uint8)
+                bases[r, : raw.size] = lut[raw]
+                blens[r] = raw.size
+            buckets.append((bases, blens, np.asarray(chunk, dtype=np.int64)))
+
+    return EncodedSeqs(buckets=buckets, n_seqs=len(seqs), alphabet=alphabet, lengths=lengths)

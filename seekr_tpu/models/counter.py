@@ -1,0 +1,214 @@
+"""KmerCounter — the TPU-backed equivalent of the reference BasicCounter.
+
+API/behavior parity with seekr/kmer_counts.py:48-262 (constructor signature,
+attribute names, error messages, artifact formats), but counting and
+normalization run on the accelerator:
+
+  FASTA -> 2-bit encode + length buckets (host)   seekr_tpu.io.encode
+        -> MXU outer-product histogram (device)   seekr_tpu.ops.count
+        -> fused normalize epilogue (device)      seekr_tpu.ops.normalize
+        -> float32 numpy matrix + CSV/NPY artifacts (host)
+
+Deviations (documented, all within the reference's own test tolerances):
+  * occurrences are counted as integers and scaled once by
+    1000/(len-k+1) instead of accumulating the float increment per window
+    (reference kmer_counts.py:144-147) — mathematically identical, more
+    accurate.
+  * sequences shorter than k yield an all-zero row instead of raising
+    ZeroDivisionError when len == k-1.
+  * non-4-letter alphabets use a vectorized host path (TPU path assumes the
+    2-bit encoding).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from seekr_tpu.io.encode import encode_seqs, kmer_strings
+from seekr_tpu.io.fasta import Reader
+from seekr_tpu.ops.count import count_kmers_device, count_kmers_host
+from seekr_tpu.ops.normalize import normalize_counts
+from seekr_tpu.utils.progress import my_tqdm
+
+
+class Log2:
+    """String-valued stand-in for the reference's (commented-out) Log2 enum.
+
+    The reference passes log2 modes as the strings 'Log2.pre'/'Log2.post'/
+    'Log2.none' (seekr/kmer_counts.py:133-135); these attributes equal those
+    strings so both spellings work.
+    """
+
+    pre = "Log2.pre"
+    post = "Log2.post"
+    none = "Log2.none"
+
+
+# Cap on rows per compiled bucket: keeps transient one-hot buffers bounded
+# (rows * 512 positions * 128 lanes * 2B ~ 64MB at 512 rows).
+_MAX_ROWS_PER_BUCKET = 512
+
+
+class KmerCounter:
+    """Generates overlapping kmer counts for a fasta file on TPU.
+
+    Parameters mirror the reference BasicCounter (seekr/kmer_counts.py:48-101):
+
+    infasta: str (default=None)            path to fasta to count
+    outfile: str (default=None)            where to save counts
+    k: int (default=6)                     k-mer size
+    binary: bool (default=True)            .npy if True else csv
+    mean: bool | np.ndarray | str          center columns (str = .npy path)
+    std: bool | np.ndarray | str           standardize columns (str = .npy path)
+    log2: str (default='Log2.post')        'Log2.pre' | 'Log2.post' | 'Log2.none'
+    leave, silent: tqdm controls
+    label: bool (default=False)            labeled csv output
+    alphabet: str (default='AGTC')         valid letters (column order = product)
+    """
+
+    def __init__(
+        self,
+        infasta=None,
+        outfile=None,
+        k=6,
+        binary=True,
+        mean=True,
+        std=True,
+        log2="Log2.post",
+        leave=True,
+        silent=False,
+        label=False,
+        alphabet="AGTC",
+    ):
+        self.infasta = infasta
+        self.seqs = None
+        if infasta is not None:
+            self.seqs = Reader(infasta).get_seqs()
+        self.outfile = outfile
+        self.k = int(k)
+        self.binary = binary
+        self.mean = mean
+        if isinstance(mean, str):
+            self.mean = np.load(mean)
+        self.std = std
+        if isinstance(std, str):
+            self.std = np.load(std)
+        self.log2 = log2
+        self.leave = leave
+        self.silent = silent
+        self.label = label
+        self.counts = None
+        self.alphabet = alphabet
+        self.alpha_len = len(alphabet)
+        self.kmers = kmer_strings(self.k, alphabet)
+        self.map = {kmer: i for i, kmer in enumerate(self.kmers)}
+
+        if self.seqs is not None:
+            if len(self.seqs) == 1 and self.std is True:
+                err = (
+                    "You cannot standardize a single sequence. "
+                    "Please pass the path to an std. dev. array, "
+                    "or use raw counts by setting std=False."
+                )
+                raise ValueError(err)
+
+        if self.log2 not in ("Log2.pre", "Log2.post", "Log2.none"):
+            raise ValueError("log2 must be one of ['Log2.pre', 'Log2.post', 'Log2.none']")
+
+    # -- counting ----------------------------------------------------------
+
+    def occurrences(self, row, seq):
+        """Count k-mers of one sequence on a per-kilobase scale into ``row``.
+
+        Kept for API parity with the reference (kmer_counts.py:140-151);
+        the bulk path does not call this per sequence.
+        """
+        row = np.asarray(row)
+        counts = count_kmers_host([seq], self.k, self.alphabet)[0]
+        hit = counts > 0
+        row[hit] = counts[hit]
+        return row
+
+    def _raw_counts(self) -> np.ndarray:
+        """Raw counts-per-kb matrix [m, alpha_len**k] float32."""
+        if self.alpha_len != 4:
+            return count_kmers_host(self.seqs, self.k, self.alphabet)
+
+        encoded = encode_seqs(
+            self.seqs, self.k, self.alphabet,
+            max_rows_per_bucket=_MAX_ROWS_PER_BUCKET,
+        )
+        out = np.zeros((len(self.seqs), 4 ** self.k), dtype=np.float32)
+        buckets = encoded.buckets
+        if not self.silent:
+            buckets = my_tqdm()(buckets, desc="Kmers", leave=self.leave)
+        for bases, lengths, row_ids in buckets:
+            res = np.asarray(count_kmers_device(bases, lengths, self.k))
+            out[row_ids] = res[: len(row_ids)]
+        return out
+
+    def get_counts(self):
+        """Generate the (normalized) count matrix for the fasta file."""
+        raw = self._raw_counts()
+        counts, mean, std = normalize_counts(
+            raw, log2_mode=self.log2, mean=self.mean, std=self.std,
+        )
+        if self.mean is True and mean is not None:
+            self.mean = np.asarray(mean)
+        if self.std is True and std is not None:
+            self.std = np.asarray(std)
+        self.counts = np.asarray(counts)
+        if self.std is not False and np.isnan(self.counts).any():
+            print(
+                "\nWARNING: You have `np.nan` values in your counts "
+                "after standardization. This is likely due to "
+                "a kmer not appearing in any of your sequences. "
+                "Try: \n1) using a smaller kmer size, \n2) beginning "
+                "with a larger set of sequences, \n3) passing "
+                "precomputed normalization vectors from a larger "
+                "data set (e.g. GENCODE)."
+            )
+        return self.counts
+
+    # -- persistence --------------------------------------------------------
+
+    def save(self, names=None):
+        """Save counts: binary .npy | labeled csv | raw %1.6f csv.
+
+        Mirrors reference kmer_counts.py:211-241 byte-for-byte (including the
+        '>'-prefixed fasta headers as csv row labels).
+        """
+        err_msg = (
+            "You cannot label a binary file. "
+            'Set only one of "binary" or "label" as True. '
+            "If you used `-b` from the command line, "
+            "try also using `-rl`."
+        )
+        assert not (self.binary and self.label), err_msg
+        assert self.outfile is not None, "Please provide an outfile location."
+        if self.binary:
+            np.save(self.outfile, self.counts)
+        elif self.label:
+            if names is None:
+                names = Reader(self.infasta).get_headers()
+            import pandas as pd
+
+            df = pd.DataFrame(data=self.counts, index=names, columns=self.kmers)
+            df.to_csv(self.outfile)
+        else:
+            np.savetxt(self.outfile, self.counts, delimiter=",", fmt="%1.6f")
+
+    def make_count_file(self, names=None):
+        """get_counts + save (if outfile set); returns the counts matrix."""
+        self.get_counts()
+        if self.outfile is not None:
+            self.save(names)
+        return self.counts
+
+
+# Reference-compatible aliases
+BasicCounter = KmerCounter
+
+
+def make_count_file(infasta, outfile, k=6, **kwargs):
+    return KmerCounter(infasta=infasta, outfile=outfile, k=k, **kwargs).make_count_file()

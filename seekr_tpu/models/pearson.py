@@ -1,0 +1,28 @@
+"""Public pearson() — all-pairs Pearson similarity of two count matrices.
+
+Reference parity: seekr/pearson.py:32-44 (row standardization with
+population std, inner product divided by the column count, optional .npy
+save).  The GEMM runs on the accelerator; inputs/outputs are host numpy.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from seekr_tpu.ops.pearson import pearson_device, pearson_blocked
+
+# Above this output size (elements), stream row blocks instead of one GEMM.
+_BLOCK_THRESHOLD = 64_000_000
+
+
+def pearson(counts1, counts2, row_standardize: bool = True, outfile: str | None = None) -> np.ndarray:
+    """Calculates a row-standardized Pearson correlation matrix on device."""
+    c1 = np.asarray(counts1, dtype=np.float32)
+    c2 = np.asarray(counts2, dtype=np.float32)
+    if c1.shape[0] * c2.shape[0] > _BLOCK_THRESHOLD:
+        dist = pearson_blocked(c1, c2, row_standardize=row_standardize)
+    else:
+        dist = np.asarray(pearson_device(c1, c2, row_standardize=row_standardize))
+    if outfile:
+        np.save(outfile, dist)
+    return dist

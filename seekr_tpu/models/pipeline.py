@@ -1,0 +1,81 @@
+"""SeekrPipeline — the flagship end-to-end jittable compute graph.
+
+One traced function takes encoded bases straight to the all-pairs Pearson
+matrix:
+
+    bases [m, L] int8, lengths [m]
+      -> MXU histogram counts [m, 4^k]        (ops.count)
+      -> fused normalize epilogue             (ops.normalize)
+      -> row-standardized GEMM r-matrix [m,m] (ops.pearson)
+
+This is the unit the driver compile-checks (see __graft_entry__.py) and the
+unit the distributed layer shards over a mesh (seekr_tpu.parallel.dist).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from seekr_tpu.ops.math import accurate_log2
+
+from seekr_tpu.ops.count import _count_impl
+from seekr_tpu.ops.normalize import LOG2_NONE, LOG2_POST, LOG2_PRE
+
+
+def _normalize_graph(counts, mean, std, log2_mode):
+    """Inline (jit-composable) version of the normalize epilogue.
+
+    mean/std are either arrays (precomputed norm vectors) or None (compute
+    column statistics from the data, matching BasicCounter mean=True/std=True).
+    """
+    counts = counts.astype(jnp.float32)
+    if log2_mode == LOG2_PRE:
+        counts = accurate_log2(counts + 1.0)
+    mean = jnp.mean(counts, axis=0) if mean is None else mean
+    counts = counts - mean
+    std = jnp.std(counts, axis=0) if std is None else std
+    counts = counts / std
+    if log2_mode == LOG2_POST:
+        counts = counts + jnp.abs(jnp.min(counts))
+        counts = accurate_log2(counts + 1.0)
+    return counts, mean, std
+
+
+class SeekrPipeline:
+    """Fused count -> normalize -> Pearson pipeline for one device.
+
+    Parameters
+    ----------
+    k : k-mer size (default 6, the reference CLI default)
+    log2 : 'Log2.pre' | 'Log2.post' | 'Log2.none'
+    """
+
+    def __init__(self, k: int = 6, log2: str = LOG2_POST):
+        if log2 not in (LOG2_PRE, LOG2_POST, LOG2_NONE):
+            raise ValueError("log2 must be one of ['Log2.pre', 'Log2.post', 'Log2.none']")
+        self.k = k
+        self.log2 = log2
+
+    def counts(self, bases, lengths, mean=None, std=None):
+        raw = _count_impl(bases, lengths, self.k)
+        normalized, mean, std = _normalize_graph(raw, mean, std, self.log2)
+        return normalized, mean, std
+
+    def forward(self, bases, lengths, mean=None, std=None) -> jax.Array:
+        """Full pipeline: encoded sequences -> [m, m] Pearson r matrix."""
+        normalized, _, _ = self.counts(bases, lengths, mean, std)
+        c = normalized - jnp.mean(normalized, axis=1, keepdims=True)
+        c = c / jnp.std(c, axis=1, keepdims=True)
+        sim = jax.lax.dot_general(
+            c, c, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return sim / c.shape[1]
+
+    def jit_forward(self):
+        return jax.jit(self.forward)

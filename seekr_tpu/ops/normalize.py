@@ -1,0 +1,92 @@
+"""Fused normalization epilogue for count matrices.
+
+Reproduces the exact reference pipeline order (seekr/kmer_counts.py:194-209):
+
+    raw counts-per-kb
+    -> (Log2.pre)  counts = log2(counts + 1)                (:189-192, :201-202)
+    -> center      counts -= mean  (column mean if computed) (:165-169)
+    -> standardize counts /= std   (column population std of the
+                                    ALREADY-CENTERED matrix) (:171-175)
+    -> (Log2.post) counts += |global min|; counts = log2(counts + 1)  (:207-209)
+
+Everything runs in float32 under one jit so XLA fuses the elementwise chain
+into a single HBM pass.  Returns the (possibly computed) mean/std so callers
+can persist norm vectors (reference console_scripts.py:659-663).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from seekr_tpu.ops.math import accurate_log2
+
+LOG2_PRE = "Log2.pre"
+LOG2_POST = "Log2.post"
+LOG2_NONE = "Log2.none"
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("log2_mode", "use_mean", "use_std", "compute_mean", "compute_std"),
+)
+def _normalize_impl(counts, mean_arr, std_arr, *, log2_mode, use_mean, use_std,
+                    compute_mean, compute_std):
+    counts = counts.astype(jnp.float32)
+    if log2_mode == LOG2_PRE:
+        counts = accurate_log2(counts + 1.0)
+
+    mean = None
+    if use_mean:
+        mean = jnp.mean(counts, axis=0) if compute_mean else mean_arr.astype(jnp.float32)
+        counts = counts - mean
+
+    std = None
+    if use_std:
+        std = jnp.std(counts, axis=0) if compute_std else std_arr.astype(jnp.float32)
+        counts = counts / std
+
+    if log2_mode == LOG2_POST:
+        counts = counts + jnp.abs(jnp.min(counts))
+        counts = accurate_log2(counts + 1.0)
+
+    zero = jnp.zeros((counts.shape[1],), jnp.float32)
+    return counts, (mean if mean is not None else zero), (std if std is not None else zero)
+
+
+def normalize_counts(
+    counts,
+    *,
+    log2_mode: str = LOG2_POST,
+    mean=True,
+    std=True,
+) -> Tuple[jax.Array, Optional[jax.Array], Optional[jax.Array]]:
+    """Normalize a raw count matrix.
+
+    ``mean``/``std`` follow the reference contract: ``True`` computes the
+    column statistic from the data, ``False`` skips the step, an array uses
+    the provided vector.
+
+    Returns (normalized_counts, mean_or_None, std_or_None).
+    """
+    if log2_mode not in (LOG2_PRE, LOG2_POST, LOG2_NONE):
+        raise ValueError("log2 must be one of ['Log2.pre', 'Log2.post', 'Log2.none']")
+
+    n_cols = counts.shape[1]
+    use_mean = mean is not False
+    use_std = std is not False
+    compute_mean = mean is True
+    compute_std = std is True
+    dummy = jnp.zeros((n_cols,), jnp.float32)
+    mean_arr = dummy if (not use_mean or compute_mean) else jnp.asarray(mean)
+    std_arr = dummy if (not use_std or compute_std) else jnp.asarray(std)
+
+    out, mean_out, std_out = _normalize_impl(
+        jnp.asarray(counts), mean_arr, std_arr,
+        log2_mode=log2_mode, use_mean=use_mean, use_std=use_std,
+        compute_mean=compute_mean, compute_std=compute_std,
+    )
+    return out, (mean_out if use_mean else None), (std_out if use_std else None)

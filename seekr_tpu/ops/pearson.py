@@ -1,0 +1,75 @@
+"""All-pairs Pearson correlation as a tiled XLA GEMM.
+
+Semantics follow the reference (seekr/pearson.py:32-44): optionally
+row-standardize both matrices (per-row mean and POPULATION std, ddof=0),
+then ``r = inner(c1, c2) / n_cols``.  On TPU the inner product is a single
+``dot_general`` that XLA tiles onto the MXU; float32 with HIGHEST precision
+keeps parity with numpy BLAS within 1e-5.
+
+For outputs too large for one buffer, ``pearson_blocked`` streams row blocks
+of the left operand (used by the background-distribution path where
+m ~ 13k-180k).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@jax.jit
+def _row_standardize(c):
+    c = c.astype(jnp.float32)
+    c = c - jnp.mean(c, axis=1, keepdims=True)
+    return c / jnp.std(c, axis=1, keepdims=True)
+
+
+@functools.partial(jax.jit, static_argnames=("row_standardize",))
+def pearson_device(counts1, counts2, row_standardize: bool = True) -> jax.Array:
+    """[m1, n] x [m2, n] -> [m1, m2] Pearson r matrix (float32)."""
+    c1 = jnp.asarray(counts1, dtype=jnp.float32)
+    c2 = jnp.asarray(counts2, dtype=jnp.float32)
+    if row_standardize:
+        c1 = _row_standardize(c1)
+        c2 = _row_standardize(c2)
+    dist = jax.lax.dot_general(
+        c1, c2,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return dist / c1.shape[1]
+
+
+def pearson_blocked(counts1, counts2, row_standardize: bool = True,
+                    block_rows: int = 4096) -> np.ndarray:
+    """Row-blocked Pearson for outputs too large to hold on device at once.
+
+    Standardizes both operands once on device, then emits [block, m2] tiles
+    to host memory.
+    """
+    c1 = jnp.asarray(counts1, dtype=jnp.float32)
+    c2 = jnp.asarray(counts2, dtype=jnp.float32)
+    if row_standardize:
+        c1 = _row_standardize(c1)
+        c2 = _row_standardize(c2)
+    m1 = c1.shape[0]
+    n = c1.shape[1]
+    out = np.empty((m1, c2.shape[0]), dtype=np.float32)
+
+    @jax.jit
+    def block(a, b):
+        d = jax.lax.dot_general(
+            a, b, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return d / n
+
+    for s in range(0, m1, block_rows):
+        e = min(s + block_rows, m1)
+        out[s:e] = np.asarray(block(c1[s:e], c2))
+    return out

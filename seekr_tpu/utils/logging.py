@@ -1,0 +1,45 @@
+"""Structured logging + per-stage timing.
+
+The reference has only bare prints; the rebuild adds an opt-in structured
+logger and stage timers that report throughput (transcripts/s, bases/s) —
+the observability subsystem called out in SURVEY.md section 5.
+
+Set SEEKR_TPU_LOG=debug|info|warning to control verbosity (default warning,
+so CLI output matches the quiet reference behavior).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import logging
+import os
+import time
+
+_CONFIGURED = False
+
+
+def get_logger(name: str = "seekr_tpu") -> logging.Logger:
+    global _CONFIGURED
+    if not _CONFIGURED:
+        level = os.environ.get("SEEKR_TPU_LOG", "warning").upper()
+        handler = logging.StreamHandler()
+        handler.setFormatter(logging.Formatter(
+            "%(asctime)s %(name)s %(levelname)s %(message)s", "%H:%M:%S"))
+        root = logging.getLogger("seekr_tpu")
+        root.addHandler(handler)
+        root.setLevel(getattr(logging, level, logging.WARNING))
+        _CONFIGURED = True
+    return logging.getLogger(name)
+
+
+@contextlib.contextmanager
+def stage_timer(stage: str, items: int | None = None, unit: str = "items"):
+    """Context manager logging wall time (and throughput if items given)."""
+    log = get_logger("seekr_tpu.timing")
+    t0 = time.perf_counter()
+    yield
+    dt = time.perf_counter() - t0
+    if items:
+        log.info("%s: %.3fs (%.1f %s/s)", stage, dt, items / max(dt, 1e-9), unit)
+    else:
+        log.info("%s: %.3fs", stage, dt)

@@ -1,0 +1,32 @@
+"""Test configuration: force an 8-device virtual CPU mesh before jax import.
+
+Multi-chip sharding paths are validated on host CPU devices
+(xla_force_host_platform_device_count), per the project testing strategy.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import pathlib
+
+import pytest
+
+REFERENCE_DATA = pathlib.Path("/root/reference/seekr/tests/data")
+HERE = pathlib.Path(__file__).parent
+
+
+@pytest.fixture(scope="session")
+def ref_data():
+    """Reference repo test fixtures (goldens) if present, else skip."""
+    if not REFERENCE_DATA.exists():
+        pytest.skip("reference fixtures not available")
+    return REFERENCE_DATA
+
+
+@pytest.fixture(scope="session")
+def example_fa(ref_data):
+    return str(ref_data / "example.fa")

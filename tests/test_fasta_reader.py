@@ -1,0 +1,53 @@
+import pytest
+
+from seekr_tpu.io.fasta import Reader, write_fasta
+
+
+@pytest.fixture
+def fasta_file(tmp_path):
+    path = tmp_path / "toy.fa"
+    path.write_text(
+        ">first|meta\n"
+        "acgt\n"
+        "ACGT\n"
+        ">second\n"
+        "nnAG\n"
+    )
+    return str(path)
+
+
+def test_multiline_join_and_upper(fasta_file):
+    seqs = Reader(fasta_file).get_seqs()
+    assert seqs == ["ACGTACGT", "NNAG"]
+
+
+def test_headers_keep_gt(fasta_file):
+    headers = Reader(fasta_file).get_headers()
+    assert headers == [">first|meta", ">second"]
+
+
+def test_get_data(fasta_file):
+    tuples, headers, seqs = Reader(fasta_file).get_data()
+    assert list(tuples) == [(">first|meta", "ACGTACGT"), (">second", "NNAG")]
+    assert headers == [">first|meta", ">second"]
+    assert seqs == ["ACGTACGT", "NNAG"]
+
+
+def test_header_without_sequence_raises(tmp_path):
+    path = tmp_path / "bad.fa"
+    path.write_text(">a\n>b\nACGT\n")
+    with pytest.raises(AssertionError):
+        Reader(str(path)).get_seqs()
+
+
+def test_roundtrip_write(tmp_path):
+    path = tmp_path / "out.fa"
+    write_fasta(str(path), ["h1", "h2"], ["AAAA", "GGGG"])
+    assert Reader(str(path)).get_seqs() == ["AAAA", "GGGG"]
+    assert Reader(str(path)).get_headers() == [">h1", ">h2"]
+
+
+def test_reference_example_fixture(example_fa):
+    seqs = Reader(example_fa).get_seqs()
+    assert len(seqs) == 5
+    assert seqs[0] == "AAAAAA"

@@ -1,0 +1,173 @@
+"""Unit tests for the counting engine.
+
+Hand-computed expectations mirror the reference's own test style
+(tests/test_kmer_counts.py in the upstream repo): counts are per kilobase of
+windows, column order is itertools.product('AGTC', k).
+"""
+
+import numpy as np
+import pytest
+
+from seekr_tpu import KmerCounter
+from seekr_tpu.io.encode import encode_seqs, kmer_strings
+from seekr_tpu.ops.count import count_kmers_device, count_kmers_host
+from seekr_tpu.ops.normalize import normalize_counts
+
+
+class TestCounting:
+    def test_kmer_order_agtc(self):
+        kmers = kmer_strings(2)
+        assert kmers[:4] == ["AA", "AG", "AT", "AC"]
+        assert kmers[-1] == "CC"
+
+    def test_occurrences_k1_homopolymer(self):
+        # "AAAAAA": 6 windows of A -> 1000/kb in column A
+        out = count_kmers_host(["AAAAAA"], 1)
+        expected = np.zeros(4)
+        expected[0] = 1000
+        assert np.allclose(out[0], expected)
+
+    def test_occurrences_k1_half(self):
+        # "TTTTTTGGGGGG": 6 T + 6 G of 12 windows
+        out = count_kmers_host(["TTTTTTGGGGGG"], 1)
+        expected = np.zeros(4)
+        expected[1] = 500  # G
+        expected[2] = 500  # T
+        assert np.allclose(out[0], expected)
+
+    def test_occurrences_k2(self):
+        # "TTTTTTGGGGGG" k=2: TT x5, TG x1, GG x5 over 11 windows
+        out = count_kmers_host(["TTTTTTGGGGGG"], 2)
+        expected = np.zeros(16)
+        expected[10] = 5 * 1000 / 11  # TT (T=2 -> 2*4+2)
+        expected[9] = 1000 / 11       # TG (2*4+1)
+        expected[5] = 5 * 1000 / 11   # GG (1*4+1)
+        assert np.allclose(out[0], expected, rtol=1e-5)
+
+    def test_n_bases_skipped_denominator_kept(self):
+        # "ANAA" k=2: windows AN, NA, AA -> only AA counts; denominator 3
+        out = count_kmers_host(["ANAA"], 2)
+        expected = np.zeros(16)
+        expected[0] = 1000 / 3
+        assert np.allclose(out[0], expected)
+
+    def test_short_sequence_zero_row(self):
+        out = count_kmers_host(["AG"], 6)
+        assert out.shape == (1, 4096)
+        assert np.all(out == 0)
+
+    def test_device_matches_host(self):
+        rng = np.random.default_rng(42)
+        seqs = [
+            "".join(rng.choice(list("AGTCN"), size=n, p=[0.24, 0.24, 0.24, 0.24, 0.04]))
+            for n in [6, 13, 77, 301, 4097]
+        ]
+        for k in (1, 2, 4, 6):
+            host = count_kmers_host(seqs, k)
+            enc = encode_seqs(seqs, k)
+            dev = np.zeros_like(host)
+            for bases, lengths, rows in enc.buckets:
+                res = np.asarray(count_kmers_device(bases, lengths, k))
+                dev[rows] = res[: len(rows)]
+            assert np.allclose(host, dev, rtol=1e-5, atol=1e-4), f"k={k}"
+
+    def test_custom_alphabet(self):
+        # 2-letter alphabet: columns in product('AT', 2) order: AA AT TA TT
+        out = count_kmers_host(["AATT"], 2, alphabet="AT")
+        assert np.allclose(out[0], [1000 / 3, 1000 / 3, 0, 1000 / 3])
+
+
+class TestNormalize:
+    def test_center_vector(self):
+        counts = np.array([[1, 2, 3, 4], [1, -2, 5, 10]], dtype=np.float32)
+        mean = np.ones(4, dtype=np.float32)
+        mean[3] = -1
+        out, _, _ = normalize_counts(counts, log2_mode="Log2.none", mean=mean, std=False)
+        expected = np.array([[0, 1, 2, 5], [0, -3, 4, 11]], dtype=np.float32)
+        assert np.allclose(np.asarray(out), expected)
+
+    def test_standardize_vector(self):
+        counts = np.array([[1, 2, 3, 4], [0, -2, 5, 10]], dtype=np.float32)
+        std = np.arange(1, 5, dtype=np.float32)
+        out, _, _ = normalize_counts(counts, log2_mode="Log2.none", mean=False, std=std)
+        expected = np.array([[1, 1, 1, 1], [0, -1, 5 / 3, 2.5]], dtype=np.float32)
+        assert np.allclose(np.asarray(out), expected)
+
+    def test_mean_std_computed(self):
+        rng = np.random.default_rng(0)
+        counts = rng.uniform(0, 100, (7, 16)).astype(np.float32)
+        out, mean, std = normalize_counts(counts, log2_mode="Log2.none", mean=True, std=True)
+        assert np.allclose(np.asarray(mean), counts.mean(axis=0), rtol=1e-6)
+        centered = counts - counts.mean(axis=0)
+        assert np.allclose(np.asarray(std), centered.std(axis=0), rtol=1e-5)
+        assert np.allclose(np.asarray(out), centered / centered.std(axis=0), rtol=1e-4, atol=1e-5)
+
+    def test_log2_post_matches_numpy(self):
+        rng = np.random.default_rng(1)
+        counts = rng.uniform(0, 50, (9, 16)).astype(np.float32)
+        out, _, _ = normalize_counts(counts, log2_mode="Log2.post", mean=True, std=True)
+        c = counts - counts.mean(axis=0)
+        c /= c.std(axis=0)
+        c += np.abs(c.min())
+        c = np.log2(c + 1)
+        assert np.allclose(np.asarray(out), c, rtol=1e-4, atol=1e-5)
+
+    def test_log2_pre(self):
+        counts = np.array([[0.0, 3.0], [1.0, 7.0]], dtype=np.float32)
+        out, _, _ = normalize_counts(counts, log2_mode="Log2.pre", mean=False, std=False)
+        assert np.allclose(np.asarray(out), np.log2(counts + 1), rtol=1e-6)
+
+    def test_bad_log2_raises(self):
+        with pytest.raises(ValueError):
+            normalize_counts(np.zeros((2, 4), np.float32), log2_mode="log2.post")
+
+
+class TestKmerCounter:
+    def test_single_seq_std_raises(self, tmp_path):
+        fa = tmp_path / "one.fa"
+        fa.write_text(">a\nAAGGTTCC\n")
+        with pytest.raises(ValueError):
+            KmerCounter(str(fa), k=2)
+
+    def test_bad_log2_raises(self, tmp_path):
+        fa = tmp_path / "two.fa"
+        fa.write_text(">a\nAAGG\n>b\nTTCC\n")
+        with pytest.raises(ValueError):
+            KmerCounter(str(fa), k=2, log2="nope")
+
+    def test_raw_counts_match_occurrences(self, example_fa):
+        counter = KmerCounter(example_fa, k=2, mean=False, std=False, log2="Log2.none", silent=True)
+        counter.get_counts()
+        expected = np.zeros((5, 16), dtype=np.float32)
+        for i, seq in enumerate(counter.seqs):
+            expected[i] = counter.occurrences(expected[i], seq)
+        assert np.allclose(counter.counts, expected, rtol=1e-5, atol=1e-4)
+
+    def test_mean_std_attributes_set(self, example_fa):
+        counter = KmerCounter(example_fa, k=2, silent=True)
+        counter.get_counts()
+        assert counter.mean.shape == (16,)
+        assert counter.std.shape == (16,)
+
+    def test_save_binary(self, example_fa, tmp_path):
+        out = str(tmp_path / "c.npy")
+        counter = KmerCounter(example_fa, outfile=out, k=2, silent=True)
+        counts = counter.make_count_file()
+        assert np.allclose(np.load(out), counts)
+
+    def test_save_labeled_csv(self, example_fa, tmp_path):
+        import pandas as pd
+
+        out = str(tmp_path / "c.csv")
+        counter = KmerCounter(example_fa, outfile=out, k=2, binary=False, label=True, silent=True)
+        counter.make_count_file()
+        df = pd.read_csv(out, index_col=0)
+        assert list(df.columns) == kmer_strings(2)
+        assert list(df.index) == [">SEQ1", ">SEQ2", ">SEQ3", ">SEQ4", ">SEQ5"]
+
+    def test_save_binary_and_label_asserts(self, example_fa, tmp_path):
+        counter = KmerCounter(example_fa, outfile=str(tmp_path / "x"), k=2,
+                              binary=True, label=True, silent=True)
+        counter.get_counts()
+        with pytest.raises(AssertionError):
+            counter.save()

@@ -1,0 +1,50 @@
+import numpy as np
+
+from seekr_tpu import pearson
+
+
+def _np_pearson(c1, c2):
+    c1 = (c1.T - np.mean(c1, axis=1)).T
+    c1 = (c1.T / np.std(c1, axis=1)).T
+    c2 = (c2.T - np.mean(c2, axis=1)).T
+    c2 = (c2.T / np.std(c2, axis=1)).T
+    return np.inner(c1, c2) / c1.shape[1]
+
+
+def test_small_matrix_matches_numpy():
+    rng = np.random.default_rng(7)
+    a = rng.normal(size=(3, 5)).astype(np.float32)
+    b = rng.normal(size=(4, 5)).astype(np.float32)
+    assert np.allclose(pearson(a, b), _np_pearson(a, b), rtol=1e-5, atol=1e-6)
+
+
+def test_perfect_correlation_rows():
+    a = np.array([[1, 2, 3, 4, 5]], dtype=np.float32)
+    b = np.array([[2, 4, 6, 8, 10], [11, 12, 13, 14, 15]], dtype=np.float32)
+    assert np.allclose(pearson(a, b), np.ones((1, 2)), atol=1e-6)
+
+
+def test_anticorrelation():
+    a = np.array([[1, 2, 3, 4, 5], [5, 4, 3, 2, 1]], dtype=np.float32)
+    r = pearson(a, a)
+    assert np.allclose(r, [[1, -1], [-1, 1]], atol=1e-6)
+
+
+def test_matches_numpy_corrcoef():
+    rng = np.random.default_rng(11)
+    a = rng.uniform(0, 10, size=(6, 64)).astype(np.float32)
+    assert np.allclose(pearson(a, a), np.corrcoef(a), rtol=1e-4, atol=1e-5)
+
+
+def test_no_row_standardize():
+    rng = np.random.default_rng(3)
+    a = rng.normal(size=(3, 8)).astype(np.float32)
+    expected = np.inner(a, a) / a.shape[1]
+    assert np.allclose(pearson(a, a, row_standardize=False), expected, rtol=1e-5, atol=1e-5)
+
+
+def test_outfile(tmp_path):
+    a = np.array([[1, 2, 3, 4, 5], [5, 4, 3, 2, 1]], dtype=np.float32)
+    out = str(tmp_path / "p.npy")
+    r = pearson(a, a, outfile=out)
+    assert np.allclose(np.load(out), r)
