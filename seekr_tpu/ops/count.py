@@ -42,11 +42,12 @@ from seekr_tpu.io.encode import INVALID, base_lut
 _POS_CHUNK = 512
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
-def _count_impl(bases: jax.Array, lengths: jax.Array, k: int) -> jax.Array:
+@functools.partial(jax.jit, static_argnames=("k", "scaled"))
+def _count_impl(bases: jax.Array, lengths: jax.Array, k: int, scaled: bool = True) -> jax.Array:
     """bases [m, Lpad] int8 digits (>=4 invalid/pad); lengths [m] int32.
 
-    Returns [m, 4**k] float32 counts-per-kb (raw, un-normalized).
+    Returns [m, 4**k] float32 counts: per-kb of windows when ``scaled``
+    (the reference's unit), raw integer window counts otherwise.
     """
     m, lpad = bases.shape
     w = lpad - k + 1
@@ -103,6 +104,8 @@ def _count_impl(bases: jax.Array, lengths: jax.Array, k: int) -> jax.Array:
     acc, _ = jax.lax.scan(step, acc0, (hi, lo, valid))
     counts = acc.reshape(m, n_hi * n_lo)
 
+    if not scaled:
+        return counts
     scale = jnp.where(n_windows > 0, 1000.0 / jnp.maximum(n_windows, 1).astype(jnp.float32), 0.0)
     return counts * scale[:, None]
 

@@ -1,0 +1,167 @@
+"""Multi-chip / multi-host execution of the seekr pipeline.
+
+Three parallelism modes (the reference has none — SURVEY section 2
+"Parallelism strategies in the reference: NONE"):
+
+  * data parallel   — transcripts sharded over the 'data' mesh axis; column
+                      mean/std are global reductions XLA lowers to psum.
+  * kmer parallel   — 4^k histogram columns sharded over 'kmer' (tensor-
+                      parallel analog for large k); Pearson contracts over
+                      the sharded axis -> reduce-scatter/psum.
+  * sequence parallel — one very long transcript split into position chunks
+                      across devices with a (k-1)-base halo; partial
+                      histograms merge with an explicit psum (shard_map).
+
+``distributed_pipeline`` is the "training step" equivalent: encoded bases ->
+counts -> global norm stats -> normalize -> all-pairs Pearson, one jit over
+the mesh, shardings annotated and collectives inserted by GSPMD.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from seekr_tpu.models.pipeline import _normalize_graph
+from seekr_tpu.ops.count import _count_impl
+from seekr_tpu.parallel.mesh import DATA_AXIS, KMER_AXIS
+
+
+def init_distributed(coordinator: Optional[str] = None, num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> None:
+    """Initialize multi-host JAX (the NCCL/MPI-equivalent bootstrap).
+
+    No-op when running single-process; on a pod slice each host calls this
+    before building the mesh (jax.distributed handles the rendezvous).
+    """
+    if num_processes is None or num_processes <= 1:
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def _pipeline_fn(bases, lengths, k: int, log2: str, mesh: Mesh):
+    """Shardable compute graph: encoded bases -> (normalized counts, r-matrix).
+
+    All ops are GSPMD-friendly: the histogram is row-local, the column
+    moments reduce over the sharded row axis (psum), the Pearson GEMM
+    contracts the (optionally kmer-sharded) column axis.
+    """
+    raw = _count_impl(bases, lengths, k)
+    raw = jax.lax.with_sharding_constraint(
+        raw, NamedSharding(mesh, P(DATA_AXIS, KMER_AXIS)))
+    normalized, mean, std = _normalize_graph(raw, None, None, log2)
+    c = normalized - jnp.mean(normalized, axis=1, keepdims=True)
+    c = c / jnp.std(c, axis=1, keepdims=True)
+    sim = jax.lax.dot_general(
+        c, c, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    ) / c.shape[1]
+    sim = jax.lax.with_sharding_constraint(
+        sim, NamedSharding(mesh, P(DATA_AXIS, None)))
+    return normalized, mean, std, sim
+
+
+def distributed_pipeline(mesh: Mesh, k: int = 6, log2: str = "Log2.post"):
+    """Compile the full pipeline step over a mesh.
+
+    Returns a function (bases [M, L] int8, lengths [M] int32) ->
+    (normalized counts [M, 4^k], mean, std, pearson [M, M]) with rows
+    sharded over 'data' and histogram columns over 'kmer'.  M must divide
+    by the data-axis size.
+    """
+    in_shard = (
+        NamedSharding(mesh, P(DATA_AXIS, None)),
+        NamedSharding(mesh, P(DATA_AXIS)),
+    )
+    out_shard = (
+        NamedSharding(mesh, P(DATA_AXIS, KMER_AXIS)),
+        NamedSharding(mesh, P()),
+        NamedSharding(mesh, P()),
+        NamedSharding(mesh, P(DATA_AXIS, None)),
+    )
+    fn = functools.partial(_pipeline_fn, k=k, log2=log2, mesh=mesh)
+    return jax.jit(fn, in_shardings=in_shard, out_shardings=out_shard)
+
+
+def distributed_norm_stats(mesh: Mesh, k: int = 6, log2: str = "Log2.post"):
+    """Compile a sharded norm-vector computation (seekr_norm_vectors analog).
+
+    Column mean/std of the (pre-post-log) count matrix with transcripts
+    sharded over 'data' — the two psum reductions (sum, sum of squares)
+    are inserted by GSPMD from the replicated output sharding.
+    """
+
+    def fn(bases, lengths):
+        raw = _count_impl(bases, lengths, k)
+        if log2 == "Log2.pre":
+            from seekr_tpu.ops.math import accurate_log2
+
+            raw = accurate_log2(raw + 1.0)
+        mean = jnp.mean(raw, axis=0)
+        std = jnp.std(raw, axis=0)
+        return mean, std
+
+    in_shard = (
+        NamedSharding(mesh, P(DATA_AXIS, None)),
+        NamedSharding(mesh, P(DATA_AXIS)),
+    )
+    out_shard = (NamedSharding(mesh, P()), NamedSharding(mesh, P()))
+    return jax.jit(fn, in_shardings=in_shard, out_shardings=out_shard)
+
+
+def count_long_sequence(mesh: Mesh, k: int):
+    """Sequence-parallel counting of ONE long transcript.
+
+    The transcript's 2-bit digits [L] are padded so L divides the total
+    device count, split into per-device chunks with a (k-1)-base halo
+    (appended by the host in ``shard_long_sequence``), and each device
+    histograms its chunk; partial histograms merge with an explicit psum.
+    Returns a jitted fn (chunks [n_dev, chunk+k-1] int8, n_windows scalar)
+    -> [4^k] float32 counts-per-kb.
+    """
+    n_dev = mesh.devices.size
+    axes = (DATA_AXIS, KMER_AXIS)
+
+    def per_device(chunk, n_windows):
+        # chunk: [1, chunk_len + k - 1] on each device (halo included)
+        raw = _count_impl(chunk, jnp.array([chunk.shape[1]], jnp.int32), k, scaled=False)[0]
+        total = jax.lax.psum(raw, axes)
+        return total * (1000.0 / n_windows)
+
+    # check_vma=False: _count_impl's scan carry starts from a fresh zeros
+    # array (unvarying) while the accumulation makes it device-varying; the
+    # math is still a correct per-device partial histogram.
+    mapped = jax.shard_map(
+        per_device, mesh=mesh,
+        in_specs=(P((DATA_AXIS, KMER_AXIS), None), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
+def shard_long_sequence(digits: np.ndarray, k: int, n_dev: int) -> Tuple[np.ndarray, int]:
+    """Host-side prep for count_long_sequence: chunk + halo + pad.
+
+    Returns (chunks [n_dev, chunk+k-1] int8, n_windows) where padding bases
+    are INVALID so they never form a counted window.
+    """
+    from seekr_tpu.io.encode import INVALID
+
+    L = digits.shape[0]
+    n_windows = L - k + 1
+    chunk = -(-L // n_dev)
+    padded = np.full(chunk * n_dev + k - 1, INVALID, dtype=np.int8)
+    padded[:L] = digits
+    chunks = np.stack([padded[i * chunk: i * chunk + chunk + k - 1] for i in range(n_dev)])
+    return chunks, n_windows

@@ -1,0 +1,88 @@
+"""Multi-device sharding tests on the 8-device virtual CPU mesh."""
+
+import jax
+import numpy as np
+import pytest
+
+from seekr_tpu.io.encode import encode_seq
+from seekr_tpu.ops.count import count_kmers_host
+from seekr_tpu.parallel.mesh import make_mesh
+from seekr_tpu.parallel.dist import (
+    count_long_sequence,
+    distributed_norm_stats,
+    distributed_pipeline,
+    shard_long_sequence,
+)
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+
+
+def _batch(rows, length, k, seed=0):
+    rng = np.random.default_rng(seed)
+    bases = rng.integers(0, 4, size=(rows, length), dtype=np.int8)
+    lengths = rng.integers(k + 1, length + 1, size=rows, dtype=np.int32)
+    for r in range(rows):
+        bases[r, lengths[r]:] = 4
+    return bases, lengths
+
+
+def _decode(bases, lengths):
+    letters = np.array(list("AGTC"))
+    return ["".join(letters[bases[r, : lengths[r]]]) for r in range(bases.shape[0])]
+
+
+def test_distributed_pipeline_matches_single_device():
+    k = 3
+    mesh = make_mesh(jax.devices()[:8], kmer_parallel=2)
+    bases, lengths = _batch(16, 128, k)
+    step = distributed_pipeline(mesh, k=k)
+    counts, mean, std, sim = step(bases, lengths)
+
+    # single-device oracle via host counter + numpy epilogue
+    seqs = _decode(bases, lengths)
+    raw = count_kmers_host(seqs, k)
+    c = raw - raw.mean(axis=0)
+    c /= c.std(axis=0)
+    c += np.abs(c.min())
+    c = np.log2(c + 1)
+    assert np.allclose(np.asarray(counts), c, rtol=1e-4, atol=1e-4, equal_nan=True)
+
+    cs = (c - c.mean(axis=1, keepdims=True)) / c.std(axis=1, keepdims=True)
+    expected_sim = cs @ cs.T / c.shape[1]
+    assert np.allclose(np.asarray(sim), expected_sim, rtol=1e-3, atol=1e-4, equal_nan=True)
+
+
+def test_distributed_norm_stats_psum():
+    k = 2
+    mesh = make_mesh(jax.devices()[:8])
+    bases, lengths = _batch(24, 128, k, seed=3)
+    mean, std = distributed_norm_stats(mesh, k=k, log2="Log2.none")(bases, lengths)
+    raw = count_kmers_host(_decode(bases, lengths), k)
+    assert np.allclose(np.asarray(mean), raw.mean(axis=0), rtol=1e-5, atol=1e-4)
+    assert np.allclose(np.asarray(std), raw.std(axis=0), rtol=1e-4, atol=1e-4)
+
+
+def test_sequence_parallel_long_transcript():
+    k = 6
+    mesh = make_mesh(jax.devices()[:8])
+    rng = np.random.default_rng(7)
+    seq = "".join(rng.choice(list("AGTCN"), size=10_000, p=[0.24, 0.24, 0.24, 0.24, 0.04]))
+    digits = encode_seq(seq)
+    chunks, n_windows = shard_long_sequence(digits, k, 8)
+    row = count_long_sequence(mesh, k)(chunks, np.float32(n_windows))
+    expected = count_kmers_host([seq], k)[0]
+    assert np.allclose(np.asarray(row), expected, rtol=1e-4, atol=1e-3)
+
+
+def test_graft_entry_contract():
+    import importlib.util
+    import pathlib
+
+    spec = importlib.util.spec_from_file_location(
+        "__graft_entry__", pathlib.Path(__file__).parent.parent / "__graft_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    fn, args = mod.entry()
+    out = fn(*args)
+    assert out.shape == (args[0].shape[0], args[0].shape[0])
+    mod.dryrun_multichip(8)
