@@ -1,0 +1,5 @@
+"""Graph layer: community detection over TPU-computed Pearson matrices."""
+
+from seekr_tpu.graph.kmer_leiden import kmer_leiden
+
+__all__ = ["kmer_leiden"]

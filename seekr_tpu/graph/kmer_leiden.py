@@ -1,0 +1,171 @@
+"""Leiden community network for fasta sequences.
+
+Behavioral parity with seekr/kmer_leiden.py:66-346 — counts + self-Pearson on
+TPU, r < cutoff and the diagonal zeroed, undirected weighted graph, Leiden
+partition, spring-layout pdf plot (gradient or threshold edge coloring), and
+Gephi-ready nodes/edges CSV export — but community detection runs in this
+framework's own native C++ Leiden engine (seekr_tpu/native/src/leiden.cpp)
+instead of python-igraph + libleidenalg, with the same six partition types
+and resolution/seed semantics (seekr/kmer_leiden.py:115-146: seed=1 when
+setseed, resolution only for RBConfiguration/RBER/CPM).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from seekr_tpu import native
+from seekr_tpu.io.fasta import Reader
+from seekr_tpu.models.counter import KmerCounter
+from seekr_tpu.models.pearson import pearson
+
+# partition types whose find_partition call takes resolution_parameter
+# (reference kmer_leiden.py:131-146)
+_RESOLUTION_ALGOS = {
+    "RBConfigurationVertexPartition",
+    "RBERVertexPartition",
+    "CPMVertexPartition",
+}
+
+
+def similarity_graph(inputfile, mean, std, k, pearsoncutoff=0):
+    """Thresholded self-similarity DataFrame (headers as labels).
+
+    r < pearsoncutoff -> 0; diagonal -> 0 (reference kmer_leiden.py:93-96).
+    """
+    import pandas as pd
+
+    counter = KmerCounter(inputfile, mean=mean, std=std, k=k, silent=True)
+    counter.make_count_file()
+    headers = [h[1:] for h in Reader(inputfile).get_headers()]
+    sim = np.asarray(pearson(counter.counts, counter.counts)).copy()
+    sim[sim < pearsoncutoff] = 0
+    np.fill_diagonal(sim, 0)
+    return pd.DataFrame(sim, columns=headers, index=headers)
+
+
+def leiden_membership(df, algo="RBERVertexPartition", rs=1.0, setseed=False):
+    """Run the native Leiden engine on a thresholded similarity DataFrame."""
+    if algo not in native.ALGORITHMS:
+        raise ValueError(
+            f"algo must be one of {list(native.ALGORITHMS)}, got {algo!r}")
+    vals = df.values
+    src, dst = np.nonzero(np.triu(vals > 0, k=1))
+    weights = vals[src, dst].astype(np.float64)
+    resolution = rs if algo in _RESOLUTION_ALGOS else 1.0
+    seed = 1 if setseed else None
+    return native.leiden(src.astype(np.int64), dst.astype(np.int64), weights,
+                         n_nodes=vals.shape[0], algo=algo,
+                         resolution=resolution, seed=seed)
+
+
+def _edge_style(df, edgecolormethod, edgethreshold):
+    """Edge colors/widths for the upper-triangle nonzero weights.
+
+    'gradient': weights min-max mapped to [0.1, 1] grey scale + width 1..4;
+    'threshold': black/4pt above threshold else grey/1pt
+    (reference kmer_leiden.py:154-241).
+    """
+    row, col = np.triu_indices(df.shape[0], k=1)
+    weights = df.values[row, col]
+    keep = weights > 0
+    weights = weights[keep]
+    if edgecolormethod == "threshold":
+        colors = ["black" if w > edgethreshold else "grey" for w in weights]
+        widths = [4 if w > edgethreshold else 1 for w in weights]
+        return colors, widths
+    if edgecolormethod != "gradient":
+        print("edgecolormethod must be either 'gradient' or 'threshold', "
+              "use default 'gradient' now")
+    span = weights.max() - weights.min() if len(weights) else 1.0
+    normalized = (weights - weights.min()) / (span if span > 0 else 1.0)
+    mapped = 0.1 + 0.9 * normalized
+    colors = [(1 - w, 1 - w, 1 - w) for w in mapped]
+    widths = [1 + 3 * w for w in mapped]
+    return colors, widths
+
+
+def plot_network(df, membership, plotname, edgecolormethod="gradient",
+                 edgethreshold=0.1, labelfontsize=12):
+    """Spring-layout community plot saved as ``{plotname}.pdf``."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import networkx as nx
+
+    G = nx.from_pandas_adjacency(df)
+    edge_colors, edge_widths = _edge_style(df, edgecolormethod, edgethreshold)
+    community_colors = plt.cm.rainbow(np.linspace(0, 1, int(membership.max()) + 1))
+    node_colors = [community_colors[c] for c in membership]
+    pos = nx.spring_layout(G, weight="weight")
+    plt.figure(figsize=(15, 15))
+    plt.gca().axis("off")
+    nx.draw_networkx_nodes(G, pos, node_color=node_colors, node_size=500)
+    nx.draw_networkx_edges(G, pos, edge_color=edge_colors, width=edge_widths)
+    nx.draw_networkx_labels(G, pos, font_size=labelfontsize,
+                            font_family="sans-serif")
+    plt.tight_layout()
+    plt.savefig(f"{plotname}.pdf")
+    plt.close()
+
+
+def export_gephi_csv(df, membership, csvfile):
+    """Write ``{csvfile}_nodes_leiden.csv`` / ``{csvfile}_edges_leiden.csv``.
+
+    Same schema as reference kmer_leiden.py:319-346: nodes ordered by
+    community (Id, Label, Color with 1-based community ids), edges = upper
+    triangle melt (Source, Target, Weight).
+    """
+    import pandas as pd
+
+    node_names = list(df.index)
+    labels, colors = [], []
+    for comm in range(int(membership.max()) + 1):
+        for node_index in np.nonzero(membership == comm)[0]:
+            labels.append(node_names[node_index])
+            colors.append(comm + 1)
+    pd.DataFrame({"Id": labels, "Label": labels, "Color": colors}).to_csv(
+        f"{csvfile}_nodes_leiden.csv", index=False)
+
+    mask = np.triu(np.ones(df.shape), k=1).astype(bool)
+    # explicit dropna: the reference relied on pandas<3 stack() dropping the
+    # NaN-masked lower triangle (kmer_leiden.py:342)
+    edges = df.where(mask).stack().dropna().reset_index()
+    edges.columns = ["Source", "Target", "Weight"]
+    edges.to_csv(f"{csvfile}_edges_leiden.csv", index=False)
+
+
+def kmer_leiden(inputfile, mean, std, k, algo="RBERVertexPartition", rs=1.0,
+                pearsoncutoff=0, setseed=False, edgecolormethod="gradient",
+                edgethreshold=0.1, labelfontsize=12, plotname=None,
+                csvfile=None):
+    """Leiden community network for the sequences of ``inputfile``.
+
+    Same signature and artifacts as reference kmer_leiden.py:66-69; returns
+    the membership array (the reference returns None — returning the result
+    is a strict superset of that contract).
+    """
+    meanfile = np.load(mean)
+    stdfile = np.load(std)
+    # intended compatibility check; upstream kmer_leiden.py:75 has the same
+    # operator-precedence bug as find_pval.py:76 (see stats/find_pval.py)
+    if len(meanfile) != 4 ** k or len(stdfile) != 4 ** k:
+        print("kmer size is not compatible with the normalization mean "
+              "and/or std files.")
+        print("Please make sure the normalization mean and std files are "
+              "generated using the same kmer size as specified here in k.")
+        print("No Leiden community is calculated or plotted. "
+              "The output is None.")
+        return None
+
+    df = similarity_graph(inputfile, mean, std, k, pearsoncutoff)
+    membership = leiden_membership(df, algo=algo, rs=rs, setseed=setseed)
+
+    if plotname:
+        plot_network(df, membership, plotname,
+                     edgecolormethod=edgecolormethod,
+                     edgethreshold=edgethreshold,
+                     labelfontsize=labelfontsize)
+    if csvfile:
+        export_gephi_csv(df, membership, csvfile)
+    return membership

@@ -142,3 +142,56 @@ def encode_seqs(
             buckets.append((bases, blens, np.asarray(chunk, dtype=np.int64)))
 
     return EncodedSeqs(buckets=buckets, n_seqs=len(seqs), alphabet=alphabet, lengths=lengths)
+
+
+def encode_fasta(
+    path: str,
+    k: int,
+    alphabet: str = ALPHABET_AGTC,
+    min_bucket_len: int = 256,
+    row_multiple: int = 8,
+    max_rows_per_bucket: Optional[int] = None,
+) -> EncodedSeqs:
+    """Encode a FASTA file directly, using the C++ parser/encoder if present.
+
+    The native path parses once and encodes each padded bucket with a
+    multithreaded batch encoder — no Python string per sequence.  Non-AGTC
+    alphabets and missing-toolchain environments fall back to the pure
+    Python path (byte-identical output).
+    """
+    if alphabet == ALPHABET_AGTC:
+        try:
+            from seekr_tpu import native
+        except ImportError:
+            native = None
+        if native is not None and native.native_available():
+            with native.NativeFasta(path) as nf:
+                lengths = nf.lengths().astype(np.int32)
+                by_bucket = {}
+                for i, n in enumerate(lengths):
+                    lpad = pick_bucket_length(int(n), k, min_bucket_len)
+                    by_bucket.setdefault(lpad, []).append(i)
+                buckets = []
+                for lpad in sorted(by_bucket):
+                    ids = by_bucket[lpad]
+                    step = max_rows_per_bucket or len(ids)
+                    for j in range(0, len(ids), step):
+                        chunk = ids[j:j + step]
+                        rows = row_multiple
+                        while rows < len(chunk):
+                            rows *= 2
+                        bases = np.full((rows, lpad), INVALID, dtype=np.int8)
+                        bases[: len(chunk)] = nf.encode_batch(chunk, lpad)
+                        blens = np.zeros(rows, dtype=np.int32)
+                        blens[: len(chunk)] = lengths[chunk]
+                        buckets.append((bases, blens,
+                                        np.asarray(chunk, dtype=np.int64)))
+                return EncodedSeqs(buckets=buckets, n_seqs=len(lengths),
+                                   alphabet=alphabet, lengths=lengths)
+
+    from seekr_tpu.io.fasta import Reader
+
+    return encode_seqs(Reader(path).get_seqs(), k, alphabet,
+                       min_bucket_len=min_bucket_len,
+                       row_multiple=row_multiple,
+                       max_rows_per_bucket=max_rows_per_bucket)

@@ -64,9 +64,39 @@ class Reader:
         new_data.append(seq.upper())
         self.data = new_data
 
+    def _native_lines(self) -> Optional[List[str]]:
+        """Parse via the C++ reader; None if unavailable or ambiguous input.
+
+        Falls back to the Python path when any record has an empty sequence
+        so the reference's header-without-sequence assertion still fires.
+        """
+        try:
+            from seekr_tpu import native
+        except ImportError:
+            return None
+        if not native.native_available():
+            return None
+        try:
+            with native.NativeFasta(self.infasta) as nf:
+                headers = nf.headers()
+                seqs = nf.seqs()
+        except (IOError, OSError):
+            return None
+        if not headers or len(headers) != len(seqs) or any(not s for s in seqs):
+            return None
+        data: List[str] = []
+        for header, seq in zip(headers, seqs):
+            data.append(header)
+            data.append(seq)
+        return data
+
     # -- public API --------------------------------------------------------
 
     def get_lines(self) -> List[str]:
+        lines = self._native_lines()
+        if lines is not None:
+            self.data = lines
+            return self.data
         self._read_data()
         self._upper_seq_per_line()
         return self.data

@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from seekr_tpu.io.encode import encode_seqs, kmer_strings
+from seekr_tpu.io.encode import encode_fasta, encode_seqs, kmer_strings
 from seekr_tpu.io.fasta import Reader
 from seekr_tpu.ops.count import count_kmers_device, count_kmers_host
 from seekr_tpu.ops.normalize import normalize_counts
@@ -84,6 +84,7 @@ class KmerCounter:
         self.seqs = None
         if infasta is not None:
             self.seqs = Reader(infasta).get_seqs()
+        self._file_seqs = self.seqs  # identity-tracked for the fast file path
         self.outfile = outfile
         self.k = int(k)
         self.binary = binary
@@ -134,10 +135,17 @@ class KmerCounter:
         if self.alpha_len != 4:
             return count_kmers_host(self.seqs, self.k, self.alphabet)
 
-        encoded = encode_seqs(
-            self.seqs, self.k, self.alphabet,
-            max_rows_per_bucket=_MAX_ROWS_PER_BUCKET,
-        )
+        if self.infasta is not None and self.seqs is self._file_seqs:
+            # native C++ parse + multithreaded batch encode when available
+            encoded = encode_fasta(
+                self.infasta, self.k, self.alphabet,
+                max_rows_per_bucket=_MAX_ROWS_PER_BUCKET,
+            )
+        else:
+            encoded = encode_seqs(
+                self.seqs, self.k, self.alphabet,
+                max_rows_per_bucket=_MAX_ROWS_PER_BUCKET,
+            )
         out = np.zeros((len(self.seqs), 4 ** self.k), dtype=np.float32)
         buckets = encoded.buckets
         if not self.silent:

@@ -1,0 +1,214 @@
+"""ctypes bindings for the native C++ runtime components.
+
+Two subsystems (both dependency-free C++17, built on demand by
+``seekr_tpu.native.build``):
+
+  * ``leiden(...)`` — Leiden community detection with the six quality
+    functions the reference exposes through libleidenalg
+    (seekr/kmer_leiden.py:115-122).
+  * ``NativeFasta`` — single-pass FASTA parser + multithreaded 2-bit batch
+    encoder feeding the device count kernels.
+
+``native_available()`` reports whether the toolchain produced a library;
+callers fall back to pure-Python paths when it is False.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import warnings
+from typing import Optional, Sequence
+
+import numpy as np
+
+from seekr_tpu.native.build import NativeBuildError, build_native_lib
+
+_lib = None
+_load_error: Optional[str] = None
+
+ALGORITHMS = (
+    "ModularityVertexPartition",
+    "RBConfigurationVertexPartition",
+    "RBERVertexPartition",
+    "CPMVertexPartition",
+    "SurpriseVertexPartition",
+    "SignificanceVertexPartition",
+)
+
+
+def _load():
+    global _lib, _load_error
+    if _lib is not None or _load_error is not None:
+        return _lib
+    try:
+        path = build_native_lib()
+        lib = ctypes.CDLL(path)
+    except (NativeBuildError, OSError) as e:
+        _load_error = str(e)
+        warnings.warn(f"seekr_tpu native library unavailable: {e}")
+        return None
+
+    lib.seekr_leiden.restype = ctypes.c_int64
+    lib.seekr_leiden.argtypes = [
+        ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_double),
+        ctypes.c_char_p, ctypes.c_double, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.seekr_fasta_open.restype = ctypes.c_void_p
+    lib.seekr_fasta_open.argtypes = [ctypes.c_char_p]
+    lib.seekr_fasta_close.argtypes = [ctypes.c_void_p]
+    lib.seekr_fasta_num_seqs.restype = ctypes.c_int64
+    lib.seekr_fasta_num_seqs.argtypes = [ctypes.c_void_p]
+    lib.seekr_fasta_seq_len.restype = ctypes.c_int64
+    lib.seekr_fasta_seq_len.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+    lib.seekr_fasta_header_len.restype = ctypes.c_int64
+    lib.seekr_fasta_header_len.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+    lib.seekr_fasta_header.restype = ctypes.c_int64
+    lib.seekr_fasta_header.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                       ctypes.c_char_p, ctypes.c_int64]
+    lib.seekr_fasta_seq.restype = ctypes.c_int64
+    lib.seekr_fasta_seq.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                    ctypes.c_char_p, ctypes.c_int64]
+    lib.seekr_fasta_encode_batch.restype = ctypes.c_int64
+    lib.seekr_fasta_encode_batch.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+        ctypes.c_int64, ctypes.POINTER(ctypes.c_int8),
+    ]
+    lib.seekr_encode_string.argtypes = [ctypes.c_char_p, ctypes.c_int64,
+                                        ctypes.POINTER(ctypes.c_int8)]
+    _lib = lib
+    return _lib
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+def leiden(sources, targets, weights, n_nodes: int,
+           algo: str = "RBERVertexPartition", resolution: float = 1.0,
+           seed: Optional[int] = None) -> np.ndarray:
+    """Community membership for an undirected weighted edge list.
+
+    ``algo`` accepts the leidenalg class names used by the reference
+    (seekr/kmer_leiden.py:115-122) or the short forms 'modularity',
+    'rbconfig', 'rber', 'cpm', 'surprise', 'significance'.
+    ``seed=None`` gives a nondeterministic run (reference setseed=False).
+    Returns int32 [n_nodes] of 0-based community ids.
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native library unavailable: {_load_error}")
+    src = np.ascontiguousarray(sources, dtype=np.int64)
+    dst = np.ascontiguousarray(targets, dtype=np.int64)
+    if src.shape != dst.shape or src.ndim != 1:
+        raise ValueError("sources/targets must be equal-length 1-D arrays")
+    n_edges = len(src)
+    if weights is None:
+        w_ptr = ctypes.POINTER(ctypes.c_double)()
+    else:
+        w = np.ascontiguousarray(weights, dtype=np.float64)
+        if w.shape != src.shape:
+            raise ValueError("weights must match the edge list length")
+        w_ptr = w.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+    membership = np.empty(n_nodes, dtype=np.int32)
+    rc = lib.seekr_leiden(
+        n_nodes, n_edges,
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        dst.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        w_ptr,
+        algo.encode(), float(resolution),
+        -1 if seed is None else int(seed),
+        membership.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    if rc < 0:
+        raise ValueError(f"seekr_leiden failed (algo={algo!r})")
+    return membership
+
+
+class NativeFasta:
+    """Parsed FASTA file backed by the C++ reader."""
+
+    def __init__(self, path: str):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError(f"native library unavailable: {_load_error}")
+        self._lib = lib
+        self._h = lib.seekr_fasta_open(os.fspath(path).encode())
+        if not self._h:
+            raise IOError(f"could not open fasta: {path}")
+
+    def __len__(self) -> int:
+        return int(self._lib.seekr_fasta_num_seqs(self._h))
+
+    def header(self, i: int) -> str:
+        n = self._lib.seekr_fasta_header_len(self._h, i)
+        if n < 0:
+            raise IndexError(i)
+        buf = ctypes.create_string_buffer(n)
+        self._lib.seekr_fasta_header(self._h, i, buf, n)
+        return buf.raw.decode()
+
+    def seq(self, i: int) -> str:
+        n = self._lib.seekr_fasta_seq_len(self._h, i)
+        if n < 0:
+            raise IndexError(i)
+        buf = ctypes.create_string_buffer(n)
+        self._lib.seekr_fasta_seq(self._h, i, buf, n)
+        return buf.raw.decode()
+
+    def lengths(self) -> np.ndarray:
+        m = len(self)
+        return np.array([self._lib.seekr_fasta_seq_len(self._h, i)
+                         for i in range(m)], dtype=np.int64)
+
+    def headers(self):
+        return [self.header(i) for i in range(len(self))]
+
+    def seqs(self):
+        return [self.seq(i) for i in range(len(self))]
+
+    def encode_batch(self, ids: Sequence[int], lpad: int) -> np.ndarray:
+        """[len(ids), lpad] int8 digit matrix, padded with 4 (INVALID)."""
+        ids_arr = np.ascontiguousarray(ids, dtype=np.int64)
+        out = np.empty((len(ids_arr), lpad), dtype=np.int8)
+        rc = self._lib.seekr_fasta_encode_batch(
+            self._h,
+            ids_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(ids_arr), lpad,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        )
+        if rc != 0:
+            raise ValueError("encode_batch failed (bad sequence index?)")
+        return out
+
+    def close(self):
+        if self._h:
+            self._lib.seekr_fasta_close(self._h)
+            self._h = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+def encode_string(seq: str) -> np.ndarray:
+    """2-bit-digit encode one sequence via the native encoder."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native library unavailable: {_load_error}")
+    raw = seq.encode("ascii")
+    out = np.empty(len(raw), dtype=np.int8)
+    lib.seekr_encode_string(raw, len(raw),
+                            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)))
+    return out

@@ -1,0 +1,55 @@
+"""Build the native shared library (g++) with content-hash caching.
+
+The library is rebuilt only when a source file changes; the cached .so lives
+in ``seekr_tpu/native/_build/``.  No external build system is required —
+plain g++ with -O3 -march=native -fPIC.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import subprocess
+import threading
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC_DIR = os.path.join(_HERE, "src")
+_BUILD_DIR = os.path.join(_HERE, "_build")
+_SOURCES = ("leiden.cpp", "fastio.cpp")
+_LOCK = threading.Lock()
+
+
+class NativeBuildError(RuntimeError):
+    pass
+
+
+def _source_hash() -> str:
+    h = hashlib.sha256()
+    for name in _SOURCES:
+        with open(os.path.join(_SRC_DIR, name), "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()[:16]
+
+
+def build_native_lib() -> str:
+    """Compile (if needed) and return the path to libseekr_native.so."""
+    with _LOCK:
+        tag = _source_hash()
+        lib_path = os.path.join(_BUILD_DIR, f"libseekr_native.{tag}.so")
+        if os.path.exists(lib_path):
+            return lib_path
+        os.makedirs(_BUILD_DIR, exist_ok=True)
+        cmd = [
+            "g++", "-O3", "-std=c++17", "-fPIC", "-shared", "-pthread",
+            "-o", lib_path + ".tmp",
+        ] + [os.path.join(_SRC_DIR, s) for s in _SOURCES]
+        try:
+            proc = subprocess.run(cmd, capture_output=True, text=True,
+                                  timeout=300)
+        except (OSError, subprocess.TimeoutExpired) as e:
+            raise NativeBuildError(f"failed to run g++: {e}") from e
+        if proc.returncode != 0:
+            raise NativeBuildError(
+                f"g++ failed ({proc.returncode}):\n{proc.stderr}")
+        os.replace(lib_path + ".tmp", lib_path)
+        return lib_path

@@ -1,0 +1,172 @@
+// seekr_tpu native FASTA reader + 2-bit encoder.
+//
+// Host-side data loader for the TPU pipeline: parses FASTA (header lines,
+// multi-line sequences joined, case-insensitive — semantics of the reference
+// reader, seekr/fasta_reader.py:41-63), and encodes bases to the engine's
+// digit alphabet A=0 G=1 T=2 C=3 (column order of itertools.product("AGTC"),
+// reference kmer_counts.py:100,121-122), any other byte = 4 (invalid).
+//
+// The parser is a single pass over the whole file buffer; batch encoding
+// into a caller-allocated padded [m, Lpad] int8 matrix is multithreaded.
+// Exposed as a C ABI for ctypes; no external dependencies.
+
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <string>
+#include <thread>
+#include <vector>
+
+namespace {
+
+using std::int64_t;
+
+struct FastaFile {
+  std::vector<std::string> headers;  // includes leading '>'
+  std::vector<std::string> seqs;     // joined, uppercased
+};
+
+signed char kDigit[256];
+
+struct DigitInit {
+  DigitInit() {
+    std::memset(kDigit, 4, sizeof(kDigit));
+    kDigit[(unsigned char)'A'] = 0;
+    kDigit[(unsigned char)'a'] = 0;
+    kDigit[(unsigned char)'G'] = 1;
+    kDigit[(unsigned char)'g'] = 1;
+    kDigit[(unsigned char)'T'] = 2;
+    kDigit[(unsigned char)'t'] = 2;
+    kDigit[(unsigned char)'C'] = 3;
+    kDigit[(unsigned char)'c'] = 3;
+  }
+} digit_init;
+
+}  // namespace
+
+extern "C" {
+
+// Parse a FASTA file. Returns an opaque handle, or nullptr on IO error.
+void* seekr_fasta_open(const char* path) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return nullptr;
+  std::fseek(f, 0, SEEK_END);
+  long size = std::ftell(f);
+  std::fseek(f, 0, SEEK_SET);
+  std::string buf(size_t(size), '\0');
+  if (size > 0 && std::fread(&buf[0], 1, size_t(size), f) != size_t(size)) {
+    std::fclose(f);
+    return nullptr;
+  }
+  std::fclose(f);
+
+  auto* ff = new FastaFile();
+  std::string cur_seq;
+  bool have_record = false;
+  size_t pos = 0;
+  while (pos < buf.size()) {
+    size_t eol = buf.find('\n', pos);
+    size_t end = (eol == std::string::npos) ? buf.size() : eol;
+    // strip \r and trailing spaces
+    size_t b = pos, e = end;
+    while (e > b && (buf[e - 1] == '\r' || buf[e - 1] == ' ' || buf[e - 1] == '\t')) --e;
+    while (b < e && (buf[b] == ' ' || buf[b] == '\t')) ++b;
+    if (b < e) {
+      if (buf[b] == '>') {
+        if (have_record) ff->seqs.push_back(std::move(cur_seq));
+        cur_seq.clear();
+        ff->headers.emplace_back(buf, b, e - b);
+        have_record = true;
+      } else {
+        size_t off = cur_seq.size();
+        cur_seq.resize(off + (e - b));
+        for (size_t i = b; i < e; ++i) {
+          char ch = buf[i];
+          cur_seq[off + (i - b)] =
+              (ch >= 'a' && ch <= 'z') ? char(ch - ('a' - 'A')) : ch;
+        }
+      }
+    }
+    pos = end + 1;
+  }
+  if (have_record) ff->seqs.push_back(std::move(cur_seq));
+  return ff;
+}
+
+void seekr_fasta_close(void* h) { delete static_cast<FastaFile*>(h); }
+
+int64_t seekr_fasta_num_seqs(void* h) {
+  return int64_t(static_cast<FastaFile*>(h)->seqs.size());
+}
+
+int64_t seekr_fasta_seq_len(void* h, int64_t i) {
+  auto* ff = static_cast<FastaFile*>(h);
+  if (i < 0 || size_t(i) >= ff->seqs.size()) return -1;
+  return int64_t(ff->seqs[size_t(i)].size());
+}
+
+int64_t seekr_fasta_header_len(void* h, int64_t i) {
+  auto* ff = static_cast<FastaFile*>(h);
+  if (i < 0 || size_t(i) >= ff->headers.size()) return -1;
+  return int64_t(ff->headers[size_t(i)].size());
+}
+
+// Copy header i (with leading '>') into buf; returns bytes written.
+int64_t seekr_fasta_header(void* h, int64_t i, char* buf, int64_t bufsize) {
+  auto* ff = static_cast<FastaFile*>(h);
+  if (i < 0 || size_t(i) >= ff->headers.size()) return -1;
+  const std::string& s = ff->headers[size_t(i)];
+  int64_t n = std::min<int64_t>(bufsize, int64_t(s.size()));
+  std::memcpy(buf, s.data(), size_t(n));
+  return n;
+}
+
+// Copy uppercased sequence i into buf; returns bytes written.
+int64_t seekr_fasta_seq(void* h, int64_t i, char* buf, int64_t bufsize) {
+  auto* ff = static_cast<FastaFile*>(h);
+  if (i < 0 || size_t(i) >= ff->seqs.size()) return -1;
+  const std::string& s = ff->seqs[size_t(i)];
+  int64_t n = std::min<int64_t>(bufsize, int64_t(s.size()));
+  std::memcpy(buf, s.data(), size_t(n));
+  return n;
+}
+
+// Encode selected sequences into a padded [m, lpad] int8 digit matrix
+// (A=0 G=1 T=2 C=3, other=4; rows padded with 4). Rows longer than lpad are
+// truncated. Multithreaded over rows. Returns 0 on success.
+int64_t seekr_fasta_encode_batch(void* h, const int64_t* ids, int64_t m,
+                                 int64_t lpad, int8_t* out) {
+  auto* ff = static_cast<FastaFile*>(h);
+  for (int64_t r = 0; r < m; ++r) {
+    if (ids[r] < 0 || size_t(ids[r]) >= ff->seqs.size()) return -1;
+  }
+  int64_t n_threads = std::min<int64_t>(
+      std::max<int64_t>(1, std::thread::hardware_concurrency()), m);
+  auto worker = [&](int64_t t) {
+    for (int64_t r = t; r < m; r += n_threads) {
+      const std::string& s = ff->seqs[size_t(ids[r])];
+      int8_t* row = out + r * lpad;
+      int64_t n = std::min<int64_t>(lpad, int64_t(s.size()));
+      for (int64_t i = 0; i < n; ++i) {
+        row[i] = kDigit[(unsigned char)s[size_t(i)]];
+      }
+      if (n < lpad) std::memset(row + n, 4, size_t(lpad - n));
+    }
+  };
+  if (n_threads <= 1) {
+    worker(0);
+  } else {
+    std::vector<std::thread> threads;
+    for (int64_t t = 0; t < n_threads; ++t) threads.emplace_back(worker, t);
+    for (auto& th : threads) th.join();
+  }
+  return 0;
+}
+
+// Standalone encoder for one raw string (used when sequences come from
+// Python rather than a file).
+void seekr_encode_string(const char* seq, int64_t n, int8_t* out) {
+  for (int64_t i = 0; i < n; ++i) out[i] = kDigit[(unsigned char)seq[i]];
+}
+
+}  // extern "C"

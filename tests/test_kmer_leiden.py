@@ -1,0 +1,82 @@
+"""Tests for the graph layer (kmer_leiden on the native Leiden engine)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from seekr_tpu import native
+from seekr_tpu.graph import kmer_leiden
+from seekr_tpu.graph.kmer_leiden import (leiden_membership, similarity_graph)
+from seekr_tpu.models.counter import KmerCounter
+
+pytestmark = pytest.mark.skipif(not native.native_available(),
+                                reason="native toolchain unavailable")
+
+
+@pytest.fixture(scope="module")
+def norm_vectors(ref_data, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("leiden")
+    fa = str(ref_data.parent / "ldseq.fa")
+    counter = KmerCounter(fa, k=2, silent=True)
+    counter.get_counts()
+    mean, std = tmp / "mean.npy", tmp / "std.npy"
+    np.save(mean, counter.mean)
+    np.save(std, counter.std)
+    return fa, str(mean), str(std)
+
+
+def test_similarity_graph_shape_and_zero_diag(norm_vectors):
+    fa, mean, std = norm_vectors
+    df = similarity_graph(fa, mean, std, k=2, pearsoncutoff=0.1)
+    assert df.shape == (21, 21)
+    assert np.all(np.diag(df.values) == 0)
+    assert (df.values >= 0.1).sum() + (df.values == 0).sum() == df.size
+    # symmetric labels from headers without '>'
+    assert list(df.index) == list(df.columns)
+    assert not any(h.startswith(">") for h in df.index)
+
+
+def test_kmer_leiden_end_to_end(norm_vectors, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    fa, mean, std = norm_vectors
+    membership = kmer_leiden(fa, mean, std, k=2, algo="RBERVertexPartition",
+                             setseed=True, plotname="net", csvfile="out")
+    assert membership is not None and len(membership) == 21
+    assert (tmp_path / "net.pdf").exists()
+    nodes = pd.read_csv(tmp_path / "out_nodes_leiden.csv")
+    edges = pd.read_csv(tmp_path / "out_edges_leiden.csv")
+    assert list(nodes.columns) == ["Id", "Label", "Color"]
+    assert list(edges.columns) == ["Source", "Target", "Weight"]
+    assert len(nodes) == 21
+    assert nodes["Color"].min() == 1  # 1-based community ids
+    assert len(edges) == 21 * 20 // 2
+
+
+def test_kmer_leiden_seeded_reproducible(norm_vectors):
+    fa, mean, std = norm_vectors
+    a = kmer_leiden(fa, mean, std, k=2, setseed=True)
+    b = kmer_leiden(fa, mean, std, k=2, setseed=True)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_kmer_leiden_wrong_k_returns_none(norm_vectors, capsys):
+    fa, mean, std = norm_vectors
+    assert kmer_leiden(fa, mean, std, k=3) is None
+    assert "not compatible" in capsys.readouterr().out
+
+
+def test_all_algorithms_run(norm_vectors):
+    fa, mean, std = norm_vectors
+    df = similarity_graph(fa, mean, std, k=2)
+    for algo in native.ALGORITHMS:
+        m = leiden_membership(df, algo=algo, rs=1.0, setseed=True)
+        assert len(m) == 21
+
+
+def test_threshold_edge_style(norm_vectors, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    fa, mean, std = norm_vectors
+    membership = kmer_leiden(fa, mean, std, k=2, setseed=True,
+                             edgecolormethod="threshold", plotname="thr")
+    assert (tmp_path / "thr.pdf").exists()
+    assert membership is not None

@@ -1,0 +1,128 @@
+"""Tests for the native C++ layer: Leiden clustering + FASTA reader/encoder."""
+
+import itertools
+
+import numpy as np
+import pytest
+
+from seekr_tpu import native
+from seekr_tpu.io.encode import encode_fasta, encode_seq, encode_seqs
+from seekr_tpu.io.fasta import Reader
+
+pytestmark = pytest.mark.skipif(not native.native_available(),
+                                reason="native toolchain unavailable")
+
+ALGOS = list(native.ALGORITHMS)
+
+
+def clique_pair_edges(size=5, bridge=0.01):
+    """Two cliques of ``size`` joined by one weak edge."""
+    edges = []
+    for base in (0, size):
+        for i, j in itertools.combinations(range(base, base + size), 2):
+            edges.append((i, j, 1.0))
+    edges.append((0, size, bridge))
+    src, dst, w = map(np.asarray, zip(*edges))
+    return src, dst, w.astype(np.float64), 2 * size
+
+
+@pytest.mark.parametrize("algo", ALGOS)
+def test_leiden_two_cliques(algo):
+    src, dst, w, n = clique_pair_edges()
+    rs = 0.5 if algo == "CPMVertexPartition" else 1.0
+    m = native.leiden(src, dst, w, n, algo=algo, resolution=rs, seed=1)
+    assert m.shape == (n,)
+    # each clique in one community, the two cliques separated
+    assert len(set(m[:5])) == 1
+    assert len(set(m[5:])) == 1
+    assert m[0] != m[5]
+
+
+def test_leiden_seed_deterministic():
+    src, dst, w, n = clique_pair_edges()
+    a = native.leiden(src, dst, w, n, algo="RBERVertexPartition", seed=7)
+    b = native.leiden(src, dst, w, n, algo="RBERVertexPartition", seed=7)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_leiden_ring_of_cliques():
+    # 8 cliques of 6 nodes in a ring — classic Leiden/Louvain testbed
+    k, nc = 6, 8
+    edges = []
+    for c in range(nc):
+        base = c * k
+        for i, j in itertools.combinations(range(base, base + k), 2):
+            edges.append((i, j, 1.0))
+        edges.append((base + k - 1, ((c + 1) % nc) * k, 0.5))
+    src, dst, w = map(np.asarray, zip(*edges))
+    m = native.leiden(src, dst, w.astype(np.float64), nc * k,
+                      algo="ModularityVertexPartition", seed=3)
+    # every clique intact
+    for c in range(nc):
+        assert len(set(m[c * k:(c + 1) * k])) == 1
+    assert len(set(m.tolist())) >= 4
+
+
+def test_leiden_resolution_monotone():
+    src, dst, w, n = clique_pair_edges(size=4, bridge=0.9)
+    lo = native.leiden(src, dst, w, n, algo="CPMVertexPartition",
+                       resolution=0.05, seed=1)
+    hi = native.leiden(src, dst, w, n, algo="CPMVertexPartition",
+                       resolution=5.0, seed=1)
+    assert len(set(lo.tolist())) <= len(set(hi.tolist()))
+
+
+def test_leiden_unweighted_and_errors():
+    src, dst, w, n = clique_pair_edges()
+    m = native.leiden(src, dst, None, n, algo="modularity", seed=1)
+    assert m.shape == (n,)
+    with pytest.raises(ValueError):
+        native.leiden(src, dst, w, n, algo="not_an_algo")
+    with pytest.raises(ValueError):
+        native.leiden(src, dst[:-1], w, n)
+
+
+def test_native_fasta_matches_python_reader(ref_data):
+    for name in ("example.fa", "example2.fa", "v22_pc_head.fa"):
+        path = str(ref_data / name)
+        with native.NativeFasta(path) as nf:
+            py = Reader.__new__(Reader)
+            py.infasta, py.outfasta, py.names, py.data = path, None, None, None
+            py._read_data()
+            py._upper_seq_per_line()
+            assert nf.headers() == py.data[::2]
+            assert nf.seqs() == py.data[1::2]
+
+
+def test_native_encode_matches_python(ref_data):
+    path = str(ref_data / "example.fa")
+    with native.NativeFasta(path) as nf:
+        for i in range(len(nf)):
+            seq = nf.seq(i)
+            np.testing.assert_array_equal(
+                nf.encode_batch([i], len(seq))[0], encode_seq(seq))
+    np.testing.assert_array_equal(native.encode_string("AGTCNagtcn"),
+                                  [0, 1, 2, 3, 4, 0, 1, 2, 3, 4])
+
+
+def test_encode_fasta_native_equals_python(ref_data):
+    path = str(ref_data / "example.fa")
+    seqs = Reader(path).get_seqs()
+    enc_py = encode_seqs(seqs, k=2)
+    enc_nat = encode_fasta(path, k=2)
+    assert enc_nat.n_seqs == enc_py.n_seqs
+    np.testing.assert_array_equal(enc_nat.lengths, enc_py.lengths)
+    assert len(enc_nat.buckets) == len(enc_py.buckets)
+    for (b1, l1, r1), (b2, l2, r2) in zip(enc_nat.buckets, enc_py.buckets):
+        np.testing.assert_array_equal(b1, b2)
+        np.testing.assert_array_equal(l1, l2)
+        np.testing.assert_array_equal(r1, r2)
+
+
+def test_reader_uses_native_transparently(ref_data, tmp_path):
+    # multi-line + lower-case + blank lines exercise the join/upper path
+    messy = tmp_path / "messy.fa"
+    messy.write_text(">h1|x\nacgT\nGGca\n\n>h2\ntttt\n")
+    r = Reader(str(messy))
+    assert r.get_seqs() == ["ACGTGGCA", "TTTT"]
+    assert r.get_headers() == [">h1|x", ">h2"]
