@@ -1,0 +1,6 @@
+"""Data acquisition: GENCODE download + fasta filtering (host-side, L0)."""
+
+from seekr_tpu.data.gencode import Downloader
+from seekr_tpu.data.filter_gencode import filter_gencode
+
+__all__ = ["Downloader", "filter_gencode"]

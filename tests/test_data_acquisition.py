@@ -1,0 +1,139 @@
+"""Tests for data acquisition: URL building, gunzip, GENCODE filtering.
+
+Network access is not exercised (zero-egress environment); scraping /
+download paths are covered by URL construction + error-handling tests only,
+matching the upstream approach of skipping live-network tests.
+"""
+
+import gzip
+
+import pytest
+
+from seekr_tpu.data import Downloader, filter_gencode
+from seekr_tpu.data.filter_gencode import (
+    get_transcript_id_with_ensembl_canonical, get_transcript_id_with_isoform)
+
+
+def test_build_url_human_lncrna():
+    url, gtf_url, release = Downloader().build_url("lncRNA", "human", False, "43")
+    assert url == ("ftp://ftp.ebi.ac.uk/pub/databases/gencode/Gencode_human/"
+                   "release_43/gencode.v43.lncRNA_transcripts.fa.gz")
+    assert gtf_url is None
+    assert release == "43"
+
+
+def test_build_url_mouse_with_gtf():
+    url, gtf_url, release = Downloader().build_url("pc", "mouse", True, "M25")
+    assert "Gencode_mouse/release_M25/gencode.vM25.pc_transcripts.fa.gz" in url
+    assert gtf_url.endswith("gencode.vM25.chr_patch_hapl_scaff.annotation.gtf.gz")
+
+
+def test_build_url_all_biotype_has_no_prefix():
+    url, _, _ = Downloader().build_url("all", "human", False, "22")
+    assert url.endswith("gencode.v22.transcripts.fa.gz")
+
+
+def test_build_url_validation():
+    with pytest.raises(AssertionError):
+        Downloader().build_url("bogus", "human", False, "43")
+    with pytest.raises(AssertionError):
+        Downloader().build_url("all", "dog", False, "43")
+    with pytest.raises(AssertionError):
+        Downloader().build_url("all", "mouse", False, "25")  # must start with M
+
+
+def test_gunzip_roundtrip(tmp_path):
+    payload = b">a\nACGT\n"
+    gz = tmp_path / "x.fa.gz"
+    with gzip.open(gz, "wb") as f:
+        f.write(payload)
+    Downloader().gunzip(str(gz))
+    assert not gz.exists()
+    assert (tmp_path / "x.fa").read_bytes() == payload
+
+
+def test_get_gencode_path_asserts():
+    with pytest.raises(AssertionError):
+        Downloader().get_gencode("all", release="43", fasta_path="x.fa")
+
+
+GTF_ATTRS_CANONICAL = ('gene_id "G1"; transcript_id "T1.1"; '
+                       'transcript_name "Gm-201"; tag "Ensembl_canonical";')
+GTF_ATTRS_PLAIN = ('gene_id "G2"; transcript_id "T2.1"; '
+                   'transcript_name "Xy-202"; tag "basic";')
+
+
+def test_gtf_attribute_parsers():
+    assert get_transcript_id_with_ensembl_canonical(GTF_ATTRS_CANONICAL) == "T1.1"
+    assert get_transcript_id_with_ensembl_canonical(GTF_ATTRS_PLAIN) == ""
+    assert get_transcript_id_with_isoform(GTF_ATTRS_CANONICAL, "201") == "T1.1"
+    assert get_transcript_id_with_isoform(GTF_ATTRS_CANONICAL, "202") == ""
+    # regex isoform
+    assert get_transcript_id_with_isoform(GTF_ATTRS_PLAIN, "[0-9]02") == "T2.1"
+
+
+@pytest.fixture
+def gencode_fixture(tmp_path):
+    fa = tmp_path / "in.fa"
+    fa.write_text(
+        ">T1.1|G1|x|x|x|8|\nAAAATTTT\n"
+        ">T2.1|G2|x|x|x|4|\nGGCC\n"
+        ">T3.1|G3|x|x|x|8|\nAAAATTTT\n"
+        ">T4.1|G4|x|x|x|6|\nCCCGGG\n")
+    gtf = tmp_path / "in.gtf"
+    gtf.write_text(
+        "# comment\n"
+        f"chr1\tsrc\ttranscript\t1\t8\t.\t+\t.\t{GTF_ATTRS_CANONICAL}\n"
+        "chr1\tsrc\texon\t1\t8\t.\t+\t.\t"
+        'transcript_id "T9.9"; tag "Ensembl_canonical";\n'
+        "chr1\tsrc\ttranscript\t1\t4\t.\t+\t.\t"
+        'transcript_id "T2.1"; transcript_name "Xy-202"; tag "basic";\n'
+        "chr1\tsrc\ttranscript\t1\t6\t.\t+\t.\t"
+        'transcript_id "T4.1"; transcript_name "Zz-201"; '
+        'tag "Ensembl_canonical";\n')
+    return str(fa), str(gtf), tmp_path
+
+
+def test_filter_by_length(gencode_fixture, monkeypatch):
+    fa, gtf, tmp = gencode_fixture
+    monkeypatch.chdir(tmp)
+    headers, seqs = filter_gencode(fa, len_threshold=6, outputname="len")
+    assert headers == ["T1.1|G1|x|x|x|8|", "T3.1|G3|x|x|x|8|",
+                       "T4.1|G4|x|x|x|6|"]
+    assert (tmp / "len.fa").read_text().startswith(">T1.1|G1")
+
+
+def test_filter_canonical(gencode_fixture, monkeypatch):
+    fa, gtf, tmp = gencode_fixture
+    monkeypatch.chdir(tmp)
+    headers, seqs = filter_gencode(fa, gtf_path=gtf, canonical=True,
+                                   outputname="canon")
+    # T1.1 and T4.1 carry Ensembl_canonical on 'transcript' lines; the exon
+    # line for T9.9 must be ignored
+    assert headers == ["T1.1|G1|x|x|x|8|", "T4.1|G4|x|x|x|6|"]
+
+
+def test_filter_isoform_regex(gencode_fixture, monkeypatch):
+    fa, gtf, tmp = gencode_fixture
+    monkeypatch.chdir(tmp)
+    headers, _ = filter_gencode(fa, gtf_path=gtf, isoform="20[12]",
+                                outputname="iso")
+    assert headers == ["T1.1|G1|x|x|x|8|", "T2.1|G2|x|x|x|4|",
+                       "T4.1|G4|x|x|x|6|"]
+
+
+def test_filter_rm_dup_keeps_first(gencode_fixture, monkeypatch):
+    fa, gtf, tmp = gencode_fixture
+    monkeypatch.chdir(tmp)
+    headers, seqs = filter_gencode(fa, rm_dup=True, outputname="dedup")
+    assert headers == ["T1.1|G1|x|x|x|8|", "T2.1|G2|x|x|x|4|",
+                       "T4.1|G4|x|x|x|6|"]  # T3 dup of T1 dropped
+    assert len(set(seqs)) == len(seqs)
+
+
+def test_filter_canonical_without_gtf_returns_none(gencode_fixture,
+                                                   monkeypatch, capsys):
+    fa, _, tmp = gencode_fixture
+    monkeypatch.chdir(tmp)
+    assert filter_gencode(fa, canonical=True) is None
+    assert "provide a gtf file path" in capsys.readouterr().out
