@@ -22,10 +22,30 @@ from seekr_tpu.__version__ import __version__, __title__, __description__, __url
 
 from seekr_tpu.models.counter import KmerCounter, BasicCounter
 from seekr_tpu.models.pearson import pearson
+from seekr_tpu.stats import adj_pval, find_dist, find_pval
+from seekr_tpu.data import Downloader, filter_gencode
 
 __all__ = [
     "KmerCounter",
     "BasicCounter",
     "pearson",
+    "find_dist",
+    "find_pval",
+    "adj_pval",
+    "Downloader",
+    "filter_gencode",
     "__version__",
 ]
+
+
+def __getattr__(name):
+    # graph/viz pull in matplotlib/networkx; import lazily
+    if name == "kmer_leiden":
+        from seekr_tpu.graph import kmer_leiden
+        return kmer_leiden
+    if name in ("kmer_heatmap", "kmer_dendrogram", "kmer_count_barplot",
+                "kmer_msd_barplot", "kmer_comp_textplot",
+                "kmer_indi_textplot"):
+        import seekr_tpu.viz as viz
+        return getattr(viz, name)
+    raise AttributeError(f"module 'seekr_tpu' has no attribute {name!r}")

@@ -1,0 +1,829 @@
+"""Console entry points — the 16 seekr_* commands, TPU-backed.
+
+Flag-for-flag parity with the reference CLI (seekr/console_scripts.py:
+534-1399, command registry setup.py:59-78).  Each command has a testable
+``_run_*`` shim, bare invocation prints help (console_scripts.py:520-525),
+and the same file contracts hold (counts CSV/npy, mean/std npy, pearson
+npy/csv, pval CSV, plot files).
+
+Also usable without installation:  ``python -m seekr_tpu.cli <command> ...``
+where <command> is the entry-point name without the ``seekr_`` prefix
+(e.g. ``kmer_counts``), or ``help`` for the overview.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from seekr_tpu.__version__ import __version__
+
+# -- usage docs (abridged; full flag docs come from argparse --help) ---------
+
+DOWNLOAD_GENCODE_DOC = """
+Download fasta (and optionally GTF) files from GENCODE.
+
+Example:
+  $ seekr_download_gencode lncRNA -s mouse -r M25
+"""
+
+FILTER_GENCODE_DOC = """
+Filter a GENCODE fasta by length, Ensembl_canonical tag, isoform number,
+and/or exact-duplicate removal.
+
+Example:
+  $ seekr_filter_gencode v43_lncRNA.fa -gtf v43.gtf -len 500 -can -rd -o filtered
+"""
+
+KMER_COUNTS_DOC = """
+Generate a k-mer count matrix for a fasta file (counts/kb, normalized).
+
+Example:
+  $ seekr_kmer_counts rnas.fa -o out_counts.csv -k 6
+"""
+
+NORM_VECTORS_DOC = """
+Generate normalization (mean/std) vectors for a reference fasta.
+
+Example:
+  $ seekr_norm_vectors gencode.fa -k 6 -mv mean.npy -sv std.npy
+"""
+
+PEARSON_DOC = """
+All-pairs Pearson correlation between two count files.
+
+Example:
+  $ seekr_pearson counts1.csv counts2.csv -o pearson.csv
+"""
+
+FIND_DIST_DOC = """
+Fit background distributions to all-pairs Pearson r-values of a background
+fasta (or return the raw r-values with -fm omitted).
+
+Example:
+  $ seekr_find_dist background.fa -k 4 -fm -statm ks -o fitres
+"""
+
+FIND_PVAL_DOC = """
+P-values for pairwise similarities of two fastas against a fitted background
+distribution (or an empirical background sample).
+
+Example:
+  $ seekr_find_pval a.fa b.fa mean_4.npy std_4.npy 4 fitres.csv -o pvals
+"""
+
+ADJ_PVAL_DOC = """
+Multiple-comparison correction of a p-value matrix.
+
+Example:
+  $ seekr_adj_pval pvals.csv fdr_bh -o adj_pvals
+"""
+
+KMER_HEATMAP_DOC = """
+Heatmap (optionally clustered with dendrograms) of an r- or p-value matrix.
+
+Example:
+  $ seekr_kmer_heatmap pvals.csv 0 1
+"""
+
+KMER_DENDROGRAM_DOC = """
+Dendrogram of hierarchical clustering of a matrix's rows or columns.
+
+Example:
+  $ seekr_kmer_dendrogram pearson.csv -dd row
+"""
+
+KMER_LEIDEN_DOC = """
+Leiden community network of fasta sequences (native C++ engine).
+
+Example:
+  $ seekr_kmer_leiden rnas.fa mean_4.npy std_4.npy 4 -a RBERVertexPartition -pn net
+"""
+
+KMER_COUNT_BARPLOT_DOC = """
+Grouped barplot of normalized k-mer counts for up to 10 sequences.
+
+Example:
+  $ seekr_kmer_count_barplot rnas.fa mean_4.npy std_4.npy 4 -o barplot
+"""
+
+KMER_MSD_BARPLOT_DOC = """
+Barplot of per-k-mer mean +/- sd across the sequences of a fasta.
+
+Example:
+  $ seekr_kmer_msd_barplot rnas.fa mean_4.npy std_4.npy 4 -o msd
+"""
+
+KMER_COMP_TEXTPLOT_DOC = """
+Compare two sequences character-by-character with motif words highlighted.
+
+Example:
+  $ seekr_kmer_comp_textplot a.fa b.fa 'ATTA,AAAA' -o comp
+"""
+
+KMER_INDI_TEXTPLOT_DOC = """
+Per-sequence textplots with motif words highlighted.
+
+Example:
+  $ seekr_kmer_indi_textplot rnas.fa 'ATTA,AAAA' -op plots/
+"""
+
+
+def _parse_args_or_exit(parser, argv=None):
+    argv = sys.argv[1:] if argv is None else argv
+    if not argv:
+        parser.print_help()
+        sys.exit(0)
+    return parser.parse_args(argv)
+
+
+def _formatter():
+    return argparse.ArgumentDefaultsHelpFormatter
+
+
+# -- download_gencode --------------------------------------------------------
+
+def _run_download_gencode(biotype, species, gtf, release, fasta_path,
+                          gtf_path, unzip):
+    from seekr_tpu.data import Downloader
+
+    Downloader().get_gencode(biotype, species, gtf, release, fasta_path,
+                             gtf_path, unzip)
+
+
+def console_download_gencode(argv=None):
+    parser = argparse.ArgumentParser(usage=DOWNLOAD_GENCODE_DOC,
+                                     formatter_class=_formatter())
+    parser.add_argument("biotype", help="GENCODE set: 'all', 'pc', or 'lncRNA'.")
+    parser.add_argument("-s", "--species", default="human",
+                        help="'human' or 'mouse'.")
+    parser.add_argument("-g", "--gtf", action="store_true",
+                        help="Also download the comprehensive gtf file.")
+    parser.add_argument("-r", "--release", default=None,
+                        help="Specific release (e.g. 'M5'); latest if omitted.")
+    parser.add_argument("-fp", "--fasta_path", default=None,
+                        help="Output path for the fasta (.gz).")
+    parser.add_argument("-gp", "--gtf_path", default=None,
+                        help="Output path for the gtf (.gz).")
+    parser.add_argument("-z", "--zip", action="store_false",
+                        help="Set to keep the downloaded files gzipped.")
+    args = _parse_args_or_exit(parser, argv)
+    _run_download_gencode(args.biotype, args.species, args.gtf, args.release,
+                          args.fasta_path, args.gtf_path, args.zip)
+
+
+# -- filter_gencode ----------------------------------------------------------
+
+def console_filter_gencode(argv=None):
+    from seekr_tpu.data import filter_gencode
+
+    parser = argparse.ArgumentParser(usage=FILTER_GENCODE_DOC,
+                                     formatter_class=_formatter())
+    parser.add_argument("fasta", help="Fasta file to filter (GENCODE format).")
+    parser.add_argument("-gtf", "--gtf_path", default=None,
+                        help="Matching gtf (needed for -can / -iso).")
+    parser.add_argument("-len", "--len_threshold", default=0,
+                        help="Keep sequences with length >= threshold.")
+    parser.add_argument("-can", "--canonical", action="store_true",
+                        help="Keep only Ensembl_canonical transcripts.")
+    parser.add_argument("-iso", "--isoform", default="0",
+                        help="Isoform number filter (regex allowed); "
+                             "'0' disables.")
+    parser.add_argument("-rd", "--rmdup", action="store_true",
+                        help="Remove exact-duplicate sequences (keep first).")
+    parser.add_argument("-o", "--outputname", default="test",
+                        help="Output name; '.fa' appended automatically.")
+    args = _parse_args_or_exit(parser, argv)
+    filter_gencode(args.fasta, args.gtf_path, int(args.len_threshold),
+                   args.canonical, args.isoform, args.rmdup, args.outputname)
+
+
+# -- kmer_counts -------------------------------------------------------------
+
+def _run_kmer_counts(fasta, outfile, kmer, binary, centered, standardized,
+                     log2, remove_labels, mean_vector, std_vector, alphabet):
+    from seekr_tpu.models.counter import KmerCounter
+
+    mean = mean_vector or centered
+    std = std_vector or standardized
+    label = not remove_labels
+    counter = KmerCounter(fasta, outfile, kmer, binary, mean, std, log2,
+                          label=label, alphabet=alphabet)
+    counter.make_count_file()
+
+
+def console_kmer_counts(argv=None):
+    parser = argparse.ArgumentParser(usage=KMER_COUNTS_DOC,
+                                     formatter_class=_formatter())
+    parser.add_argument("fasta", help="Full path of fasta file.")
+    parser.add_argument("-o", "--outfile", default="counts.seekr",
+                        help="Name of file to save counts to.")
+    parser.add_argument("-k", "--kmer", default=6,
+                        help="Length of kmers you want to count.")
+    parser.add_argument("-b", "--binary", action="store_true",
+                        help="Set if output should be a .npy file.")
+    parser.add_argument("-uc", "--uncentered", action="store_false",
+                        help="Set if output should not have the mean "
+                             "subtracted.")
+    parser.add_argument("-us", "--unstandardized", action="store_false",
+                        help="Set if output should not be divided by the "
+                             "standard deviation.")
+    parser.add_argument("-l", "--log2", default="Log2.post",
+                        choices=["Log2.post", "Log2.pre", "Log2.none"],
+                        help="Decided if and when to log transform counts")
+    parser.add_argument("-rl", "--remove_labels", action="store_true",
+                        help="Set to save without index and column labels.")
+    parser.add_argument("-mv", "--mean_vector", default=None,
+                        help="Optional path to mean vector numpy file.")
+    parser.add_argument("-sv", "--std_vector", default=None,
+                        help="Optional path to std vector numpy file.")
+    parser.add_argument("-a", "--alphabet", default="AGTC",
+                        help="Valid letters to include in kmer.")
+    args = _parse_args_or_exit(parser, argv)
+    _run_kmer_counts(args.fasta, args.outfile, int(args.kmer), args.binary,
+                     args.uncentered, args.unstandardized, args.log2,
+                     args.remove_labels, args.mean_vector, args.std_vector,
+                     args.alphabet)
+
+
+# -- pearson -----------------------------------------------------------------
+
+def _run_pearson(counts1, counts2, outfile, binary_input, binary_output):
+    import numpy as np
+    import pandas as pd
+
+    from seekr_tpu.models.pearson import pearson
+
+    names1 = names2 = None
+    if binary_input:
+        counts1 = np.load(counts1)
+        counts2 = np.load(counts2)
+    else:
+        counts1 = pd.read_csv(counts1, index_col=0)
+        counts2 = pd.read_csv(counts2, index_col=0)
+        names1 = counts1.index.values
+        names2 = counts2.index.values
+
+    if binary_output:
+        pearson(counts1, counts2, outfile=outfile)
+    else:
+        dist = pearson(counts1, counts2)
+        pd.DataFrame(dist, names1, names2).to_csv(outfile)
+
+
+def console_pearson(argv=None):
+    parser = argparse.ArgumentParser(usage=PEARSON_DOC,
+                                     formatter_class=_formatter())
+    parser.add_argument("counts1", help="Count file from seekr_kmer_counts.")
+    parser.add_argument("counts2",
+                        help="Second count file (may equal the first).")
+    parser.add_argument("-o", "--outfile", default="pearson.seekr",
+                        help="Path of file to save similarities to.")
+    parser.add_argument("-bi", "--binary_input", action="store_true",
+                        help="Set if the input will be a .npy file.")
+    parser.add_argument("-bo", "--binary_output", action="store_true",
+                        help="Set if output should be a .npy file.")
+    args = _parse_args_or_exit(parser, argv)
+    _run_pearson(args.counts1, args.counts2, args.outfile, args.binary_input,
+                 args.binary_output)
+
+
+# -- norm_vectors ------------------------------------------------------------
+
+def _run_norm_vectors(fasta, mean_vector, std_vector, log2, kmer):
+    import numpy as np
+
+    from seekr_tpu.models.counter import KmerCounter
+
+    counter = KmerCounter(fasta, k=int(kmer), log2=log2)
+    counter.get_counts()
+    np.save(mean_vector, counter.mean)
+    np.save(std_vector, counter.std)
+
+
+def console_norm_vectors(argv=None):
+    parser = argparse.ArgumentParser(usage=NORM_VECTORS_DOC,
+                                     formatter_class=_formatter())
+    parser.add_argument("fasta", help="path to .fa file")
+    parser.add_argument("-mv", "--mean_vector", default="mean.npy",
+                        help="path to output mean vector")
+    parser.add_argument("-sv", "--std_vector", default="std.npy",
+                        help="path to output standard deviation vector")
+    parser.add_argument("-l", "--log2", default="Log2.post",
+                        choices=["Log2.post", "Log2.pre", "Log2.none"],
+                        help="Decided if and when to log transform counts")
+    parser.add_argument("-k", "--kmer", default=6,
+                        help="length of kmers you want to count")
+    args = _parse_args_or_exit(parser, argv)
+    _run_norm_vectors(args.fasta, args.mean_vector, args.std_vector,
+                      args.log2, int(args.kmer))
+
+
+# -- find_dist ---------------------------------------------------------------
+
+def console_find_dist(argv=None):
+    from seekr_tpu.stats import find_dist
+
+    parser = argparse.ArgumentParser(usage=FIND_DIST_DOC,
+                                     formatter_class=_formatter())
+    parser.add_argument("fasta", help="Background fasta path, or 'default'.")
+    parser.add_argument("-k", "--kmer", default=4,
+                        help="length of kmers you want to count.")
+    parser.add_argument("-l", "--log2", default="Log2.post",
+                        choices=["Log2.post", "Log2.pre", "Log2.none"],
+                        help="decided if and when to log transform counts")
+    parser.add_argument("-mdl", "--models", default="common10",
+                        help="'all', 'common10', or comma-separated scipy "
+                             "distribution names (e.g. 'norm,expon,pareto').")
+    parser.add_argument("-sbt", "--subsetting", action="store_true",
+                        help="use a subset of the data for fitting/output.")
+    parser.add_argument("-sbs", "--subset_size", default=100000,
+                        help="subset size when --subsetting is set.")
+    parser.add_argument("-fm", "--fit_model", action="store_true",
+                        help="fit the data to the --models distributions.")
+    parser.add_argument("-statm", "--statsmethod", default="ks",
+                        choices=["ks", "mse", "aic", "bic"],
+                        help="goodness-of-fit statistic.")
+    parser.add_argument("-pb", "--progress_bar", action="store_true",
+                        help="show a progress bar while fitting.")
+    parser.add_argument("-pf", "--plotfit", default=None,
+                        help="path to save the fit grid plot (pdf appended).")
+    parser.add_argument("-o", "--outputname", default=None,
+                        help="path to save results csv (csv appended).")
+    args = _parse_args_or_exit(parser, argv)
+
+    if args.models not in ("common10", "all"):
+        modelslist = args.models.split(",")
+    else:
+        modelslist = args.models
+    find_dist(args.fasta, int(args.kmer), args.log2, modelslist,
+              args.subsetting, int(args.subset_size), args.fit_model,
+              args.statsmethod, args.progress_bar, args.plotfit,
+              args.outputname)
+
+
+# -- find_pval ---------------------------------------------------------------
+
+def parse_fitres_csv(fitres_file, fitres_type):
+    """Reload a find_dist artifact: distribution-list csv or raw r csv.
+
+    The distribution branch re-parses the stringified params tuple back into
+    floats (reference console_scripts.py:862-872).
+    """
+    import numpy as np
+    import pandas as pd
+
+    if fitres_type == "distribution":
+        fitres = pd.read_csv(fitres_file)
+        fitres = [tuple(row) for row in fitres.values]
+        return [(row[0], row[1],
+                 tuple(map(float, row[2][1:-1].split(","))))
+                for row in fitres]
+    return np.loadtxt(fitres_file, delimiter=",")
+
+
+def console_find_pval(argv=None):
+    from seekr_tpu.stats import find_pval
+
+    parser = argparse.ArgumentParser(usage=FIND_PVAL_DOC,
+                                     formatter_class=_formatter())
+    parser.add_argument("seq1file", help="fasta file of input sequence 1.")
+    parser.add_argument("seq2file",
+                        help="fasta file of input sequence 2 (may equal 1).")
+    parser.add_argument("mean_path", help="normalization mean vector (.npy).")
+    parser.add_argument("std_path", help="normalization std vector (.npy).")
+    parser.add_argument("kmer", help="k-mer length (must match the vectors).")
+    parser.add_argument("fitres_file", help="csv output of seekr_find_dist.")
+    parser.add_argument("-ft", "--fitres_type", default="distribution",
+                        choices=["distribution", "npy"],
+                        help="type of the fitres artifact.")
+    parser.add_argument("-l", "--log2", default="Log2.post",
+                        choices=["Log2.post", "Log2.pre", "Log2.none"],
+                        help="decided if and when to log transform counts")
+    parser.add_argument("-bf", "--bestfit", default=1,
+                        help="1-based index of the distribution to use.")
+    parser.add_argument("-o", "--outputname", default=None,
+                        help="path to save p-value csv (csv appended).")
+    parser.add_argument("-pb", "--progress_bar", action="store_true",
+                        help="show a progress bar during calculation.")
+    args = _parse_args_or_exit(parser, argv)
+
+    fitres = parse_fitres_csv(args.fitres_file, args.fitres_type)
+    find_pval(args.seq1file, args.seq2file, args.mean_path, args.std_path,
+              int(args.kmer), fitres, args.log2, int(args.bestfit),
+              args.outputname, args.progress_bar)
+
+
+# -- adj_pval ----------------------------------------------------------------
+
+def console_adj_pval(argv=None):
+    import pandas as pd
+
+    from seekr_tpu.stats import adj_pval
+
+    parser = argparse.ArgumentParser(usage=ADJ_PVAL_DOC,
+                                     formatter_class=_formatter())
+    parser.add_argument("pval_path",
+                        help="csv of p-values (output of seekr_find_pval).")
+    parser.add_argument("method",
+                        help="correction method: bonferroni, sidak, "
+                             "holm-sidak, holm, simes-hochberg, hommel, "
+                             "fdr_bh, fdr_by, fdr_tsbh, fdr_tsbky.")
+    parser.add_argument("-a", "--alpha", default=0.05,
+                        help="desired family-wise error rate.")
+    parser.add_argument("-o", "--outputname", default=None,
+                        help="path to save adjusted csv (csv appended).")
+    args = _parse_args_or_exit(parser, argv)
+
+    pvals = pd.read_csv(args.pval_path, header=0, index_col=0)
+    adj_pval(pvals, args.method, float(args.alpha), args.outputname)
+
+
+# -- kmer_heatmap ------------------------------------------------------------
+
+def console_kmer_heatmap(argv=None):
+    import pandas as pd
+
+    from seekr_tpu.viz import kmer_heatmap
+
+    parser = argparse.ArgumentParser(usage=KMER_HEATMAP_DOC,
+                                     formatter_class=_formatter())
+    parser.add_argument("df_file", help="csv matrix with row/column names.")
+    parser.add_argument("datamin", help="minimum possible data value.")
+    parser.add_argument("datamax", help="maximum possible data value.")
+    parser.add_argument("-th", "--thresh_value", default=0.05,
+                        help="middle-color pivot for 3-color palettes.")
+    parser.add_argument("-cr", "--color_range_str",
+                        default="#1b7837,#ffffff,#c51b7d",
+                        help="comma-separated 2 or 3 hex colors.")
+    parser.add_argument("-cl", "--cluster", action="store_true",
+                        help="cluster and draw dendrograms on rows+columns.")
+    parser.add_argument("-distm", "--distmetric", default="correlation",
+                        help="distance metric for clustering.")
+    parser.add_argument("-linkm", "--linkmethod", default="complete",
+                        help="linkage method for clustering.")
+    parser.add_argument("-wratio", "--hmapw_ratio", default=0.3,
+                        help="heatmap width ratio factor.")
+    parser.add_argument("-hratio", "--hmaph_ratio", default=0.3,
+                        help="heatmap height ratio factor.")
+    parser.add_argument("-xts", "--x_tick_size", default=16,
+                        help="column label font size.")
+    parser.add_argument("-yts", "--y_tick_size", default=16,
+                        help="row label font size.")
+    parser.add_argument("-cfs", "--cbar_font_size", default=16,
+                        help="colorbar tick font size.")
+    parser.add_argument("-o", "--outputname", default="test_kmer_heatmap",
+                        help="output path/name.")
+    parser.add_argument("-hf", "--hformat", default="pdf",
+                        help="output format.")
+    parser.add_argument("-hd", "--hdpi", default=300, help="output dpi.")
+    args = _parse_args_or_exit(parser, argv)
+
+    df = pd.read_csv(args.df_file, index_col=0)
+    kmer_heatmap(df, int(args.datamin), int(args.datamax),
+                 float(args.thresh_value), args.color_range_str.split(","),
+                 args.cluster, args.distmetric, args.linkmethod,
+                 float(args.hmapw_ratio), float(args.hmaph_ratio),
+                 int(args.x_tick_size), int(args.y_tick_size),
+                 int(args.cbar_font_size), args.outputname, args.hformat,
+                 int(args.hdpi))
+
+
+# -- kmer_dendrogram ---------------------------------------------------------
+
+def console_kmer_dendrogram(argv=None):
+    import pandas as pd
+
+    from seekr_tpu.viz import kmer_dendrogram
+
+    parser = argparse.ArgumentParser(usage=KMER_DENDROGRAM_DOC,
+                                     formatter_class=_formatter())
+    parser.add_argument("df_file", help="csv matrix with row/column names.")
+    parser.add_argument("-dd", "--dendro_direct", default="row",
+                        choices=["row", "column"],
+                        help="clustering direction.")
+    parser.add_argument("-distm", "--distmetric", default="correlation",
+                        help="distance metric.")
+    parser.add_argument("-linkm", "--linkmethod", default="complete",
+                        help="linkage method.")
+    parser.add_argument("-ph", "--plot_ht", default=8, help="plot height.")
+    parser.add_argument("-wratio", "--wd_ratio", default=0.5,
+                        help="width ratio factor.")
+    parser.add_argument("-lfs", "--leaf_font_size", default=16,
+                        help="leaf label font size.")
+    parser.add_argument("-o", "--outputname", default="test_kmer_dendrogram",
+                        help="output path/name.")
+    parser.add_argument("-pf", "--pformat", default="pdf",
+                        help="output format.")
+    parser.add_argument("-d", "--pdpi", default=300, help="output dpi.")
+    args = _parse_args_or_exit(parser, argv)
+
+    df = pd.read_csv(args.df_file, index_col=0)
+    kmer_dendrogram(df, args.dendro_direct, args.distmetric, args.linkmethod,
+                    int(args.plot_ht), float(args.wd_ratio),
+                    int(args.leaf_font_size), args.outputname, args.pformat,
+                    int(args.pdpi))
+
+
+# -- kmer_leiden -------------------------------------------------------------
+
+def console_kmer_leiden(argv=None):
+    from seekr_tpu.graph import kmer_leiden
+
+    parser = argparse.ArgumentParser(usage=KMER_LEIDEN_DOC,
+                                     formatter_class=_formatter())
+    parser.add_argument("fasta", help="fasta file with unique headers.")
+    parser.add_argument("mean_path", help="normalization mean vector (.npy).")
+    parser.add_argument("std_path", help="normalization std vector (.npy).")
+    parser.add_argument("kmer", help="k-mer length (must match the vectors).")
+    parser.add_argument("-a", "--algo", default="RBERVertexPartition",
+                        choices=["ModularityVertexPartition",
+                                 "RBConfigurationVertexPartition",
+                                 "RBERVertexPartition", "CPMVertexPartition",
+                                 "SurpriseVertexPartition",
+                                 "SignificanceVertexPartition"],
+                        help="Leiden partition quality function.")
+    parser.add_argument("-r", "--rs", default=1.0,
+                        help="resolution parameter.")
+    parser.add_argument("-pco", "--pearsoncutoff", default=0.0,
+                        help="zero out r values below this cutoff.")
+    parser.add_argument("-sd", "--setseed", action="store_true",
+                        help="set seed for reproducible communities.")
+    parser.add_argument("-ec", "--edgecolormethod", default="gradient",
+                        choices=["gradient", "threshold"],
+                        help="edge coloring method.")
+    parser.add_argument("-et", "--edgethreshold", default=0.1,
+                        help="threshold for -ec threshold.")
+    parser.add_argument("-lfs", "--labelfontsize", default=12,
+                        help="node label font size.")
+    parser.add_argument("-pn", "--plotname", default=None,
+                        help="plot output path (pdf appended).")
+    parser.add_argument("-cf", "--csvfile", default=None,
+                        help="Gephi nodes/edges csv prefix.")
+    args = _parse_args_or_exit(parser, argv)
+
+    kmer_leiden(args.fasta, args.mean_path, args.std_path, int(args.kmer),
+                args.algo, float(args.rs), float(args.pearsoncutoff),
+                args.setseed, args.edgecolormethod, float(args.edgethreshold),
+                int(args.labelfontsize), args.plotname, args.csvfile)
+
+
+# -- kmer_count_barplot ------------------------------------------------------
+
+def console_kmer_count_barplot(argv=None):
+    from seekr_tpu.viz import kmer_count_barplot
+
+    parser = argparse.ArgumentParser(usage=KMER_COUNT_BARPLOT_DOC,
+                                     formatter_class=_formatter())
+    parser.add_argument("fasta", help="fasta file (first 10 sequences used).")
+    parser.add_argument("mean_path", help="normalization mean vector (.npy).")
+    parser.add_argument("std_path", help="normalization std vector (.npy).")
+    parser.add_argument("kmer", help="k-mer length (must match the vectors).")
+    parser.add_argument("-l", "--log2", default="Log2.post",
+                        choices=["Log2.post", "Log2.pre", "Log2.none"],
+                        help="decided if and when to log transform counts")
+    parser.add_argument("-sm", "--sortmethod", default="ascending",
+                        choices=["ascending", "descending"],
+                        help="sort order of summed |diff from column mean|.")
+    parser.add_argument("-tn", "--topkmernumber", default=10,
+                        help="number of k-mer words to plot.")
+    parser.add_argument("-xls", "--xlabelsize", default=20,
+                        help="x axis label font size.")
+    parser.add_argument("-yls", "--ylabelsize", default=20,
+                        help="y axis label font size.")
+    parser.add_argument("-xts", "--xticksize", default=20,
+                        help="x tick label font size.")
+    parser.add_argument("-yts", "--yticksize", default=20,
+                        help="y tick label font size.")
+    parser.add_argument("-ls", "--legendsize", default=12,
+                        help="legend font size.")
+    parser.add_argument("-o", "--outputname",
+                        default="test_kmer_count_barplot",
+                        help="output path/name.")
+    parser.add_argument("-pf", "--pformat", default="pdf",
+                        help="output format.")
+    parser.add_argument("-d", "--pdpi", default=300, help="output dpi.")
+    args = _parse_args_or_exit(parser, argv)
+
+    kmer_count_barplot(args.fasta, args.mean_path, args.std_path,
+                       int(args.kmer), args.log2, args.sortmethod,
+                       int(args.topkmernumber), int(args.xlabelsize),
+                       int(args.ylabelsize), int(args.xticksize),
+                       int(args.yticksize), int(args.legendsize),
+                       args.outputname, args.pformat, int(args.pdpi))
+
+
+# -- kmer_msd_barplot --------------------------------------------------------
+
+def console_kmer_msd_barplot(argv=None):
+    from seekr_tpu.viz import kmer_msd_barplot
+
+    parser = argparse.ArgumentParser(usage=KMER_MSD_BARPLOT_DOC,
+                                     formatter_class=_formatter())
+    parser.add_argument("fasta", help="fasta file with unique headers.")
+    parser.add_argument("mean_path", help="normalization mean vector (.npy).")
+    parser.add_argument("std_path", help="normalization std vector (.npy).")
+    parser.add_argument("kmer", help="k-mer length (must match the vectors).")
+    parser.add_argument("-l", "--log2", default="Log2.post",
+                        choices=["Log2.post", "Log2.pre", "Log2.none"],
+                        help="decided if and when to log transform counts")
+    parser.add_argument("-ss", "--sortstat", default="mean",
+                        choices=["mean", "sd"], help="sort statistic.")
+    parser.add_argument("-sm", "--sortmethod", default="descending",
+                        choices=["ascending", "descending"],
+                        help="sort order.")
+    parser.add_argument("-tn", "--topkmernumber", default=10,
+                        help="number of k-mer words to plot.")
+    parser.add_argument("-xls", "--xlabelsize", default=20,
+                        help="x axis label font size.")
+    parser.add_argument("-yls", "--ylabelsize", default=20,
+                        help="y axis label font size.")
+    parser.add_argument("-xts", "--xticksize", default=20,
+                        help="x tick label font size.")
+    parser.add_argument("-yts", "--yticksize", default=20,
+                        help="y tick label font size.")
+    parser.add_argument("-o", "--outputname", default="test_kmer_msd_barplot",
+                        help="output path/name.")
+    parser.add_argument("-pf", "--pformat", default="pdf",
+                        help="output format.")
+    parser.add_argument("-d", "--pdpi", default=300, help="output dpi.")
+    args = _parse_args_or_exit(parser, argv)
+
+    kmer_msd_barplot(args.fasta, args.mean_path, args.std_path,
+                     int(args.kmer), args.log2, args.sortstat,
+                     args.sortmethod, int(args.topkmernumber),
+                     int(args.xlabelsize), int(args.ylabelsize),
+                     int(args.xticksize), int(args.yticksize),
+                     args.outputname, args.pformat, int(args.pdpi))
+
+
+# -- kmer_comp_textplot ------------------------------------------------------
+
+def console_kmer_comp_textplot(argv=None):
+    from seekr_tpu.viz import kmer_comp_textplot
+
+    parser = argparse.ArgumentParser(usage=KMER_COMP_TEXTPLOT_DOC,
+                                     formatter_class=_formatter())
+    parser.add_argument("seq1file", help="first fasta (first sequence used).")
+    parser.add_argument("seq2file", help="second fasta (first sequence used).")
+    parser.add_argument("words_str",
+                        help="comma-separated words, e.g. 'ATTA,AAAA,ACTC' "
+                             "(max 10).")
+    parser.add_argument("-cv", "--color_vec_str", default="default",
+                        help="comma-separated hex colors matching words, or "
+                             "'default'.")
+    parser.add_argument("-wl", "--wraplen", default=60,
+                        help="characters per line.")
+    parser.add_argument("-cs", "--char_spacing", default=1.0,
+                        help="space between characters.")
+    parser.add_argument("-ls", "--line_spacing", default=0.5,
+                        help="space between seq1, seq2 and ruler lines.")
+    parser.add_argument("-sfs", "--seqfontsize", default=28,
+                        help="sequence character font size.")
+    parser.add_argument("-nfs", "--numfontsize", default=18,
+                        help="position number font size.")
+    parser.add_argument("-cbh", "--colorblockh", default=0.5,
+                        help="highlight block height.")
+    parser.add_argument("-o", "--outputname", default="comp_textplot",
+                        help="output path/name.")
+    parser.add_argument("-pf", "--plotformat", default="pdf",
+                        help="output format.")
+    parser.add_argument("-d", "--plotdpi", default=300, help="output dpi.")
+    args = _parse_args_or_exit(parser, argv)
+
+    words = args.words_str.split(",")
+    color_vec = ("default" if args.color_vec_str == "default"
+                 else args.color_vec_str.split(","))
+    kmer_comp_textplot(args.seq1file, args.seq2file, words, color_vec,
+                       int(args.wraplen), float(args.char_spacing),
+                       float(args.line_spacing), int(args.seqfontsize),
+                       int(args.numfontsize), float(args.colorblockh),
+                       args.outputname, args.plotformat, int(args.plotdpi))
+
+
+# -- kmer_indi_textplot ------------------------------------------------------
+
+def console_kmer_indi_textplot(argv=None):
+    from seekr_tpu.viz import kmer_indi_textplot
+
+    parser = argparse.ArgumentParser(usage=KMER_INDI_TEXTPLOT_DOC,
+                                     formatter_class=_formatter())
+    parser.add_argument("seqfile", help="input fasta file.")
+    parser.add_argument("words_str",
+                        help="comma-separated words, e.g. 'ATTA,AAAA,ACTC' "
+                             "(max 10).")
+    parser.add_argument("-cv", "--color_vec_str", default="default",
+                        help="comma-separated hex colors matching words, or "
+                             "'default'.")
+    parser.add_argument("-wl", "--wraplen", default=60,
+                        help="characters per line.")
+    parser.add_argument("-cs", "--char_spacing", default=1.0,
+                        help="space between characters.")
+    parser.add_argument("-ls", "--line_spacing", default=0.5,
+                        help="space between sequence and ruler lines.")
+    parser.add_argument("-sfs", "--seqfontsize", default=28,
+                        help="sequence character font size.")
+    parser.add_argument("-nfs", "--numfontsize", default=18,
+                        help="position number font size.")
+    parser.add_argument("-cbh", "--colorblockh", default=0.5,
+                        help="highlight block height.")
+    parser.add_argument("-op", "--outputpath", default="",
+                        help="output directory; plot names come from "
+                             "headers.")
+    parser.add_argument("-pf", "--plotformat", default="pdf",
+                        help="output format.")
+    parser.add_argument("-d", "--plotdpi", default=300, help="output dpi.")
+    args = _parse_args_or_exit(parser, argv)
+
+    words = args.words_str.split(",")
+    color_vec = ("default" if args.color_vec_str == "default"
+                 else args.color_vec_str.split(","))
+    kmer_indi_textplot(args.seqfile, words, color_vec, int(args.wraplen),
+                       float(args.char_spacing), float(args.line_spacing),
+                       int(args.seqfontsize), int(args.numfontsize),
+                       float(args.colorblockh), args.outputpath,
+                       args.plotformat, int(args.plotdpi))
+
+
+# -- seekr help --------------------------------------------------------------
+
+_CMDS2DOC = {
+    "seekr_download_gencode": DOWNLOAD_GENCODE_DOC,
+    "seekr_filter_gencode": FILTER_GENCODE_DOC,
+    "seekr_norm_vectors": NORM_VECTORS_DOC,
+    "seekr_kmer_counts": KMER_COUNTS_DOC,
+    "seekr_pearson": PEARSON_DOC,
+    "seekr_find_dist": FIND_DIST_DOC,
+    "seekr_find_pval": FIND_PVAL_DOC,
+    "seekr_adj_pval": ADJ_PVAL_DOC,
+    "seekr_kmer_heatmap": KMER_HEATMAP_DOC,
+    "seekr_kmer_dendrogram": KMER_DENDROGRAM_DOC,
+    "seekr_kmer_leiden": KMER_LEIDEN_DOC,
+    "seekr_kmer_count_barplot": KMER_COUNT_BARPLOT_DOC,
+    "seekr_kmer_msd_barplot": KMER_MSD_BARPLOT_DOC,
+    "seekr_kmer_comp_textplot": KMER_COMP_TEXTPLOT_DOC,
+    "seekr_kmer_indi_textplot": KMER_INDI_TEXTPLOT_DOC,
+}
+
+
+def _run_console_seekr_help(version):
+    if version:
+        print(__version__)
+        sys.exit()
+    print(f"Welcome to seekr_tpu! ({__version__})\n"
+          "A TPU-native k-mer sequence-analysis framework with the seekr "
+          "command set.\nBelow is a description of all commands.\n")
+    for cmd, doc in _CMDS2DOC.items():
+        print(f"{'=' * 25}\n{cmd}\n{'=' * 25}\n{doc}")
+    print("To see a full description of flags and defaults, run any of the "
+          "commands listed above, without any parameters "
+          '(e.g. "$ seekr_kmer_leiden").')
+
+
+def console_seekr_help(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-v", "--version", action="store_true",
+                        help="Print current version and exit.")
+    args = parser.parse_args(sys.argv[1:] if argv is None else argv)
+    _run_console_seekr_help(args.version)
+
+
+# -- module dispatcher (python -m seekr_tpu.cli <command> ...) ---------------
+
+COMMANDS = {
+    "download_gencode": console_download_gencode,
+    "filter_gencode": console_filter_gencode,
+    "kmer_counts": console_kmer_counts,
+    "pearson": console_pearson,
+    "norm_vectors": console_norm_vectors,
+    "find_dist": console_find_dist,
+    "find_pval": console_find_pval,
+    "adj_pval": console_adj_pval,
+    "kmer_heatmap": console_kmer_heatmap,
+    "kmer_dendrogram": console_kmer_dendrogram,
+    "kmer_leiden": console_kmer_leiden,
+    "kmer_count_barplot": console_kmer_count_barplot,
+    "kmer_msd_barplot": console_kmer_msd_barplot,
+    "kmer_comp_textplot": console_kmer_comp_textplot,
+    "kmer_indi_textplot": console_kmer_indi_textplot,
+    "help": console_seekr_help,
+}
+
+
+def main(argv=None):
+    argv = sys.argv[1:] if argv is None else argv
+    if not argv or argv[0] in ("-h", "--help"):
+        print("usage: python -m seekr_tpu.cli <command> [args...]\n")
+        print("commands:", ", ".join(COMMANDS))
+        return 0
+    cmd = argv[0]
+    if cmd not in COMMANDS:
+        print(f"unknown command: {cmd}")
+        print("commands:", ", ".join(COMMANDS))
+        return 2
+    COMMANDS[cmd](argv[1:])
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

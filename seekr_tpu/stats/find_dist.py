@@ -110,7 +110,9 @@ def fit_distributions(data, names, statsmethod="ks", progress_bar=False):
         with warnings.catch_warnings():
             warnings.filterwarnings("ignore")
             try:
-                params = distribution.fit(data)
+                # plain-float params: keeps the CSV artifact format identical
+                # to the reference (numpy-2 scalar reprs would leak otherwise)
+                params = tuple(float(p) for p in distribution.fit(data))
                 if statsmethod == "ks":
                     D, _ = kstest(data, name, args=params)
                 elif statsmethod == "mse":

@@ -1,0 +1,159 @@
+"""CLI tests — the full command chain through the _run_* shims and main().
+
+Modeled on the upstream approach (reference tests/test_console_scripts.py:1:
+console shims compared to committed goldens), plus an end-to-end pipeline
+run: counts -> norm_vectors -> pearson -> find_dist -> find_pval ->
+adj_pval -> heatmap/dendrogram/leiden/barplots/textplots.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from seekr_tpu import cli
+from seekr_tpu.cli import (_run_kmer_counts, _run_norm_vectors, _run_pearson,
+                           main, parse_fitres_csv)
+
+RTOL, ATOL = 1e-4, 1e-5
+
+
+def test_run_kmer_counts_binary_golden(ref_data, example_fa, tmp_path):
+    out = str(tmp_path / "2mers.npy")
+    _run_kmer_counts(example_fa, out, 2, True, True, True, "Log2.post",
+                     True, None, None, "AGTC")
+    golden = np.load(ref_data / "example_2mers_counts.npy")
+    assert np.allclose(np.load(out), golden, rtol=RTOL, atol=ATOL)
+
+
+def test_run_kmer_counts_raw_csv_golden(ref_data, example_fa, tmp_path):
+    out = str(tmp_path / "3mers.csv")
+    _run_kmer_counts(example_fa, out, 3, False, False, False, "Log2.none",
+                     True, None, None, "AGTC")
+    got = pd.read_csv(out, header=None).values
+    golden = pd.read_csv(ref_data / "example_3mers_raw.csv", header=None).values
+    assert np.allclose(got, golden, rtol=RTOL, atol=ATOL)
+
+
+def test_run_norm_vectors_golden(ref_data, example_fa, tmp_path):
+    mv, sv = str(tmp_path / "m.npy"), str(tmp_path / "s.npy")
+    _run_norm_vectors(example_fa, mv, sv, "Log2.none", 2)
+    assert np.allclose(np.load(mv), np.load(ref_data / "example_mean.npy"),
+                       rtol=RTOL, atol=ATOL)
+    assert np.allclose(np.load(sv), np.load(ref_data / "example_std.npy"),
+                       rtol=RTOL, atol=ATOL)
+
+
+def test_run_pearson_csv_roundtrip(ref_data, example_fa, tmp_path):
+    counts_csv = str(tmp_path / "c.csv")
+    _run_kmer_counts(example_fa, counts_csv, 2, False, True, True,
+                     "Log2.post", False, None, None, "AGTC")
+    out = str(tmp_path / "p.csv")
+    _run_pearson(counts_csv, counts_csv, out, False, False)
+    df = pd.read_csv(out, index_col=0)
+    assert df.shape == (5, 5)
+    np.testing.assert_allclose(np.diag(df.values), 1.0, atol=1e-4)
+
+    # binary roundtrip
+    counts_npy = str(tmp_path / "c.npy")
+    _run_kmer_counts(example_fa, counts_npy, 2, True, True, True,
+                     "Log2.post", True, None, None, "AGTC")
+    out_npy = str(tmp_path / "p")
+    _run_pearson(counts_npy, counts_npy, out_npy, True, True)
+    np.testing.assert_allclose(np.load(out_npy + ".npy"), df.values,
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_main_dispatcher_and_unknown(capsys):
+    assert main([]) == 0
+    assert "commands:" in capsys.readouterr().out
+    assert main(["not_a_command"]) == 2
+
+
+def test_bare_command_prints_help(capsys):
+    with pytest.raises(SystemExit) as e:
+        cli.console_kmer_counts([])
+    assert e.value.code == 0
+    assert "fasta" in capsys.readouterr().out
+
+
+def test_help_command(capsys):
+    cli._run_console_seekr_help(False)
+    out = capsys.readouterr().out
+    for cmd in cli._CMDS2DOC:
+        assert cmd in out
+
+
+def test_version_flag(capsys):
+    with pytest.raises(SystemExit):
+        cli._run_console_seekr_help(True)
+    from seekr_tpu import __version__
+    assert __version__ in capsys.readouterr().out
+
+
+def test_full_pipeline_via_main(ref_data, example_fa, tmp_path, monkeypatch):
+    """The README quickstart chain, driven entirely through the CLI."""
+    monkeypatch.chdir(tmp_path)
+    k = "2"
+    assert main(["norm_vectors", example_fa, "-k", k, "-mv", "mean.npy",
+                 "-sv", "std.npy"]) == 0
+    assert main(["kmer_counts", example_fa, "-k", k, "-o", "counts.csv",
+                 "-mv", "mean.npy", "-sv", "std.npy"]) == 0
+    assert main(["pearson", "counts.csv", "counts.csv",
+                 "-o", "pearson.csv"]) == 0
+
+    # stats chain: empirical background + fitted distribution paths
+    assert main(["find_dist", example_fa, "-k", k, "-o", "raw"]) == 0
+    assert main(["find_dist", example_fa, "-k", k, "-fm",
+                 "-mdl", "norm,uniform", "-o", "fitres"]) == 0
+    assert main(["find_pval", example_fa, example_fa, "mean.npy", "std.npy",
+                 k, "fitres.csv", "-o", "pvals"]) == 0
+    assert main(["find_pval", example_fa, example_fa, "mean.npy", "std.npy",
+                 k, "raw.csv", "-ft", "npy", "-o", "pvals_emp"]) == 0
+    assert main(["adj_pval", "pvals.csv", "fdr_bh", "-o", "adj"]) == 0
+
+    # viz chain
+    assert main(["kmer_heatmap", "pvals.csv", "0", "1",
+                 "-o", "hm", "-hf", "png"]) == 0
+    assert main(["kmer_dendrogram", "pearson.csv", "-o", "dendro"]) == 0
+    assert main(["kmer_count_barplot", example_fa, "mean.npy", "std.npy", k,
+                 "-o", "cb"]) == 0
+    assert main(["kmer_msd_barplot", example_fa, "mean.npy", "std.npy", k,
+                 "-o", "msd"]) == 0
+    assert main(["kmer_comp_textplot", example_fa, example_fa, "AAAA,GGG",
+                 "-o", "comp"]) == 0
+    assert main(["kmer_indi_textplot", example_fa, "AAAA",
+                 "-op", ""]) == 0
+
+    for artifact in ("counts.csv", "pearson.csv", "fitres.csv", "raw.csv",
+                     "pvals.csv", "pvals_emp.csv", "adj.csv", "hm.png",
+                     "dendro.pdf", "cb.pdf", "msd.pdf", "comp.pdf"):
+        assert (tmp_path / artifact).exists(), artifact
+
+
+def test_full_pipeline_leiden_via_main(ref_data, tmp_path, monkeypatch):
+    from seekr_tpu import native
+    if not native.native_available():
+        pytest.skip("native toolchain unavailable")
+    monkeypatch.chdir(tmp_path)
+    fa = str(ref_data.parent / "ldseq.fa")
+    assert main(["norm_vectors", fa, "-k", "2", "-mv", "mean.npy",
+                 "-sv", "std.npy"]) == 0
+    assert main(["kmer_leiden", fa, "mean.npy", "std.npy", "2", "-sd",
+                 "-pn", "net", "-cf", "gephi"]) == 0
+    assert (tmp_path / "net.pdf").exists()
+    assert (tmp_path / "gephi_nodes_leiden.csv").exists()
+    assert (tmp_path / "gephi_edges_leiden.csv").exists()
+
+
+def test_parse_fitres_csv_roundtrip(tmp_path):
+    df = pd.DataFrame([("norm", 0.01, "(1.0, 2.0)")],
+                      columns=["distribution_name", "D_statistics", "params"])
+    path = str(tmp_path / "fit.csv")
+    df.to_csv(path, index=False)
+    fitres = parse_fitres_csv(path, "distribution")
+    assert fitres == [("norm", 0.01, (1.0, 2.0))]
+
+    arr = np.array([0.1, 0.2, 0.3])
+    path2 = str(tmp_path / "raw.csv")
+    np.savetxt(path2, arr, delimiter=",")
+    np.testing.assert_allclose(parse_fitres_csv(path2, "npy"), arr)
