@@ -28,6 +28,7 @@ numpy, still ~100x the reference loop) and the parity oracle for tests.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Sequence
 
 import numpy as np
@@ -110,8 +111,23 @@ def _count_impl(bases: jax.Array, lengths: jax.Array, k: int, scaled: bool = Tru
     return counts * scale[:, None]
 
 
+def _use_pallas() -> bool:
+    """Opt into the Pallas histogram kernel via SEEKR_TPU_COUNT_IMPL=pallas.
+
+    Measured on v5e (m=2048, L=2048, k=6): the XLA scan path sustains
+    ~2.3 Gbases/s vs ~0.7 for the Pallas kernel — XLA's large fused einsum
+    schedule keeps the MXU busier than Mosaic's batch-8 64x64 dots — so XLA
+    is the default on every backend.
+    """
+    return os.environ.get("SEEKR_TPU_COUNT_IMPL", "").lower() == "pallas"
+
+
 def count_kmers_device(bases, lengths, k: int) -> jax.Array:
     """Count k-mers for padded 2-bit encoded sequences on the default device."""
+    if _use_pallas():
+        from seekr_tpu.ops.count_pallas import count_kmers_pallas
+
+        return count_kmers_pallas(jnp.asarray(bases), jnp.asarray(lengths), k)
     return _count_impl(jnp.asarray(bases), jnp.asarray(lengths), k)
 
 
