@@ -1,0 +1,120 @@
+"""Streamed emission of huge matrices (tiled Pearson at GENCODE scale).
+
+SURVEY.md hard part 5: m up to ~180k rows makes the all-pairs r-matrix up to
+10^10 cells — it must never exist as one host array.  These writers consume
+[block, m2] tiles as they come off the device:
+
+  * ``StreamingNpyWriter`` — writes a standard .npy by pre-writing the header
+    for the full shape and appending row blocks (float32 C-order).
+  * ``StreamingCsvWriter`` — appends labeled/unlabeled CSV row blocks
+    (the reference's '%1.6f' unlabeled format or pandas-style labeled).
+
+``stream_pearson`` drives the blocked device GEMM through a writer.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class StreamingNpyWriter:
+    """Row-block appender producing a valid .npy for a known final shape."""
+
+    def __init__(self, path: str, shape, dtype=np.float32):
+        self.path = path if str(path).endswith(".npy") else f"{path}.npy"
+        self.shape = tuple(int(s) for s in shape)
+        self.dtype = np.dtype(dtype)
+        self._fh = open(self.path, "wb")
+        header = {"descr": self.dtype.str, "fortran_order": False,
+                  "shape": self.shape}
+        np.lib.format.write_array_header_2_0(self._fh, header)
+        self._rows_written = 0
+
+    def append(self, block: np.ndarray):
+        block = np.ascontiguousarray(block, dtype=self.dtype)
+        assert block.ndim == 2 and block.shape[1] == self.shape[1]
+        self._rows_written += block.shape[0]
+        assert self._rows_written <= self.shape[0], "wrote too many rows"
+        self._fh.write(block.tobytes())
+
+    def close(self):
+        assert self._rows_written == self.shape[0], (
+            f"expected {self.shape[0]} rows, wrote {self._rows_written}")
+        self._fh.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, exc_type, *exc):
+        if exc_type is None:
+            self.close()
+        else:
+            self._fh.close()
+
+
+class StreamingCsvWriter:
+    """Row-block CSV appender (labeled like pandas, or raw %1.6f)."""
+
+    def __init__(self, path: str, columns=None, row_labels=None,
+                 fmt: str = "%1.6f"):
+        self.path = path
+        self.fmt = fmt
+        self.row_labels = list(row_labels) if row_labels is not None else None
+        self.labeled = columns is not None
+        self._fh = open(path, "w")
+        if self.labeled:
+            self._fh.write("," + ",".join(str(c) for c in columns) + "\n")
+        self._row = 0
+
+    def append(self, block: np.ndarray):
+        block = np.asarray(block)
+        for row in block:
+            cells = ",".join(self.fmt % v for v in row)
+            if self.labeled:
+                self._fh.write(f"{self.row_labels[self._row]},{cells}\n")
+            else:
+                self._fh.write(cells + "\n")
+            self._row += 1
+
+    def close(self):
+        self._fh.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def stream_pearson(counts1, counts2, writer, block_rows: int = 4096,
+                   row_standardize: bool = True):
+    """Blocked device Pearson streamed straight into ``writer``.
+
+    Standardizes both operands once on device, then emits [block, m2] tiles
+    host-side without ever materializing the full [m1, m2] matrix.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from seekr_tpu.ops.pearson import _row_standardize
+
+    c1 = jnp.asarray(counts1, dtype=jnp.float32)
+    c2 = jnp.asarray(counts2, dtype=jnp.float32)
+    if row_standardize:
+        c1 = _row_standardize(c1)
+        c2 = _row_standardize(c2)
+    n = c1.shape[1]
+
+    @jax.jit
+    def block_fn(a, b):
+        d = jax.lax.dot_general(
+            a, b, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return d / n
+
+    m1 = c1.shape[0]
+    for start in range(0, m1, block_rows):
+        end = min(start + block_rows, m1)
+        writer.append(np.asarray(block_fn(c1[start:end], c2)))
