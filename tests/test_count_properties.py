@@ -1,0 +1,102 @@
+"""Property tests for k-mer counting (invariants the goldens can't cover).
+
+SURVEY.md section 4: "add what the reference lacks ... property tests
+(shift/concat invariants of counts)".
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from seekr_tpu.ops.count import _count_impl, count_kmers_host
+
+BASES = "AGTC"
+
+
+def rand_seq(rng, n, alphabet=BASES):
+    return "".join(rng.choice(list(alphabet), size=n))
+
+
+def device_counts(seqs, k):
+    lengths = np.array([len(s) for s in seqs], np.int32)
+    lpad = max(lengths.max(), k)
+    lut = {c: i for i, c in enumerate(BASES)}
+    bases = np.full((len(seqs), lpad), 4, np.int8)
+    for r, s in enumerate(seqs):
+        bases[r, :len(s)] = [lut.get(c, 4) for c in s]
+    return np.asarray(_count_impl(jnp.asarray(bases), jnp.asarray(lengths), k))
+
+
+def test_total_windows_conservation():
+    """Sum of unscaled counts * (len-k+1)/1000 equals the valid window count."""
+    rng = np.random.default_rng(0)
+    k = 4
+    seqs = [rand_seq(rng, n) for n in (50, 173, 999)]
+    counts = device_counts(seqs, k)
+    for row, s in zip(counts, seqs):
+        n_windows = len(s) - k + 1
+        total = row.sum() * n_windows / 1000.0
+        assert abs(total - n_windows) < 1e-2
+
+
+def test_invalid_bases_reduce_total_but_not_denominator():
+    k = 3
+    seq = "AGTCAGTCAGTC"
+    seq_with_n = "AGTCNGTCAGTC"  # one N kills 3 windows
+    c1 = count_kmers_host([seq], k)[0]
+    c2 = count_kmers_host([seq_with_n], k)[0]
+    w = len(seq) - k + 1
+    assert abs(c1.sum() * w / 1000 - w) < 1e-3
+    assert abs(c2.sum() * w / 1000 - (w - 3)) < 1e-3
+
+
+def test_concat_superposition():
+    """counts(a+b) * w_ab = counts(a)*w_a + counts(b)*w_b + boundary windows."""
+    rng = np.random.default_rng(1)
+    k = 3
+    a, b = rand_seq(rng, 200), rand_seq(rng, 300)
+    ca = count_kmers_host([a], k)[0] * (len(a) - k + 1) / 1000
+    cb = count_kmers_host([b], k)[0] * (len(b) - k + 1) / 1000
+    cab = count_kmers_host([a + b], k)[0] * (len(a) + len(b) - k + 1) / 1000
+    boundary = count_kmers_host([a[-(k - 1):] + b[:k - 1]], k)[0] * (k - 1) / 1000
+    np.testing.assert_allclose(cab, ca + cb + boundary, atol=1e-3)
+
+
+def test_order_permutation_invariance():
+    """Shuffling sequence order permutes rows identically."""
+    rng = np.random.default_rng(2)
+    k = 2
+    seqs = [rand_seq(rng, n) for n in (40, 80, 120, 250)]
+    perm = [2, 0, 3, 1]
+    c = device_counts(seqs, k)
+    cp = device_counts([seqs[i] for i in perm], k)
+    np.testing.assert_allclose(cp, c[perm], rtol=1e-6)
+
+
+def test_single_base_sequence_composition():
+    """Homopolymer has all windows in one bin."""
+    k = 5
+    c = count_kmers_host(["A" * 100], k)[0]
+    assert c[0] == pytest.approx(1000.0, abs=1e-3)  # AAAAA is column 0
+    assert np.count_nonzero(c) == 1
+
+
+def test_reverse_is_not_identity_but_preserves_total():
+    rng = np.random.default_rng(3)
+    k = 3
+    s = rand_seq(rng, 500)
+    c = count_kmers_host([s], k)[0]
+    cr = count_kmers_host([s[::-1]], k)[0]
+    assert c.sum() == pytest.approx(cr.sum(), rel=1e-6)
+
+
+def test_device_vs_host_fuzz():
+    rng = np.random.default_rng(4)
+    for trial in range(5):
+        k = int(rng.integers(1, 7))
+        seqs = [rand_seq(rng, int(n), BASES + "N")
+                for n in rng.integers(k + 1, 400, size=6)]
+        host = count_kmers_host(seqs, k)
+        dev = device_counts(seqs, k)
+        np.testing.assert_allclose(dev, host, rtol=1e-4, atol=1e-4)
