@@ -134,6 +134,10 @@ def _parse_args_or_exit(parser, argv=None):
     if not argv:
         parser.print_help()
         sys.exit(0)
+    # persistent XLA cache: later invocations skip the 20-60s bucket compiles
+    from seekr_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     return parser.parse_args(argv)
 
 
@@ -350,6 +354,9 @@ def console_find_dist(argv=None):
                         help="path to save the fit grid plot (pdf appended).")
     parser.add_argument("-o", "--outputname", default=None,
                         help="path to save results csv (csv appended).")
+    parser.add_argument("-nj", "--n_jobs", default=1,
+                        help="host processes for distribution fitting "
+                             "(extension; useful with -mdl all).")
     args = _parse_args_or_exit(parser, argv)
 
     if args.models not in ("common10", "all"):
@@ -359,7 +366,7 @@ def console_find_dist(argv=None):
     find_dist(args.fasta, int(args.kmer), args.log2, modelslist,
               args.subsetting, int(args.subset_size), args.fit_model,
               args.statsmethod, args.progress_bar, args.plotfit,
-              args.outputname)
+              args.outputname, n_jobs=int(args.n_jobs))
 
 
 # -- find_pval ---------------------------------------------------------------

@@ -12,7 +12,8 @@ Differences from the reference (documented):
   * the bundled mouse vM25 background fasta is absent upstream
     (.MISSING_LARGE_BLOBS); ``inputseq='default'`` raises a clear error
     pointing at seekr_tpu.data.gencode download helpers instead.
-  * fitting can be parallelized across host processes (``n_jobs``).
+  * fitting can be parallelized across host processes (``n_jobs``, default
+    sequential = reference behavior).
 """
 
 from __future__ import annotations
@@ -86,57 +87,83 @@ def background_similarity(inputseq, k_mer=4, log2="Log2.post",
     return sim[np.triu_indices(sim.shape[0], k=1)]
 
 
-def fit_distributions(data, names, statsmethod="ks", progress_bar=False):
-    """Fit each named scipy distribution to ``data``; score goodness of fit.
+def _fit_one(name, data, statsmethod):
+    """Fit one scipy distribution; returns (name, D, params) or an error str.
 
-    Returns [(name, D, params)] sorted ascending by D, mirroring
-    seekr/find_dist.py:181-242 (including the graceful skip of distributions
-    that fail to fit).
+    Module-level so ProcessPoolExecutor can pickle it.
     """
     from scipy import stats
     from scipy.stats import kstest
 
+    distribution = getattr(stats, name)
+    if not hasattr(distribution, "fit"):
+        return None
+    with warnings.catch_warnings():
+        warnings.filterwarnings("ignore")
+        try:
+            # plain-float params: keeps the CSV artifact format identical
+            # to the reference (numpy-2 scalar reprs would leak otherwise)
+            params = tuple(float(p) for p in distribution.fit(data))
+            if statsmethod == "ks":
+                D, _ = kstest(data, name, args=params)
+            elif statsmethod == "mse":
+                if isinstance(distribution, stats.rv_continuous):
+                    synthetic = distribution.rvs(*params, size=len(data))
+                else:
+                    synthetic = distribution.rvs(
+                        *params[:-2], loc=params[-2], scale=params[-1],
+                        size=len(data))
+                D = float(np.mean((data - synthetic) ** 2))
+            else:  # aic / bic
+                if isinstance(distribution, stats.rv_continuous):
+                    ll = np.sum(distribution.logpdf(data, *params))
+                else:
+                    ll = np.sum(distribution.logpmf(
+                        data, *params[:-2], loc=params[-2], scale=params[-1]))
+                n_params, n = len(params), len(data)
+                D = 2 * n_params - 2 * ll if statsmethod == "aic" \
+                    else np.log(n) * n_params - 2 * ll
+        except Exception as e:  # noqa: BLE001 — parity: skip unfittable
+            return f"Could not fit {name} because {e}, excluding it from the results"
+    return (name, D, params)
+
+
+def fit_distributions(data, names, statsmethod="ks", progress_bar=False,
+                      n_jobs: int = 1):
+    """Fit each named scipy distribution to ``data``; score goodness of fit.
+
+    Returns [(name, D, params)] sorted ascending by D, mirroring
+    seekr/find_dist.py:181-242 (including the graceful skip of distributions
+    that fail to fit).  ``n_jobs > 1`` fans the host-bound scipy MLE loop out
+    over processes (useful for models='all', ~100 distributions — SURVEY.md
+    hard part 6); the result is identical to the sequential run.
+    """
     if statsmethod not in ("ks", "mse", "aic", "bic"):
         print("Please enter a valid statsmethod: 'ks', 'mse', 'aic', or 'bic'. "
               "Use default 'ks' now.")
         statsmethod = "ks"
 
+    raw = []
+    if n_jobs > 1:
+        import concurrent.futures as cf
+
+        with cf.ProcessPoolExecutor(max_workers=n_jobs) as pool:
+            futures = [pool.submit(_fit_one, name, data, statsmethod)
+                       for name in names]
+            iterable = my_tqdm()(futures) if progress_bar else futures
+            raw = [f.result() for f in iterable]
+    else:
+        iterable = my_tqdm()(names) if progress_bar else names
+        raw = [_fit_one(name, data, statsmethod) for name in iterable]
+
     results = []
-    iterable = my_tqdm()(names) if progress_bar else names
-    for name in iterable:
-        distribution = getattr(stats, name)
-        if not hasattr(distribution, "fit"):
+    for item in raw:
+        if item is None:
             continue
-        with warnings.catch_warnings():
-            warnings.filterwarnings("ignore")
-            try:
-                # plain-float params: keeps the CSV artifact format identical
-                # to the reference (numpy-2 scalar reprs would leak otherwise)
-                params = tuple(float(p) for p in distribution.fit(data))
-                if statsmethod == "ks":
-                    D, _ = kstest(data, name, args=params)
-                elif statsmethod == "mse":
-                    if isinstance(distribution, stats.rv_continuous):
-                        synthetic = distribution.rvs(*params, size=len(data))
-                    else:
-                        synthetic = distribution.rvs(
-                            *params[:-2], loc=params[-2], scale=params[-1],
-                            size=len(data))
-                    D = float(np.mean((data - synthetic) ** 2))
-                else:  # aic / bic
-                    if isinstance(distribution, stats.rv_continuous):
-                        ll = np.sum(distribution.logpdf(data, *params))
-                    else:
-                        ll = np.sum(distribution.logpmf(
-                            data, *params[:-2], loc=params[-2], scale=params[-1]))
-                    n_params, n = len(params), len(data)
-                    D = 2 * n_params - 2 * ll if statsmethod == "aic" \
-                        else np.log(n) * n_params - 2 * ll
-            except Exception as e:  # noqa: BLE001 — parity: skip unfittable
-                print(f"Could not fit {name} because {e}, "
-                      "excluding it from the results")
-                continue
-        results.append((name, D, params))
+        if isinstance(item, str):
+            print(item)
+            continue
+        results.append(item)
     results.sort(key=lambda x: x[1])
     return results
 
@@ -170,7 +197,7 @@ def plot_fits(data, results, plotfit):
 def find_dist(inputseq="default", k_mer=4, log2="Log2.post", models="common10",
               subsetting=True, subset_size=100000, fit_model=True,
               statsmethod="ks", progress_bar=False, plotfit=None,
-              outputname=None):
+              outputname=None, n_jobs=1):
     """Find the best-fitting distribution of background pairwise similarities.
 
     API parity with seekr/find_dist.py:82 (same signature, same outputs: a
@@ -219,7 +246,7 @@ def find_dist(inputseq="default", k_mer=4, log2="Log2.post", models="common10",
               "are both large, subsetting is recommended to save time")
 
     results = fit_distributions(sim_triu, names, statsmethod=statsmethod,
-                                progress_bar=progress_bar)
+                                progress_bar=progress_bar, n_jobs=n_jobs)
     if plotfit:
         plot_fits(sim_triu, results, plotfit)
     if outputname:

@@ -1,0 +1,35 @@
+#!/usr/bin/env bash
+# End-to-end CLI chain on the reference example fixtures (no network).
+# Counterpart of the reference's tests/integration.sh (which pip-installs
+# and runs on downloaded GENCODE data); this one is hermetic.
+set -euo pipefail
+
+REPO="$(cd "$(dirname "$0")/.." && pwd)"
+FIXTURES="${SEEKR_FIXTURES:-/root/reference/seekr/tests/data}"
+FA="$FIXTURES/example.fa"
+WORK="$(mktemp -d)"
+trap 'rm -rf "$WORK"' EXIT
+cd "$WORK"
+
+run() { PYTHONPATH="$REPO" python -m seekr_tpu.cli "$@"; }
+
+K=2
+run norm_vectors "$FA" -k $K -mv mean.npy -sv std.npy
+run kmer_counts  "$FA" -k $K -mv mean.npy -sv std.npy -o counts.csv
+run pearson      counts.csv counts.csv -o pearson.csv
+run find_dist    "$FA" -k $K -fm -mdl norm,uniform -o fitres
+run find_pval    "$FA" "$FA" mean.npy std.npy $K fitres.csv -o pvals
+run adj_pval     pvals.csv fdr_bh -o adj
+run kmer_heatmap pvals.csv 0 1 -o hm -hf png
+run kmer_dendrogram pearson.csv -o dendro
+run kmer_count_barplot "$FA" mean.npy std.npy $K -o cb
+run kmer_msd_barplot   "$FA" mean.npy std.npy $K -o msd
+run kmer_comp_textplot "$FA" "$FA" 'AAAA,GGG' -o comp
+run kmer_indi_textplot "$FA" 'ATTT' -op ./
+run kmer_leiden "$FA" mean.npy std.npy $K -sd -pn net -cf gephi || true  # 5 seqs: tiny graph
+
+for f in counts.csv pearson.csv fitres.csv pvals.csv adj.csv hm.png \
+         dendro.pdf cb.pdf msd.pdf comp.pdf; do
+  [[ -s "$f" ]] || { echo "MISSING ARTIFACT: $f"; exit 1; }
+done
+echo "integration: all artifacts produced"

@@ -37,6 +37,16 @@ def test_resolve_models():
     assert resolve_models(["norm", "not_a_dist"]) == ["norm"]
 
 
+def test_fit_distributions_parallel_matches_sequential():
+    rng = np.random.default_rng(5)
+    data = rng.normal(size=2000)
+    seq = fit_distributions(data, ["norm", "uniform", "expon"],
+                            statsmethod="ks")
+    par = fit_distributions(data, ["norm", "uniform", "expon"],
+                            statsmethod="ks", n_jobs=3)
+    assert [(n, p) for n, _, p in seq] == [(n, p) for n, _, p in par]
+
+
 def test_fit_distributions_norm_recovers_params():
     rng = np.random.default_rng(1)
     data = rng.normal(loc=2.0, scale=0.5, size=5000)
