@@ -146,8 +146,12 @@ def fit_distributions(data, names, statsmethod="ks", progress_bar=False,
     raw = []
     if n_jobs > 1:
         import concurrent.futures as cf
+        import multiprocessing as mp
 
-        with cf.ProcessPoolExecutor(max_workers=n_jobs) as pool:
+        # spawn, not fork: the parent holds JAX's thread pools and
+        # forking a multithreaded process can deadlock
+        ctx = mp.get_context("spawn")
+        with cf.ProcessPoolExecutor(max_workers=n_jobs, mp_context=ctx) as pool:
             futures = [pool.submit(_fit_one, name, data, statsmethod)
                        for name in names]
             iterable = my_tqdm()(futures) if progress_bar else futures
