@@ -95,7 +95,8 @@ def find_pval(seq1file, seq2file, mean_path, std_path, k_mer, fitres,
 
         distname, _, params = fitres[bestfit - 1]
         distribution = getattr(stats, distname)(*params)
-        p_values = 1.0 - distribution.cdf(sim)
+        # float32 like the reference's np.zeros_like(sim) accumulator
+        p_values = (1.0 - distribution.cdf(sim)).astype(sim.dtype)
         return _emit(p_values, header1, header2, outputname)
 
     if isinstance(fitres, np.ndarray):

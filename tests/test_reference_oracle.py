@@ -1,0 +1,83 @@
+"""Side-by-side oracle tests against the mounted reference implementation.
+
+Imports the actual upstream package (read-only at /root/reference) and
+compares whole pipeline stages on its larger test corpora (111 and 151 real
+transcripts).  Skipped when the reference is not mounted.
+"""
+
+import sys
+
+import numpy as np
+import pytest
+
+REFERENCE = "/root/reference"
+
+
+@pytest.fixture(scope="module")
+def ref_pkg():
+    sys.path.insert(0, REFERENCE)
+    try:
+        from seekr.kmer_counts import BasicCounter as RefCounter
+        from seekr.pearson import pearson as ref_pearson
+    except ImportError:
+        pytest.skip("reference package not importable")
+    finally:
+        sys.path.remove(REFERENCE)
+    return RefCounter, ref_pearson
+
+
+@pytest.fixture(scope="module")
+def seqs_fastas(ref_data):
+    return (str(ref_data.parent / "seqs1.fa"), str(ref_data.parent / "seqs2.fa"))
+
+
+@pytest.mark.parametrize("log2", ["Log2.none", "Log2.pre", "Log2.post"])
+def test_counts_match_reference_all_log2_modes(ref_pkg, seqs_fastas, log2):
+    from seekr_tpu import BasicCounter
+
+    RefCounter, _ = ref_pkg
+    fa1, _ = seqs_fastas
+    ours = BasicCounter(fa1, k=3, log2=log2, silent=True)
+    ours.get_counts()
+    ref = RefCounter(fa1, k=3, log2=log2, silent=True)
+    ref.get_counts()
+    np.testing.assert_allclose(ours.counts, ref.counts, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ours.mean), ref.mean,
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ours.std), ref.std,
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_raw_counts_match_reference(ref_pkg, seqs_fastas):
+    from seekr_tpu import BasicCounter
+
+    RefCounter, _ = ref_pkg
+    _, fa2 = seqs_fastas
+    ours = BasicCounter(fa2, k=4, mean=False, std=False, log2="Log2.none",
+                        silent=True)
+    ours.get_counts()
+    ref = RefCounter(fa2, k=4, mean=False, std=False, log2="Log2.none",
+                     silent=True)
+    ref.get_counts()
+    np.testing.assert_allclose(ours.counts, ref.counts, rtol=1e-4, atol=1e-4)
+
+
+def test_cross_pearson_matches_reference(ref_pkg, seqs_fastas, tmp_path):
+    from seekr_tpu import BasicCounter, pearson
+
+    RefCounter, ref_pearson = ref_pkg
+    fa1, fa2 = seqs_fastas
+    o1 = BasicCounter(fa1, k=3, silent=True)
+    o1.get_counts()
+    mean, std = tmp_path / "m.npy", tmp_path / "s.npy"
+    np.save(mean, o1.mean)
+    np.save(std, o1.std)
+    o2 = BasicCounter(fa2, k=3, mean=str(mean), std=str(std), silent=True)
+    o2.get_counts()
+    r1 = RefCounter(fa1, k=3, silent=True)
+    r1.get_counts()
+    r2 = RefCounter(fa2, k=3, mean=str(mean), std=str(std), silent=True)
+    r2.get_counts()
+    np.testing.assert_allclose(
+        pearson(o1.counts, o2.counts), ref_pearson(r1.counts, r2.counts),
+        rtol=1e-3, atol=1e-4)
