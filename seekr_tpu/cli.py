@@ -134,11 +134,19 @@ def _parse_args_or_exit(parser, argv=None):
     if not argv:
         parser.print_help()
         sys.exit(0)
-    # persistent XLA cache: later invocations skip the 20-60s bucket compiles
+    return parser.parse_args(argv)
+
+
+def _enable_xla_cache():
+    """Persistent XLA cache so later runs skip the 20-60s bucket compiles.
+
+    Called only by device-backed commands — it imports JAX, which the pure
+    host commands (heatmap, dendrogram, adj_pval, textplots, downloader,
+    filter) must not pay for.
+    """
     from seekr_tpu.utils.compile_cache import enable_compilation_cache
 
     enable_compilation_cache()
-    return parser.parse_args(argv)
 
 
 def _formatter():
@@ -244,6 +252,7 @@ def console_kmer_counts(argv=None):
     parser.add_argument("-a", "--alphabet", default="AGTC",
                         help="Valid letters to include in kmer.")
     args = _parse_args_or_exit(parser, argv)
+    _enable_xla_cache()
     _run_kmer_counts(args.fasta, args.outfile, int(args.kmer), args.binary,
                      args.uncentered, args.unstandardized, args.log2,
                      args.remove_labels, args.mean_vector, args.std_vector,
@@ -288,6 +297,7 @@ def console_pearson(argv=None):
     parser.add_argument("-bo", "--binary_output", action="store_true",
                         help="Set if output should be a .npy file.")
     args = _parse_args_or_exit(parser, argv)
+    _enable_xla_cache()
     _run_pearson(args.counts1, args.counts2, args.outfile, args.binary_input,
                  args.binary_output)
 
@@ -319,6 +329,7 @@ def console_norm_vectors(argv=None):
     parser.add_argument("-k", "--kmer", default=6,
                         help="length of kmers you want to count")
     args = _parse_args_or_exit(parser, argv)
+    _enable_xla_cache()
     _run_norm_vectors(args.fasta, args.mean_vector, args.std_vector,
                       args.log2, int(args.kmer))
 
@@ -359,6 +370,7 @@ def console_find_dist(argv=None):
                              "(extension; useful with -mdl all).")
     args = _parse_args_or_exit(parser, argv)
 
+    _enable_xla_cache()
     if args.models not in ("common10", "all"):
         modelslist = args.models.split(",")
     else:
@@ -415,6 +427,7 @@ def console_find_pval(argv=None):
                         help="show a progress bar during calculation.")
     args = _parse_args_or_exit(parser, argv)
 
+    _enable_xla_cache()
     fitres = parse_fitres_csv(args.fitres_file, args.fitres_type)
     find_pval(args.seq1file, args.seq2file, args.mean_path, args.std_path,
               int(args.kmer), fitres, args.log2, int(args.bestfit),
@@ -569,6 +582,7 @@ def console_kmer_leiden(argv=None):
                         help="Gephi nodes/edges csv prefix.")
     args = _parse_args_or_exit(parser, argv)
 
+    _enable_xla_cache()
     kmer_leiden(args.fasta, args.mean_path, args.std_path, int(args.kmer),
                 args.algo, float(args.rs), float(args.pearsoncutoff),
                 args.setseed, args.edgecolormethod, float(args.edgethreshold),
@@ -612,6 +626,7 @@ def console_kmer_count_barplot(argv=None):
     parser.add_argument("-d", "--pdpi", default=300, help="output dpi.")
     args = _parse_args_or_exit(parser, argv)
 
+    _enable_xla_cache()
     kmer_count_barplot(args.fasta, args.mean_path, args.std_path,
                        int(args.kmer), args.log2, args.sortmethod,
                        int(args.topkmernumber), int(args.xlabelsize),
@@ -656,6 +671,7 @@ def console_kmer_msd_barplot(argv=None):
     parser.add_argument("-d", "--pdpi", default=300, help="output dpi.")
     args = _parse_args_or_exit(parser, argv)
 
+    _enable_xla_cache()
     kmer_msd_barplot(args.fasta, args.mean_path, args.std_path,
                      int(args.kmer), args.log2, args.sortstat,
                      args.sortmethod, int(args.topkmernumber),

@@ -99,6 +99,37 @@ class EncodedSeqs:
         return int(self.lengths.sum())
 
 
+def _assemble_buckets(lengths, k, min_bucket_len, row_multiple,
+                      max_rows_per_bucket, encode_chunk):
+    """Shared bucket assembly: group by padded length, pad rows to a power
+    of two (>= ``row_multiple``), delegate the row content to
+    ``encode_chunk(ids, lpad) -> [len(ids), lpad] int8``.
+
+    Keeping one copy of this policy guarantees the Python and native
+    encoders produce identically-shaped buckets.
+    """
+    by_bucket = {}
+    for i, n in enumerate(lengths):
+        lpad = pick_bucket_length(int(n), k, min_bucket_len)
+        by_bucket.setdefault(lpad, []).append(i)
+
+    buckets = []
+    for lpad in sorted(by_bucket):
+        ids = by_bucket[lpad]
+        step = max_rows_per_bucket or len(ids)
+        for j in range(0, len(ids), step):
+            chunk = ids[j:j + step]
+            rows = row_multiple
+            while rows < len(chunk):
+                rows *= 2
+            bases = np.full((rows, lpad), INVALID, dtype=np.int8)
+            bases[: len(chunk)] = encode_chunk(chunk, lpad)
+            blens = np.zeros(rows, dtype=np.int32)
+            blens[: len(chunk)] = lengths[chunk]
+            buckets.append((bases, blens, np.asarray(chunk, dtype=np.int64)))
+    return buckets
+
+
 def encode_seqs(
     seqs: Sequence[str],
     k: int,
@@ -117,30 +148,15 @@ def encode_seqs(
     lut = base_lut(alphabet)
     lengths = np.fromiter((len(s) for s in seqs), dtype=np.int32, count=len(seqs))
 
-    by_bucket = {}
-    for i, seq in enumerate(seqs):
-        lpad = pick_bucket_length(len(seq), k, min_bucket_len)
-        by_bucket.setdefault(lpad, []).append(i)
+    def encode_chunk(ids, lpad):
+        out = np.full((len(ids), lpad), INVALID, dtype=np.int8)
+        for r, i in enumerate(ids):
+            raw = np.frombuffer(seqs[i].encode("ascii"), dtype=np.uint8)
+            out[r, : raw.size] = lut[raw]
+        return out
 
-    buckets = []
-    for lpad in sorted(by_bucket):
-        ids = by_bucket[lpad]
-        if max_rows_per_bucket:
-            chunks = [ids[j:j + max_rows_per_bucket] for j in range(0, len(ids), max_rows_per_bucket)]
-        else:
-            chunks = [ids]
-        for chunk in chunks:
-            rows = row_multiple
-            while rows < len(chunk):
-                rows *= 2
-            bases = np.full((rows, lpad), INVALID, dtype=np.int8)
-            blens = np.zeros(rows, dtype=np.int32)
-            for r, i in enumerate(chunk):
-                raw = np.frombuffer(seqs[i].encode("ascii"), dtype=np.uint8)
-                bases[r, : raw.size] = lut[raw]
-                blens[r] = raw.size
-            buckets.append((bases, blens, np.asarray(chunk, dtype=np.int64)))
-
+    buckets = _assemble_buckets(lengths, k, min_bucket_len, row_multiple,
+                                max_rows_per_bucket, encode_chunk)
     return EncodedSeqs(buckets=buckets, n_seqs=len(seqs), alphabet=alphabet, lengths=lengths)
 
 
@@ -167,25 +183,9 @@ def encode_fasta(
         if native is not None and native.native_available():
             with native.NativeFasta(path) as nf:
                 lengths = nf.lengths().astype(np.int32)
-                by_bucket = {}
-                for i, n in enumerate(lengths):
-                    lpad = pick_bucket_length(int(n), k, min_bucket_len)
-                    by_bucket.setdefault(lpad, []).append(i)
-                buckets = []
-                for lpad in sorted(by_bucket):
-                    ids = by_bucket[lpad]
-                    step = max_rows_per_bucket or len(ids)
-                    for j in range(0, len(ids), step):
-                        chunk = ids[j:j + step]
-                        rows = row_multiple
-                        while rows < len(chunk):
-                            rows *= 2
-                        bases = np.full((rows, lpad), INVALID, dtype=np.int8)
-                        bases[: len(chunk)] = nf.encode_batch(chunk, lpad)
-                        blens = np.zeros(rows, dtype=np.int32)
-                        blens[: len(chunk)] = lengths[chunk]
-                        buckets.append((bases, blens,
-                                        np.asarray(chunk, dtype=np.int64)))
+                buckets = _assemble_buckets(
+                    lengths, k, min_bucket_len, row_multiple,
+                    max_rows_per_bucket, nf.encode_batch)
                 return EncodedSeqs(buckets=buckets, n_seqs=len(lengths),
                                    alphabet=alphabet, lengths=lengths)
 

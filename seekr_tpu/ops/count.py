@@ -75,7 +75,7 @@ def _count_impl(bases: jax.Array, lengths: jax.Array, k: int, scaled: bool = Tru
 
     # pad the window axis to a multiple of the chunk, then accumulate with a
     # scan so peak memory is bounded regardless of sequence length.
-    chunk = min(_POS_CHUNK, w) if w >= _POS_CHUNK else w
+    chunk = min(_POS_CHUNK, w)
     n_chunks = -(-w // chunk)
     wpad = n_chunks * chunk
     if wpad != w:

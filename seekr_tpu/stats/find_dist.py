@@ -80,8 +80,12 @@ def background_similarity(inputseq, k_mer=4, log2="Log2.post",
     np.save(mean_path, norm_counter.mean)
     np.save(std_path, norm_counter.std)
 
+    # parity quirk: the reference builds this second counter WITHOUT a log2
+    # argument (find_dist.py:156), so the counts fed into Pearson always use
+    # the default 'Log2.post' even when the user passed a different log2 for
+    # the norm-vector pass; reproduced faithfully
     counter = KmerCounter(inputseq, mean=mean_path, std=std_path, k=k_mer,
-                          log2=log2, silent=True)
+                          silent=True)
     counter.make_count_file()
     sim = pearson_blocked(counter.counts, counter.counts)
     return sim[np.triu_indices(sim.shape[0], k=1)]

@@ -6,9 +6,9 @@ fastas, then per-cell p-values from either a fitted scipy distribution
 
 TPU-native changes:
   * counting + Pearson run on device (KmerCounter / pearson).
-  * the empirical branch is a device-side sorted ``searchsorted`` (O(log N)
-    per cell) instead of the reference's O(N) Python loop per cell
-    (seekr/find_pval.py:157-164) — same values including tie handling.
+  * the empirical branch is a sorted ``searchsorted`` (O(log N) per cell,
+    float64) instead of the reference's O(N) Python loop per cell
+    (seekr/find_pval.py:157-164) — identical values including tie handling.
   * the fitted branch evaluates the vectorized scipy cdf over the whole
     matrix at once instead of a nested element loop
     (seekr/find_pval.py:130-133) — identical math.

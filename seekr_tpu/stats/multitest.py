@@ -121,14 +121,18 @@ def multipletests(pvals, alpha: float = 0.05, method: str = "fdr_bh",
     elif method == "fdr_by":
         reject, corrected = _fdr_correct(p_sorted, alpha, by=True)
     else:  # fdr_tsbh / fdr_tsbky — two-stage adaptive FDR
-        alpha_prime = alpha / (1 + alpha) if method == "fdr_tsbky" else alpha
+        # bky runs at alpha/(1+alpha) and scales corrected p back by
+        # (1+alpha), matching statsmodels' fdrcorrection_twostage
+        bky = method == "fdr_tsbky"
+        alpha_prime = alpha / (1 + alpha) if bky else alpha
+        post = (1 + alpha) if bky else 1.0
         rej1, corr1 = _fdr_correct(p_sorted, alpha_prime, by=False)
         r1 = int(rej1.sum())
         if r1 == 0 or r1 == n:
-            reject, corrected = rej1, corr1
+            reject, corrected = rej1, np.clip(corr1 * post, 0, 1)
         else:
             ntests0 = n - r1  # estimated number of true nulls
-            corrected = np.clip(corr1 * ntests0 / n, 0, 1)
+            corrected = np.clip(corr1 * post * ntests0 / n, 0, 1)
             reject, _ = _fdr_correct(p_sorted, alpha_prime * n / ntests0, by=False)
 
     if returnsorted:

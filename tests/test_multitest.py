@@ -86,7 +86,9 @@ def test_hommel_between_hochberg_and_holm():
 @pytest.mark.parametrize("method", ALL_METHODS)
 def test_single_pvalue(method):
     c = corrected(np.array([0.03]), method)
-    np.testing.assert_allclose(c, [0.03])
+    # fdr_tsbky scales by (1+alpha) like statsmodels' two-stage bky
+    expected = 0.03 * 1.05 if method == "fdr_tsbky" else 0.03
+    np.testing.assert_allclose(c, [expected])
 
 
 def test_shape_preserved():
