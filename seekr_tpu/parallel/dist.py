@@ -150,6 +150,45 @@ def count_long_sequence(mesh: Mesh, k: int):
     return jax.jit(mapped)
 
 
+def stream_pearson_sharded(mesh: Mesh, counts, writer, block_rows: int = 4096):
+    """All-pairs Pearson of a data-sharded count matrix, streamed to host.
+
+    For m large enough that the [m, m] r-matrix cannot live on any single
+    device (SURVEY.md hard part 5: GENCODE m up to ~180k => 10^10 cells):
+    the standardized matrix stays sharded over the 'data' axis; each row
+    block is broadcast (GSPMD all-gathers the small [block, n] operand over
+    ICI), every shard computes its column slice of the [block, m] tile, and
+    the replicated tile is appended to ``writer`` — the full matrix never
+    exists on device, and host memory holds one tile at a time.
+    """
+    data_shard = NamedSharding(mesh, P(DATA_AXIS, None))
+    repl = NamedSharding(mesh, P())
+
+    @functools.partial(jax.jit, in_shardings=(data_shard,),
+                       out_shardings=data_shard)
+    def standardize(c):
+        c = c.astype(jnp.float32)
+        c = c - jnp.mean(c, axis=1, keepdims=True)
+        return c / jnp.std(c, axis=1, keepdims=True)
+
+    @functools.partial(jax.jit, in_shardings=(data_shard, repl),
+                       out_shardings=repl)
+    def block_fn(c, blk):
+        d = jax.lax.dot_general(
+            blk, c, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return d / c.shape[1]
+
+    c = standardize(jnp.asarray(counts, dtype=jnp.float32))
+    m = c.shape[0]
+    for start in range(0, m, block_rows):
+        end = min(start + block_rows, m)
+        blk = jax.device_put(np.asarray(c[start:end]), repl)
+        writer.append(np.asarray(block_fn(c, blk)))
+
+
 def shard_long_sequence(digits: np.ndarray, k: int, n_dev: int) -> Tuple[np.ndarray, int]:
     """Host-side prep for count_long_sequence: chunk + halo + pad.
 

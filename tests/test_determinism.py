@@ -83,3 +83,18 @@ def test_sequence_parallel_deterministic_and_matches_single():
         jnp.asarray(digits[None, :]),
         jnp.asarray(np.array([len(digits)], np.int32)), k))[0]
     np.testing.assert_allclose(r1, single, rtol=1e-4, atol=1e-3)
+
+
+def test_stream_pearson_sharded_matches_dense(tmp_path):
+    from seekr_tpu.io.stream import StreamingNpyWriter
+    from seekr_tpu.models.pearson import pearson
+    from seekr_tpu.parallel.dist import stream_pearson_sharded
+
+    mesh = make_mesh(jax.devices()[:8])
+    rng = np.random.default_rng(21)
+    counts = rng.normal(size=(48, 64)).astype(np.float32)
+    dense = pearson(counts, counts)
+    path = str(tmp_path / "sim.npy")
+    with StreamingNpyWriter(path, (48, 48)) as w:
+        stream_pearson_sharded(mesh, counts, w, block_rows=16)
+    np.testing.assert_allclose(np.load(path), dense, rtol=1e-5, atol=1e-6)
