@@ -100,3 +100,14 @@ def test_device_vs_host_fuzz():
         host = count_kmers_host(seqs, k)
         dev = device_counts(seqs, k)
         np.testing.assert_allclose(dev, host, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("k", [7, 8])
+def test_large_k_device_counts(k):
+    """k=7/8 (16k/65k columns) exercise the asymmetric hi/lo split."""
+    rng = np.random.default_rng(k)
+    seqs = [rand_seq(rng, 300), rand_seq(rng, 550)]
+    host = count_kmers_host(seqs, k)
+    dev = device_counts(seqs, k)
+    np.testing.assert_allclose(dev, host, rtol=1e-4, atol=1e-4)
+    assert dev.shape == (2, 4 ** k)
