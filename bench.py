@@ -23,9 +23,10 @@ import time
 
 import numpy as np
 
-# Recorded on this container's CPU (reference seekr, m=512 subset of the
-# exact corpus below): transcripts/sec for count(k=6)+normalize+pearson.
-RECORDED_CPU_BASELINE_TPS = None  # measured live below when possible
+# Recorded on this container's CPU (reference seekr, 256-row subset of the
+# exact corpus below, extrapolated): transcripts/sec for
+# count(k=6)+normalize+pearson.  Used only if the reference is not mounted.
+RECORDED_CPU_BASELINE_TPS = 200.0
 
 M = 2048          # transcripts
 L_MIN, L_MAX = 512, 2048

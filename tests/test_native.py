@@ -126,3 +126,36 @@ def test_reader_uses_native_transparently(ref_data, tmp_path):
     r = Reader(str(messy))
     assert r.get_seqs() == ["ACGTGGCA", "TTTT"]
     assert r.get_headers() == [">h1|x", ">h2"]
+
+
+def test_native_fasta_edge_cases(tmp_path):
+    # CRLF line endings, no trailing newline, stray blank lines and tabs
+    messy = tmp_path / "edge.fa"
+    messy.write_bytes(b">h1\r\nAC\r\nGT\r\n\r\n>h2|x\n\ttt \naa")
+    with native.NativeFasta(str(messy)) as nf:
+        assert nf.headers() == [">h1", ">h2|x"]
+        assert nf.seqs() == ["ACGT", "TTAA"]
+    # python Reader agrees (strip + join + upper semantics)
+    r = Reader(str(messy))
+    assert r.get_seqs() == ["ACGT", "TTAA"]
+
+
+def test_native_fasta_empty_and_missing(tmp_path):
+    empty = tmp_path / "empty.fa"
+    empty.write_text("")
+    with native.NativeFasta(str(empty)) as nf:
+        assert len(nf) == 0
+    with pytest.raises(IOError):
+        native.NativeFasta(str(tmp_path / "nope.fa"))
+
+
+def test_native_encode_batch_truncates_long_rows(ref_data):
+    path = str(ref_data / "example.fa")
+    with native.NativeFasta(path) as nf:
+        lpad = 4
+        enc = nf.encode_batch(list(range(len(nf))), lpad)
+        assert enc.shape == (len(nf), lpad)
+        for i in range(len(nf)):
+            seq = nf.seq(i)[:lpad]
+            np.testing.assert_array_equal(enc[i, :len(seq)],
+                                          encode_seq(seq))
