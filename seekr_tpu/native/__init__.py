@@ -79,6 +79,9 @@ def _load():
     ]
     lib.seekr_encode_string.argtypes = [ctypes.c_char_p, ctypes.c_int64,
                                         ctypes.POINTER(ctypes.c_int8)]
+    lib.seekr_fasta_count_kmers.restype = ctypes.c_int64
+    lib.seekr_fasta_count_kmers.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                            ctypes.POINTER(ctypes.c_float)]
     _lib = lib
     return _lib
 
@@ -169,6 +172,20 @@ class NativeFasta:
 
     def seqs(self):
         return [self.seq(i) for i in range(len(self))]
+
+    def count_kmers(self, k: int) -> np.ndarray:
+        """[num_seqs, 4^k] float32 counts-per-kb, multithreaded on host.
+
+        Same semantics as the device engine and the reference's
+        ``occurrences`` loop; useful on accelerator-less hosts.
+        """
+        out = np.empty((len(self), 4 ** k), dtype=np.float32)
+        rc = self._lib.seekr_fasta_count_kmers(
+            self._h, int(k),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+        if rc != 0:
+            raise ValueError(f"count_kmers failed (k={k})")
+        return out
 
     def encode_batch(self, ids: Sequence[int], lpad: int) -> np.ndarray:
         """[len(ids), lpad] int8 digit matrix, padded with 4 (INVALID)."""

@@ -159,3 +159,27 @@ def test_native_encode_batch_truncates_long_rows(ref_data):
             seq = nf.seq(i)[:lpad]
             np.testing.assert_array_equal(enc[i, :len(seq)],
                                           encode_seq(seq))
+
+
+def test_native_count_kmers_matches_oracle(ref_data):
+    from seekr_tpu.ops.count import count_kmers_host
+
+    for name in ("example.fa", "example2.fa"):
+        path = str(ref_data / name)
+        with native.NativeFasta(path) as nf:
+            for k in (1, 2, 3, 6):
+                got = nf.count_kmers(k)
+                oracle = count_kmers_host(nf.seqs(), k)
+                np.testing.assert_allclose(got, oracle, rtol=1e-5, atol=1e-4)
+
+
+def test_native_count_kmers_invalid_bases(tmp_path):
+    from seekr_tpu.ops.count import count_kmers_host
+
+    fa = tmp_path / "n.fa"
+    fa.write_text(">a\nAGTCNNAGTCNAG\n>b\nAG\n")
+    with native.NativeFasta(str(fa)) as nf:
+        got = nf.count_kmers(3)
+        oracle = count_kmers_host(nf.seqs(), 3)
+        np.testing.assert_allclose(got, oracle, rtol=1e-5, atol=1e-4)
+    assert (got[1] == 0).all()  # shorter than k -> zero row
