@@ -186,32 +186,37 @@ int64_t seekr_fasta_count_kmers(void* h, int64_t k, float* out) {
   int64_t n_threads = std::min<int64_t>(
       std::max<int64_t>(1, std::thread::hardware_concurrency()), std::max<int64_t>(m, 1));
   auto worker = [&](int64_t t) {
+    // sparse accumulation: rows touch at most w distinct codes, usually
+    // far fewer than 4^k, so only touched bins are scaled and re-zeroed;
+    // the dense output row is cleared with one memset
     std::vector<int64_t> row(static_cast<size_t>(n_cols), 0);
+    std::vector<int64_t> touched;
     for (int64_t s = t; s < m; s += n_threads) {
       const std::string& seq = ff->seqs[size_t(s)];
       float* out_row = out + s * n_cols;
       int64_t n = int64_t(seq.size());
       int64_t w = n - k + 1;
-      std::fill(row.begin(), row.end(), 0);
-      if (w >= 1) {
-        uint64_t code = 0;
-        int64_t run = 0;  // consecutive valid bases ending here
-        for (int64_t i = 0; i < n; ++i) {
-          signed char d = kDigit[(unsigned char)seq[size_t(i)]];
-          if (d >= 4) {
-            run = 0;
-            code = 0;
-          } else {
-            code = ((code << 2) | uint64_t(d)) & mask;
-            if (++run >= k) ++row[size_t(code)];
+      std::memset(out_row, 0, size_t(n_cols) * sizeof(float));
+      if (w < 1) continue;
+      touched.clear();
+      uint64_t code = 0;
+      int64_t run = 0;  // consecutive valid bases ending here
+      for (int64_t i = 0; i < n; ++i) {
+        signed char d = kDigit[(unsigned char)seq[size_t(i)]];
+        if (d >= 4) {
+          run = 0;
+          code = 0;
+        } else {
+          code = ((code << 2) | uint64_t(d)) & mask;
+          if (++run >= k) {
+            if (row[size_t(code)]++ == 0) touched.push_back(int64_t(code));
           }
         }
-        double scale = 1000.0 / double(w);
-        for (int64_t c = 0; c < n_cols; ++c) {
-          out_row[c] = float(double(row[size_t(c)]) * scale);
-        }
-      } else {
-        std::fill(out_row, out_row + n_cols, 0.0f);
+      }
+      double scale = 1000.0 / double(w);
+      for (int64_t c : touched) {
+        out_row[c] = float(double(row[size_t(c)]) * scale);
+        row[size_t(c)] = 0;
       }
     }
   };
