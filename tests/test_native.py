@@ -183,3 +183,28 @@ def test_native_count_kmers_invalid_bases(tmp_path):
         oracle = count_kmers_host(nf.seqs(), 3)
         np.testing.assert_allclose(got, oracle, rtol=1e-5, atol=1e-4)
     assert (got[1] == 0).all()  # shorter than k -> zero row
+
+
+def test_leiden_modularity_competitive_with_louvain():
+    """On SBM graphs our Leiden engine should reach modularity at least on
+    par with networkx's Louvain (both optimize the same objective)."""
+    import networkx as nx
+
+    rng = np.random.default_rng(42)
+    sizes = [30, 25, 20, 25]
+    p_in, p_out = 0.35, 0.02
+    G = nx.stochastic_block_model(sizes, [[p_in if i == j else p_out
+                                           for j in range(4)]
+                                          for i in range(4)], seed=7)
+    edges = np.array(G.edges())
+    m = native.leiden(edges[:, 0], edges[:, 1], None, G.number_of_nodes(),
+                      algo="ModularityVertexPartition", seed=5)
+    ours = [set(np.nonzero(m == c)[0].tolist())
+            for c in range(m.max() + 1)]
+    q_ours = nx.community.modularity(G, ours)
+
+    louvain = nx.community.louvain_communities(G, seed=5)
+    q_louvain = nx.community.modularity(G, louvain)
+    assert q_ours >= q_louvain - 0.02, (q_ours, q_louvain)
+    # and the planted blocks are essentially recovered
+    assert 3 <= len(ours) <= 6
