@@ -81,3 +81,45 @@ def test_cross_pearson_matches_reference(ref_pkg, seqs_fastas, tmp_path):
     np.testing.assert_allclose(
         pearson(o1.counts, o2.counts), ref_pearson(r1.counts, r2.counts),
         rtol=1e-3, atol=1e-4)
+
+
+def test_find_dist_rvalues_match_reference(ref_pkg, seqs_fastas, tmp_path,
+                                           monkeypatch):
+    """fit_model=False r-value arrays agree (no RNG subsetting)."""
+    monkeypatch.chdir(tmp_path)
+    sys.path.insert(0, REFERENCE)
+    try:
+        from seekr.find_dist import find_dist as ref_find_dist
+    finally:
+        sys.path.remove(REFERENCE)
+    from seekr_tpu.stats import find_dist
+
+    fa1, _ = seqs_fastas
+    ours = find_dist(inputseq=fa1, k_mer=2, fit_model=False, subsetting=False)
+    theirs = ref_find_dist(inputseq=fa1, k_mer=2, fit_model=False,
+                           subsetting=False)
+    assert ours.shape == theirs.shape
+    np.testing.assert_allclose(np.sort(ours), np.sort(theirs),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_find_pval_empirical_matches_reference(ref_pkg, seqs_fastas, tmp_path,
+                                               monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    sys.path.insert(0, REFERENCE)
+    try:
+        from seekr.find_pval import find_pval as ref_find_pval
+    finally:
+        sys.path.remove(REFERENCE)
+    from seekr_tpu.stats import find_dist, find_pval
+
+    fa1, fa2 = seqs_fastas
+    bkg = find_dist(inputseq=fa1, k_mer=2, fit_model=False, subsetting=False)
+    mean, std = "bkg_mean_2mers.npy", "bkg_std_2mers.npy"
+    ours = find_pval(fa1, fa2, mean, std, 2, fitres=bkg, progress_bar=False)
+    theirs = ref_find_pval(fa1, fa2, mean, std, 2, fitres=bkg,
+                           progress_bar=False)
+    assert list(ours.index) == list(theirs.index)
+    assert list(ours.columns) == list(theirs.columns)
+    np.testing.assert_allclose(ours.values, theirs.values,
+                               rtol=1e-4, atol=2e-3)
