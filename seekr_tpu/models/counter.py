@@ -28,6 +28,7 @@ from seekr_tpu.io.encode import encode_fasta, encode_seqs, kmer_strings
 from seekr_tpu.io.fasta import Reader
 from seekr_tpu.ops.count import count_kmers_device, count_kmers_host
 from seekr_tpu.ops.normalize import normalize_counts
+from seekr_tpu.utils.logging import stage_timer
 from seekr_tpu.utils.progress import my_tqdm
 
 
@@ -157,7 +158,9 @@ class KmerCounter:
 
     def get_counts(self):
         """Generate the (normalized) count matrix for the fasta file."""
-        raw = self._raw_counts()
+        with stage_timer("kmer_counts", items=len(self.seqs or ()),
+                         unit="transcripts"):
+            raw = self._raw_counts()
         counts, mean, std = normalize_counts(
             raw, log2_mode=self.log2, mean=self.mean, std=self.std,
         )

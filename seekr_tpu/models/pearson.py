@@ -17,12 +17,15 @@ _BLOCK_THRESHOLD = 64_000_000
 
 def pearson(counts1, counts2, row_standardize: bool = True, outfile: str | None = None) -> np.ndarray:
     """Calculates a row-standardized Pearson correlation matrix on device."""
+    from seekr_tpu.utils.logging import stage_timer
+
     c1 = np.asarray(counts1, dtype=np.float32)
     c2 = np.asarray(counts2, dtype=np.float32)
-    if c1.shape[0] * c2.shape[0] > _BLOCK_THRESHOLD:
-        dist = pearson_blocked(c1, c2, row_standardize=row_standardize)
-    else:
-        dist = np.asarray(pearson_device(c1, c2, row_standardize=row_standardize))
+    with stage_timer("pearson", items=c1.shape[0] * c2.shape[0], unit="cells"):
+        if c1.shape[0] * c2.shape[0] > _BLOCK_THRESHOLD:
+            dist = pearson_blocked(c1, c2, row_standardize=row_standardize)
+        else:
+            dist = np.asarray(pearson_device(c1, c2, row_standardize=row_standardize))
     if outfile:
         np.save(outfile, dist)
     return dist
