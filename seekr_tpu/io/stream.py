@@ -97,6 +97,7 @@ def stream_pearson(counts1, counts2, writer, block_rows: int = 4096,
     import jax.numpy as jnp
 
     from seekr_tpu.ops.pearson import _row_standardize
+    from seekr_tpu.ops.precision import pearson_precision
 
     c1 = jnp.asarray(counts1, dtype=jnp.float32)
     c2 = jnp.asarray(counts2, dtype=jnp.float32)
@@ -110,7 +111,7 @@ def stream_pearson(counts1, counts2, writer, block_rows: int = 4096,
         d = jax.lax.dot_general(
             a, b, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=pearson_precision(),
         )
         return d / n
 

@@ -20,6 +20,8 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from seekr_tpu.ops.precision import pearson_precision
+
 from seekr_tpu.ops.math import accurate_log2
 
 from seekr_tpu.ops.count import _count_impl
@@ -73,7 +75,7 @@ class SeekrPipeline:
         sim = jax.lax.dot_general(
             c, c, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=pearson_precision(),
         )
         return sim / c.shape[1]
 

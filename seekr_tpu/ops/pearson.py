@@ -17,6 +17,8 @@ import functools
 
 import jax
 import jax.numpy as jnp
+
+from seekr_tpu.ops.precision import pearson_precision
 import numpy as np
 
 
@@ -39,7 +41,7 @@ def pearson_device(counts1, counts2, row_standardize: bool = True) -> jax.Array:
         c1, c2,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=pearson_precision(),
     )
     return dist / c1.shape[1]
 
@@ -65,7 +67,7 @@ def pearson_blocked(counts1, counts2, row_standardize: bool = True,
         d = jax.lax.dot_general(
             a, b, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=pearson_precision(),
         )
         return d / n
 

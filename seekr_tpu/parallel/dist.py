@@ -24,6 +24,8 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+
+from seekr_tpu.ops.precision import pearson_precision
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -64,7 +66,7 @@ def _pipeline_fn(bases, lengths, k: int, log2: str, mesh: Mesh):
     sim = jax.lax.dot_general(
         c, c, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=pearson_precision(),
     ) / c.shape[1]
     sim = jax.lax.with_sharding_constraint(
         sim, NamedSharding(mesh, P(DATA_AXIS, None)))
@@ -177,7 +179,7 @@ def stream_pearson_sharded(mesh: Mesh, counts, writer, block_rows: int = 4096):
         d = jax.lax.dot_general(
             blk, c, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=pearson_precision(),
         )
         return d / c.shape[1]
 
