@@ -17,9 +17,9 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from seekr_tpu.ops.precision import pearson_precision
-import numpy as np
 
 
 @jax.jit

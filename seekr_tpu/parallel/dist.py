@@ -24,13 +24,12 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-
-from seekr_tpu.ops.precision import pearson_precision
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from seekr_tpu.models.pipeline import _normalize_graph
 from seekr_tpu.ops.count import _count_impl
+from seekr_tpu.ops.precision import pearson_precision
 from seekr_tpu.parallel.mesh import DATA_AXIS, KMER_AXIS
 
 
