@@ -127,7 +127,10 @@ def count_kmers_device(bases, lengths, k: int) -> jax.Array:
     if _use_pallas():
         from seekr_tpu.ops.count_pallas import count_kmers_pallas
 
-        return count_kmers_pallas(jnp.asarray(bases), jnp.asarray(lengths), k)
+        # non-TPU backends only support the kernel in interpreter mode
+        interpret = jax.default_backend() != "tpu"
+        return count_kmers_pallas(jnp.asarray(bases), jnp.asarray(lengths), k,
+                                  interpret=interpret)
     return _count_impl(jnp.asarray(bases), jnp.asarray(lengths), k)
 
 
