@@ -208,3 +208,66 @@ def test_leiden_modularity_competitive_with_louvain():
     assert q_ours >= q_louvain - 0.02, (q_ours, q_louvain)
     # and the planted blocks are essentially recovered
     assert 3 <= len(ours) <= 6
+
+
+def test_leiden_edge_cases():
+    # single node, no edges
+    m = native.leiden(np.array([], np.int64), np.array([], np.int64), None, 1,
+                      algo="modularity", seed=1)
+    np.testing.assert_array_equal(m, [0])
+    # all isolated nodes
+    m = native.leiden(np.array([], np.int64), np.array([], np.int64), None, 5,
+                      algo="modularity", seed=1)
+    assert len(set(m.tolist())) == 5  # each its own community
+    # self-loops only
+    m = native.leiden(np.array([0, 1]), np.array([0, 1]),
+                      np.array([2.0, 3.0]), 3, algo="modularity", seed=1)
+    assert m.shape == (3,)
+    # disconnected pair of edges
+    m = native.leiden(np.array([0, 2]), np.array([1, 3]), None, 4,
+                      algo="modularity", seed=1)
+    assert m[0] == m[1] and m[2] == m[3] and m[0] != m[2]
+    # star graph stays one community under modularity
+    n = 8
+    m = native.leiden(np.zeros(n - 1, np.int64), np.arange(1, n), None, n,
+                      algo="modularity", seed=1)
+    assert len(set(m.tolist())) == 1
+
+
+def test_leiden_fuzz_random_graphs():
+    """Random graphs: membership is always a valid compact labeling and
+    deterministic under a fixed seed, for every quality function."""
+    rng = np.random.default_rng(0)
+    for trial in range(8):
+        n = int(rng.integers(2, 60))
+        n_edges = int(rng.integers(0, n * 3))
+        src = rng.integers(0, n, n_edges)
+        dst = rng.integers(0, n, n_edges)
+        w = rng.uniform(0.1, 2.0, n_edges)
+        algo = str(rng.choice(ALGOS))
+        m1 = native.leiden(src, dst, w, n, algo=algo, seed=trial)
+        m2 = native.leiden(src, dst, w, n, algo=algo, seed=trial)
+        np.testing.assert_array_equal(m1, m2)
+        assert m1.min() == 0
+        labels = set(m1.tolist())
+        assert labels == set(range(len(labels)))  # compact ids
+
+
+def test_leiden_modularity_never_negative_vs_singletons():
+    """Modularity of the found partition >= modularity of all-singletons
+    (which the algorithm starts from) on weighted random graphs."""
+    import networkx as nx
+
+    rng = np.random.default_rng(3)
+    for trial in range(4):
+        G = nx.gnp_random_graph(40, 0.12, seed=trial)
+        if G.number_of_edges() == 0:
+            continue
+        edges = np.array(G.edges())
+        m = native.leiden(edges[:, 0], edges[:, 1], None, 40,
+                          algo="ModularityVertexPartition", seed=trial)
+        parts = [set(np.nonzero(m == c)[0].tolist())
+                 for c in range(m.max() + 1)]
+        q = nx.community.modularity(G, parts)
+        q_singletons = nx.community.modularity(G, [{v} for v in G.nodes()])
+        assert q >= q_singletons - 1e-12
