@@ -51,7 +51,12 @@ def leiden_membership(df, algo="RBERVertexPartition", rs=1.0, setseed=False):
             f"algo must be one of {list(native.ALGORITHMS)}, got {algo!r}")
     vals = df.values
     src, dst = np.nonzero(np.triu(vals > 0, k=1))
-    weights = vals[src, dst].astype(np.float64)
+    # Significance is defined for unweighted graphs only; the reference runs
+    # it without weights (kmer_leiden.py:131-134) — every edge counts as 1
+    if algo == "SignificanceVertexPartition":
+        weights = None
+    else:
+        weights = vals[src, dst].astype(np.float64)
     resolution = rs if algo in _RESOLUTION_ALGOS else 1.0
     seed = 1 if setseed else None
     return native.leiden(src.astype(np.int64), dst.astype(np.int64), weights,

@@ -183,11 +183,17 @@ def encode_fasta(
         if native is not None and native.native_available():
             with native.NativeFasta(path) as nf:
                 lengths = nf.lengths().astype(np.int32)
-                buckets = _assemble_buckets(
-                    lengths, k, min_bucket_len, row_multiple,
-                    max_rows_per_bucket, nf.encode_batch)
-                return EncodedSeqs(buckets=buckets, n_seqs=len(lengths),
-                                   alphabet=alphabet, lengths=lengths)
+                # same sanity gate as Reader._native_lines: a parse that
+                # produced no records or an empty sequence means the C++
+                # parser disagrees with Python line semantics (e.g. CR-only
+                # files) -> fall through to the Python path instead of
+                # silently emitting wrong buckets
+                if len(lengths) > 0 and (lengths > 0).all():
+                    buckets = _assemble_buckets(
+                        lengths, k, min_bucket_len, row_multiple,
+                        max_rows_per_bucket, nf.encode_batch)
+                    return EncodedSeqs(buckets=buckets, n_seqs=len(lengths),
+                                       alphabet=alphabet, lengths=lengths)
 
     from seekr_tpu.io.fasta import Reader
 

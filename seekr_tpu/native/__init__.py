@@ -143,11 +143,17 @@ class NativeFasta:
         if not self._h:
             raise IOError(f"could not open fasta: {path}")
 
+    def _handle(self):
+        """Guard against use-after-close: a null handle would segfault."""
+        if not self._h:
+            raise ValueError("NativeFasta is closed")
+        return self._h
+
     def __len__(self) -> int:
-        return int(self._lib.seekr_fasta_num_seqs(self._h))
+        return int(self._lib.seekr_fasta_num_seqs(self._handle()))
 
     def header(self, i: int) -> str:
-        n = self._lib.seekr_fasta_header_len(self._h, i)
+        n = self._lib.seekr_fasta_header_len(self._handle(), i)
         if n < 0:
             raise IndexError(i)
         buf = ctypes.create_string_buffer(n)
@@ -155,7 +161,7 @@ class NativeFasta:
         return buf.raw.decode()
 
     def seq(self, i: int) -> str:
-        n = self._lib.seekr_fasta_seq_len(self._h, i)
+        n = self._lib.seekr_fasta_seq_len(self._handle(), i)
         if n < 0:
             raise IndexError(i)
         buf = ctypes.create_string_buffer(n)
@@ -181,7 +187,7 @@ class NativeFasta:
         """
         out = np.empty((len(self), 4 ** k), dtype=np.float32)
         rc = self._lib.seekr_fasta_count_kmers(
-            self._h, int(k),
+            self._handle(), int(k),
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
         if rc != 0:
             raise ValueError(f"count_kmers failed (k={k})")
@@ -192,7 +198,7 @@ class NativeFasta:
         ids_arr = np.ascontiguousarray(ids, dtype=np.int64)
         out = np.empty((len(ids_arr), lpad), dtype=np.int8)
         rc = self._lib.seekr_fasta_encode_batch(
-            self._h,
+            self._handle(),
             ids_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
             len(ids_arr), lpad,
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),

@@ -1,8 +1,9 @@
 """Build the native shared library (g++) with content-hash caching.
 
-The library is rebuilt only when a source file changes; the cached .so lives
-in ``seekr_tpu/native/_build/``.  No external build system is required —
-plain g++ with -O3 -march=native -fPIC.
+The library is rebuilt only when a source file or the compile flags change;
+the cached .so lives in ``seekr_tpu/native/_build/``.  No external build
+system is required — plain portable g++ -O3 (no -march, so a cached .so
+remains valid if the container migrates hosts).
 """
 
 from __future__ import annotations
@@ -16,6 +17,7 @@ _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC_DIR = os.path.join(_HERE, "src")
 _BUILD_DIR = os.path.join(_HERE, "_build")
 _SOURCES = ("leiden.cpp", "fastio.cpp")
+_FLAGS = ["-O3", "-std=c++17", "-fPIC", "-shared", "-pthread"]
 _LOCK = threading.Lock()
 
 
@@ -25,6 +27,7 @@ class NativeBuildError(RuntimeError):
 
 def _source_hash() -> str:
     h = hashlib.sha256()
+    h.update(" ".join(_FLAGS).encode())
     for name in _SOURCES:
         with open(os.path.join(_SRC_DIR, name), "rb") as f:
             h.update(f.read())
@@ -39,10 +42,11 @@ def build_native_lib() -> str:
         if os.path.exists(lib_path):
             return lib_path
         os.makedirs(_BUILD_DIR, exist_ok=True)
-        cmd = [
-            "g++", "-O3", "-std=c++17", "-fPIC", "-shared", "-pthread",
-            "-o", lib_path + ".tmp",
-        ] + [os.path.join(_SRC_DIR, s) for s in _SOURCES]
+        # per-process tmp target: concurrent first-time builds in separate
+        # processes must not interleave output before the atomic publish
+        tmp_path = f"{lib_path}.tmp.{os.getpid()}"
+        cmd = ["g++", *_FLAGS, "-o", tmp_path] + [
+            os.path.join(_SRC_DIR, s) for s in _SOURCES]
         try:
             proc = subprocess.run(cmd, capture_output=True, text=True,
                                   timeout=300)
@@ -51,5 +55,5 @@ def build_native_lib() -> str:
         if proc.returncode != 0:
             raise NativeBuildError(
                 f"g++ failed ({proc.returncode}):\n{proc.stderr}")
-        os.replace(lib_path + ".tmp", lib_path)
+        os.replace(tmp_path, lib_path)
         return lib_path

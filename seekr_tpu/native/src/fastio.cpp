@@ -52,6 +52,10 @@ void* seekr_fasta_open(const char* path) {
   if (!f) return nullptr;
   std::fseek(f, 0, SEEK_END);
   long size = std::ftell(f);
+  if (size < 0) {  // unseekable (FIFO/stdin): caller falls back to Python
+    std::fclose(f);
+    return nullptr;
+  }
   std::fseek(f, 0, SEEK_SET);
   std::string buf(size_t(size), '\0');
   if (size > 0 && std::fread(&buf[0], 1, size_t(size), f) != size_t(size)) {
@@ -67,10 +71,13 @@ void* seekr_fasta_open(const char* path) {
   while (pos < buf.size()) {
     size_t eol = buf.find('\n', pos);
     size_t end = (eol == std::string::npos) ? buf.size() : eol;
-    // strip \r and trailing spaces
+    // strip the same whitespace set as Python str.strip()
+    auto is_ws = [](char c) {
+      return c == ' ' || c == '\t' || c == '\r' || c == '\v' || c == '\f';
+    };
     size_t b = pos, e = end;
-    while (e > b && (buf[e - 1] == '\r' || buf[e - 1] == ' ' || buf[e - 1] == '\t')) --e;
-    while (b < e && (buf[b] == ' ' || buf[b] == '\t')) ++b;
+    while (e > b && is_ws(buf[e - 1])) --e;
+    while (b < e && is_ws(buf[b])) ++b;
     if (b < e) {
       if (buf[b] == '>') {
         if (have_record) ff->seqs.push_back(std::move(cur_seq));
@@ -188,8 +195,10 @@ int64_t seekr_fasta_count_kmers(void* h, int64_t k, float* out) {
   auto worker = [&](int64_t t) {
     // sparse accumulation: rows touch at most w distinct codes, usually
     // far fewer than 4^k, so only touched bins are scaled and re-zeroed;
-    // the dense output row is cleared with one memset
-    std::vector<int64_t> row(static_cast<size_t>(n_cols), 0);
+    // the dense output row is cleared with one memset.  uint32 bins keep
+    // per-thread scratch at 4*4^k bytes (64 MB at the k=12 cap); a single
+    // sequence cannot exceed 2^32 windows of one k-mer in practice.
+    std::vector<uint32_t> row(static_cast<size_t>(n_cols), 0);
     std::vector<int64_t> touched;
     for (int64_t s = t; s < m; s += n_threads) {
       const std::string& seq = ff->seqs[size_t(s)];

@@ -133,18 +133,6 @@ class Leiden {
   Leiden(Quality q, double gamma, uint64_t seed)
       : quality_(q), gamma_(gamma), rng_(seed) {}
 
-  // Global quality terms that the scalar diff can't capture for
-  // surprise/significance are evaluated from partition aggregates.
-  double surprise_quality(const Graph& g, const Partition& p) const {
-    double m = g.total_w;
-    if (m <= 0) return 0;
-    double npairs = 0.5 * double(g.total_size) * double(g.total_size - 1);
-    if (npairs <= 0) return 0;
-    double q = p.m_in / m;
-    double qhat = p.pairs_in / npairs;
-    return m * kl(q, qhat);
-  }
-
   double significance_comm(const Graph& g, double e_c, int64_t size_c) const {
     double pairs_c = 0.5 * double(size_c) * double(size_c - 1);
     if (pairs_c <= 0) return 0;

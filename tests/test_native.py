@@ -271,3 +271,34 @@ def test_leiden_modularity_never_negative_vs_singletons():
         q = nx.community.modularity(G, parts)
         q_singletons = nx.community.modularity(G, [{v} for v in G.nodes()])
         assert q >= q_singletons - 1e-12
+
+
+def test_native_fasta_use_after_close_raises(ref_data):
+    nf = native.NativeFasta(str(ref_data / "example.fa"))
+    nf.close()
+    with pytest.raises(ValueError):
+        len(nf)
+    with pytest.raises(ValueError):
+        nf.seq(0)
+    with pytest.raises(ValueError):
+        nf.count_kmers(2)
+
+
+def test_significance_runs_unweighted(ref_data, tmp_path):
+    """Significance memberships must not depend on edge weights."""
+    import pandas as pd
+    from seekr_tpu.graph.kmer_leiden import leiden_membership
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(12, 20))
+    sim = np.corrcoef(x)
+    sim[sim < 0] = 0
+    np.fill_diagonal(sim, 0)
+    names = [f"s{i}" for i in range(12)]
+    df = pd.DataFrame(sim, index=names, columns=names)
+    m1 = leiden_membership(df, algo="SignificanceVertexPartition",
+                           setseed=True)
+    df2 = df * 7.5  # weight scaling must not change the result
+    m2 = leiden_membership(df2, algo="SignificanceVertexPartition",
+                           setseed=True)
+    np.testing.assert_array_equal(m1, m2)
