@@ -261,6 +261,11 @@ def console_kmer_counts(argv=None):
 
 # -- pearson -----------------------------------------------------------------
 
+# outputs beyond this many cells are streamed in row blocks instead of
+# materializing the full matrix + a pandas frame on host
+_STREAM_CELLS = 64_000_000
+
+
 def _run_pearson(counts1, counts2, outfile, binary_input, binary_output):
     import numpy as np
     import pandas as pd
@@ -276,6 +281,27 @@ def _run_pearson(counts1, counts2, outfile, binary_input, binary_output):
         counts2 = pd.read_csv(counts2, index_col=0)
         names1 = counts1.index.values
         names2 = counts2.index.values
+
+    n_cells = counts1.shape[0] * counts2.shape[0]
+    if n_cells > _STREAM_CELLS:
+        from seekr_tpu.io.stream import (StreamingCsvWriter,
+                                         StreamingNpyWriter, stream_pearson)
+
+        if binary_output:
+            writer = StreamingNpyWriter(outfile,
+                                        (counts1.shape[0], counts2.shape[0]))
+        else:
+            writer = StreamingCsvWriter(
+                outfile,
+                columns=(names2 if names2 is not None
+                         else range(counts2.shape[0])),
+                row_labels=(names1 if names1 is not None
+                            else range(counts1.shape[0])),
+                fmt="%s")
+        with writer:
+            stream_pearson(np.asarray(counts1, dtype=np.float32),
+                           np.asarray(counts2, dtype=np.float32), writer)
+        return
 
     if binary_output:
         pearson(counts1, counts2, outfile=outfile)

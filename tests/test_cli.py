@@ -157,3 +157,26 @@ def test_parse_fitres_csv_roundtrip(tmp_path):
     path2 = str(tmp_path / "raw.csv")
     np.savetxt(path2, arr, delimiter=",")
     np.testing.assert_allclose(parse_fitres_csv(path2, "npy"), arr)
+
+
+def test_run_pearson_streams_large_outputs(ref_data, example_fa, tmp_path,
+                                           monkeypatch):
+    """Above the cell threshold the CLI streams row blocks to disk."""
+    counts_csv = str(tmp_path / "c.csv")
+    _run_kmer_counts(example_fa, counts_csv, 2, False, True, True,
+                     "Log2.post", False, None, None, "AGTC")
+    dense_out = str(tmp_path / "dense.csv")
+    _run_pearson(counts_csv, counts_csv, dense_out, False, False)
+
+    monkeypatch.setattr(cli, "_STREAM_CELLS", 1)  # force streaming
+    stream_out = str(tmp_path / "stream.csv")
+    _run_pearson(counts_csv, counts_csv, stream_out, False, False)
+    a = pd.read_csv(dense_out, index_col=0)
+    b = pd.read_csv(stream_out, index_col=0)
+    assert list(a.index) == list(b.index)
+    np.testing.assert_allclose(a.values, b.values, rtol=1e-5, atol=1e-6)
+
+    npy_out = str(tmp_path / "stream")
+    _run_pearson(counts_csv, counts_csv, npy_out, False, True)
+    np.testing.assert_allclose(np.load(npy_out + ".npy"), a.values,
+                               rtol=1e-5, atol=1e-6)
