@@ -118,6 +118,10 @@ def bench_reference_cpu(bases, lengths):
 
 
 def main():
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from seekr_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     bases, lengths = synth_corpus()
     tps, step_time = bench_tpu(bases, lengths)
     baseline_tps = bench_reference_cpu(bases, lengths)
