@@ -14,9 +14,6 @@ unit the distributed layer shards over a mesh (seekr_tpu.parallel.dist).
 
 from __future__ import annotations
 
-import functools
-from typing import Optional, Tuple
-
 import jax
 import jax.numpy as jnp
 

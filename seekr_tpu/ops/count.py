@@ -36,8 +36,6 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from seekr_tpu.io.encode import INVALID, base_lut
-
 # Positions processed per accumulation step; bounds the transient one-hot
 # buffers to rows * _POS_CHUNK * (n_hi + n_lo) bf16 elements.
 _POS_CHUNK = 512
