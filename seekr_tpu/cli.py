@@ -128,6 +128,17 @@ Example:
   $ seekr_kmer_indi_textplot rnas.fa 'ATTA,AAAA' -op plots/
 """
 
+PIPELINE_DOC = """
+One-shot end-to-end analysis (extension): background norm vectors +
+empirical null, query counts, all-pairs Pearson, empirical p-values, and
+multiple-test correction — all in-memory, artifacts written once.
+Equivalent to the chain seekr_norm_vectors -> seekr_kmer_counts ->
+seekr_pearson -> seekr_find_dist -> seekr_find_pval -> seekr_adj_pval.
+
+Example:
+  $ seekr_tpu_pipeline queries.fa -b gencode_lncRNA.fa -k 6 -o results/
+"""
+
 
 def _parse_args_or_exit(parser, argv=None):
     argv = sys.argv[1:] if argv is None else argv
@@ -794,6 +805,41 @@ def console_kmer_indi_textplot(argv=None):
                        args.plotformat, int(args.plotdpi))
 
 
+# -- pipeline (extension) ----------------------------------------------------
+
+def console_pipeline(argv=None):
+    from seekr_tpu.models.workflow import run_workflow
+
+    parser = argparse.ArgumentParser(usage=PIPELINE_DOC,
+                                     formatter_class=_formatter())
+    parser.add_argument("seq1file", help="query fasta (rows of the output).")
+    parser.add_argument("-s2", "--seq2file", default=None,
+                        help="second fasta (columns); default: seq1file.")
+    parser.add_argument("-b", "--background", required=True,
+                        help="background fasta for norm vectors + null.")
+    parser.add_argument("-k", "--kmer", default=6, help="k-mer length.")
+    parser.add_argument("-l", "--log2", default="Log2.post",
+                        choices=["Log2.post", "Log2.pre", "Log2.none"],
+                        help="log2 transform mode.")
+    parser.add_argument("-m", "--method", default="fdr_bh",
+                        help="multiple-comparison correction method.")
+    parser.add_argument("-a", "--alpha", default=0.05,
+                        help="family-wise error rate.")
+    parser.add_argument("-sbs", "--subset_size", default=100000,
+                        help="max null-sample size.")
+    parser.add_argument("-sd", "--seed", default=None,
+                        help="seed for null subsampling.")
+    parser.add_argument("-o", "--outdir", default="seekr_out",
+                        help="artifact output directory.")
+    args = _parse_args_or_exit(parser, argv)
+    _enable_xla_cache()
+    run_workflow(args.seq1file, args.seq2file, args.background,
+                 k=int(args.kmer), log2=args.log2, adj_method=args.method,
+                 alpha=float(args.alpha), outdir=args.outdir,
+                 subset_size=int(args.subset_size),
+                 seed=None if args.seed is None else int(args.seed))
+
+
 # -- seekr help --------------------------------------------------------------
 
 _CMDS2DOC = {
@@ -855,6 +901,7 @@ COMMANDS = {
     "kmer_msd_barplot": console_kmer_msd_barplot,
     "kmer_comp_textplot": console_kmer_comp_textplot,
     "kmer_indi_textplot": console_kmer_indi_textplot,
+    "pipeline": console_pipeline,
     "help": console_seekr_help,
 }
 

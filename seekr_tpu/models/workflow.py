@@ -1,0 +1,111 @@
+"""One-shot end-to-end workflow: background -> counts -> Pearson -> p-values.
+
+The reference workflow is five console invocations communicating through CSV
+files on disk (norm_vectors -> kmer_counts x2 -> pearson -> find_dist ->
+find_pval -> adj_pval).  This module runs the same chain as one in-memory
+program: every device stage feeds the next without a host round-trip, and
+artifacts are written once at the end.  It is an extension — the individual
+reference-compatible commands still exist for drop-in use.
+
+Stages (device unless noted):
+  1. background fasta -> norm vectors (mean/std of counts/kb)
+  2. background self-Pearson upper triangle = empirical null sample
+  3. query fastas -> normalized counts (background mean/std)
+  4. query1 x query2 Pearson
+  5. empirical p-values (sorted background + searchsorted; float64, host)
+  6. multiple-test correction (host)
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from seekr_tpu.io.fasta import Reader
+from seekr_tpu.models.counter import KmerCounter
+from seekr_tpu.models.pearson import pearson
+from seekr_tpu.ops.ecdf import empirical_pvals
+from seekr_tpu.ops.pearson import pearson_blocked
+from seekr_tpu.stats.adj_pval import adj_pval
+from seekr_tpu.utils.logging import stage_timer
+
+
+def run_workflow(seq1file, seq2file=None, background=None, k=6,
+                 log2="Log2.post", adj_method="fdr_bh", alpha=0.05,
+                 outdir="seekr_out", subset_size=100_000, seed=None):
+    """Full analysis in one call; returns a dict of results.
+
+    seq2file=None compares seq1file against itself.  ``background`` provides
+    the normalization vectors and the empirical null distribution (required).
+    Artifacts written to ``outdir``: mean/std .npy, counts CSVs, pearson CSV,
+    pvals CSV, adjusted pvals CSV.
+    """
+    import pandas as pd
+
+    if background is None:
+        raise ValueError("a background fasta is required (norm vectors + "
+                         "empirical null)")
+    seq2file = seq2file or seq1file
+    os.makedirs(outdir, exist_ok=True)
+
+    with stage_timer("workflow/background"):
+        bkg = KmerCounter(background, k=k, log2=log2, silent=True)
+        bkg.get_counts()
+        mean = np.asarray(bkg.mean)
+        std = np.asarray(bkg.std)
+        np.save(os.path.join(outdir, f"mean_{k}mers.npy"), mean)
+        np.save(os.path.join(outdir, f"std_{k}mers.npy"), std)
+        # null sample: background self-similarity, upper triangle
+        # (the second counter keeps default log2 like the reference
+        # find_dist quirk — see stats/find_dist.py)
+        bkg_counted = KmerCounter(background, mean=mean, std=std, k=k,
+                                  silent=True)
+        bkg_counted.get_counts()
+        sim_bkg = pearson_blocked(bkg_counted.counts, bkg_counted.counts)
+        null_sample = sim_bkg[np.triu_indices(sim_bkg.shape[0], k=1)]
+        if len(null_sample) > subset_size:
+            rng = np.random.default_rng(seed)
+            null_sample = rng.choice(null_sample, size=subset_size,
+                                     replace=False)
+
+    with stage_timer("workflow/counts"):
+        c1 = KmerCounter(seq1file, mean=mean, std=std, k=k, log2=log2,
+                         silent=True)
+        c1.get_counts()
+        headers1 = [h[1:] for h in Reader(seq1file).get_headers()]
+        if seq2file == seq1file:
+            c2, headers2 = c1, headers1
+        else:
+            c2 = KmerCounter(seq2file, mean=mean, std=std, k=k, log2=log2,
+                             silent=True)
+            c2.get_counts()
+            headers2 = [h[1:] for h in Reader(seq2file).get_headers()]
+
+    with stage_timer("workflow/pearson", items=len(headers1) * len(headers2),
+                     unit="cells"):
+        sim = pearson(c1.counts, c2.counts)
+
+    with stage_timer("workflow/pvalues"):
+        pvals = np.asarray(empirical_pvals(null_sample, sim),
+                           dtype=sim.dtype)
+        pval_df = pd.DataFrame(pvals, index=headers1, columns=headers2)
+        adj_df = adj_pval(pval_df, method=adj_method, alpha=alpha)
+
+    with stage_timer("workflow/artifacts"):
+        pd.DataFrame(c1.counts, index=headers1, columns=c1.kmers).to_csv(
+            os.path.join(outdir, "counts1.csv"))
+        if c2 is not c1:
+            pd.DataFrame(c2.counts, index=headers2, columns=c2.kmers).to_csv(
+                os.path.join(outdir, "counts2.csv"))
+        pd.DataFrame(sim, index=headers1, columns=headers2).to_csv(
+            os.path.join(outdir, "pearson.csv"))
+        pval_df.to_csv(os.path.join(outdir, "pvals.csv"))
+        if adj_df is not None:
+            adj_df.to_csv(os.path.join(outdir, "pvals_adjusted.csv"))
+
+    return {
+        "mean": mean, "std": std, "null_sample": null_sample,
+        "counts1": c1.counts, "counts2": c2.counts, "pearson": sim,
+        "pvals": pval_df, "pvals_adjusted": adj_df,
+    }

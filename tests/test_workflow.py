@@ -1,0 +1,83 @@
+"""Tests for the one-shot end-to-end workflow (extension command).
+
+The workflow must produce the same numbers as the equivalent chain of
+reference-compatible commands run step by step.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from seekr_tpu.cli import main
+from seekr_tpu.models.counter import KmerCounter
+from seekr_tpu.models.pearson import pearson
+from seekr_tpu.models.workflow import run_workflow
+from seekr_tpu.ops.ecdf import empirical_pvals
+
+
+@pytest.fixture(scope="module")
+def corpora(ref_data):
+    return (str(ref_data.parent / "ldseq.fa"),   # queries (21 seqs)
+            str(ref_data.parent / "seqs1.fa"))   # background (111 seqs)
+
+
+def test_workflow_matches_stepwise_chain(corpora, tmp_path):
+    queries, background = corpora
+    k = 2
+    res = run_workflow(queries, background=background, k=k,
+                       outdir=str(tmp_path / "out"), subset_size=10 ** 9)
+
+    # stepwise oracle
+    bkg = KmerCounter(background, k=k, silent=True)
+    bkg.get_counts()
+    np.testing.assert_allclose(res["mean"], np.asarray(bkg.mean), rtol=1e-6)
+    np.testing.assert_allclose(res["std"], np.asarray(bkg.std), rtol=1e-6)
+
+    c1 = KmerCounter(queries, mean=np.asarray(bkg.mean),
+                     std=np.asarray(bkg.std), k=k, silent=True)
+    c1.get_counts()
+    np.testing.assert_allclose(res["counts1"], c1.counts, rtol=1e-5,
+                               atol=1e-5)
+    sim = pearson(c1.counts, c1.counts)
+    np.testing.assert_allclose(res["pearson"], sim, rtol=1e-5, atol=1e-5)
+
+    bkg2 = KmerCounter(background, mean=np.asarray(bkg.mean),
+                       std=np.asarray(bkg.std), k=k, silent=True)
+    bkg2.get_counts()
+    bsim = pearson(bkg2.counts, bkg2.counts)
+    null = bsim[np.triu_indices(bsim.shape[0], k=1)]
+    expected_p = np.asarray(empirical_pvals(null, sim), dtype=sim.dtype)
+    np.testing.assert_allclose(res["pvals"].values, expected_p, atol=1e-6)
+
+    # adjusted upper triangle is the corrected version of pvals
+    adj = res["pvals_adjusted"]
+    assert adj is not None
+    assert np.isnan(np.diag(adj.values)).all()
+
+
+def test_workflow_artifacts_and_cli(corpora, tmp_path, monkeypatch):
+    queries, background = corpora
+    monkeypatch.chdir(tmp_path)
+    assert main(["pipeline", queries, "-b", background, "-k", "2",
+                 "-o", "res", "-sbs", "500", "-sd", "0"]) == 0
+    for artifact in ("mean_2mers.npy", "std_2mers.npy", "counts1.csv",
+                     "pearson.csv", "pvals.csv", "pvals_adjusted.csv"):
+        assert (tmp_path / "res" / artifact).exists(), artifact
+    pv = pd.read_csv(tmp_path / "res" / "pvals.csv", index_col=0)
+    assert pv.shape == (21, 21)
+    assert ((pv.values >= 0) & (pv.values <= 1)).all()
+
+
+def test_workflow_requires_background(corpora):
+    queries, _ = corpora
+    with pytest.raises(ValueError):
+        run_workflow(queries)
+
+
+def test_workflow_two_different_fastas(corpora, tmp_path):
+    queries, background = corpora
+    res = run_workflow(queries, seq2file=background, background=background,
+                       k=2, outdir=str(tmp_path / "x"), subset_size=100,
+                       seed=1)
+    assert res["pearson"].shape == (21, 111)
+    assert (tmp_path / "x" / "counts2.csv").exists()
