@@ -49,6 +49,11 @@ class Log2:
 # (rows * 512 positions * 128 lanes * 2B ~ 64MB at 512 rows).
 _MAX_ROWS_PER_BUCKET = 512
 
+# Sequences longer than this are counted via the chunked (sequence-parallel)
+# path instead of padding a power-of-two bucket to their full length — e.g.
+# the 88kb Airn transcript would otherwise force a 131072-column bucket.
+_LONG_SEQ_THRESHOLD = 16384
+
 
 class KmerCounter:
     """Generates overlapping kmer counts for a fasta file on TPU.
@@ -136,24 +141,48 @@ class KmerCounter:
         if self.alpha_len != 4:
             return count_kmers_host(self.seqs, self.k, self.alphabet)
 
-        if self.infasta is not None and self.seqs is self._file_seqs:
+        long_ids = [i for i, s in enumerate(self.seqs)
+                    if len(s) > _LONG_SEQ_THRESHOLD]
+        out = np.zeros((len(self.seqs), 4 ** self.k), dtype=np.float32)
+
+        if long_ids:
+            # chunked (sequence-parallel) counting for very long transcripts
+            from seekr_tpu.io.encode import encode_seq
+            from seekr_tpu.ops.count import count_kmers_long
+
+            for i in long_ids:
+                out[i] = count_kmers_long(encode_seq(self.seqs[i]), self.k)
+            short = [s for i, s in enumerate(self.seqs) if i not in set(long_ids)]
+            short_ids = np.array([i for i in range(len(self.seqs))
+                                  if i not in set(long_ids)], dtype=np.int64)
+            if not len(short):
+                return out
+            encoded = encode_seqs(
+                short, self.k, self.alphabet,
+                max_rows_per_bucket=_MAX_ROWS_PER_BUCKET,
+            )
+            id_map = short_ids
+        elif self.infasta is not None and self.seqs is self._file_seqs:
             # native C++ parse + multithreaded batch encode when available
             encoded = encode_fasta(
                 self.infasta, self.k, self.alphabet,
                 max_rows_per_bucket=_MAX_ROWS_PER_BUCKET,
             )
+            id_map = None
         else:
             encoded = encode_seqs(
                 self.seqs, self.k, self.alphabet,
                 max_rows_per_bucket=_MAX_ROWS_PER_BUCKET,
             )
-        out = np.zeros((len(self.seqs), 4 ** self.k), dtype=np.float32)
+            id_map = None
+
         buckets = encoded.buckets
         if not self.silent:
             buckets = my_tqdm()(buckets, desc="Kmers", leave=self.leave)
         for bases, lengths, row_ids in buckets:
             res = np.asarray(count_kmers_device(bases, lengths, self.k))
-            out[row_ids] = res[: len(row_ids)]
+            dest = row_ids if id_map is None else id_map[row_ids]
+            out[dest] = res[: len(row_ids)]
         return out
 
     def get_counts(self):

@@ -132,6 +132,50 @@ def count_kmers_device(bases, lengths, k: int) -> jax.Array:
     return _count_impl(jnp.asarray(bases), jnp.asarray(lengths), k)
 
 
+def split_long_digits(digits: np.ndarray, k: int, n_chunks: int):
+    """Split one digit sequence into overlapping chunks for parallel count.
+
+    Chunks tile the window-start positions with a (k-1)-base halo so every
+    window is counted exactly once; tail padding is INVALID (4) so phantom
+    windows contribute nothing.  Returns ([n_chunks, chunk + k - 1] int8,
+    n_windows).
+    """
+    L = digits.shape[0]
+    n_windows = L - k + 1
+    chunk = -(-L // n_chunks)
+    padded = np.full(chunk * n_chunks + k - 1, 4, dtype=np.int8)
+    padded[:L] = digits
+    chunks = np.stack([padded[i * chunk: i * chunk + chunk + k - 1]
+                       for i in range(n_chunks)])
+    return chunks, n_windows
+
+
+def count_kmers_long(digits: np.ndarray, k: int,
+                     target_chunk: int = 8192) -> np.ndarray:
+    """Histogram of ONE very long sequence via chunked device counting.
+
+    Sequence-parallel decomposition on a single device: instead of padding a
+    90kb transcript to a 131k-column bucket, count ~``target_chunk``-sized
+    chunks as rows (halo of k-1 bases) and sum the partial histograms —
+    bounded compile shapes and no padding waste.  Same result as counting
+    the sequence whole.
+    """
+    L = digits.shape[0]
+    if L - k + 1 < 1:
+        return np.zeros((1 << (2 * k),), dtype=np.float32)
+    n_chunks = max(1, -(-L // target_chunk))
+    # power-of-two chunk-count buckets keep compiled shapes bounded
+    rows = 1
+    while rows < n_chunks:
+        rows *= 2
+    chunks, n_windows = split_long_digits(digits, k, rows)
+    lengths = np.full(rows, chunks.shape[1], dtype=np.int32)
+    partial = _count_impl(jnp.asarray(chunks), jnp.asarray(lengths), k,
+                          scaled=False)
+    total = jnp.sum(partial, axis=0)
+    return np.asarray(total * (1000.0 / n_windows), dtype=np.float32)
+
+
 def count_kmers_host(seqs: Sequence[str], k: int, alphabet: str = "AGTC") -> np.ndarray:
     """Vectorized numpy counter for arbitrary alphabets (parity oracle).
 

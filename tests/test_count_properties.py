@@ -111,3 +111,30 @@ def test_large_k_device_counts(k):
     dev = device_counts(seqs, k)
     np.testing.assert_allclose(dev, host, rtol=1e-4, atol=1e-4)
     assert dev.shape == (2, 4 ** k)
+
+
+def test_count_kmers_long_matches_whole():
+    from seekr_tpu.ops.count import count_kmers_long
+    from seekr_tpu.io.encode import encode_seq
+
+    rng = np.random.default_rng(9)
+    seq = rand_seq(rng, 50_000, BASES + "N")
+    k = 6
+    whole = count_kmers_host([seq], k)[0]
+    chunked = count_kmers_long(encode_seq(seq), k, target_chunk=4096)
+    np.testing.assert_allclose(chunked, whole, rtol=1e-4, atol=1e-3)
+
+
+def test_counter_long_sequence_path():
+    """KmerCounter routes >16kb transcripts through chunked counting."""
+    from seekr_tpu.models.counter import KmerCounter
+
+    rng = np.random.default_rng(10)
+    seqs = [rand_seq(rng, 20_000), rand_seq(rng, 300), rand_seq(rng, 18_000),
+            rand_seq(rng, 700)]
+    counter = KmerCounter(k=3, mean=False, std=False, log2="Log2.none",
+                          silent=True)
+    counter.seqs = seqs
+    got = counter.get_counts()
+    oracle = count_kmers_host(seqs, 3)
+    np.testing.assert_allclose(got, oracle, rtol=1e-4, atol=1e-3)
