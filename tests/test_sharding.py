@@ -86,3 +86,11 @@ def test_graft_entry_contract():
     out = fn(*args)
     assert out.shape == (args[0].shape[0], args[0].shape[0])
     mod.dryrun_multichip(8)
+
+
+def test_init_distributed_single_process_noop():
+    from seekr_tpu.parallel.dist import init_distributed
+
+    # must not raise or attempt a rendezvous
+    init_distributed()
+    init_distributed(num_processes=1)

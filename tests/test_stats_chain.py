@@ -125,3 +125,35 @@ def test_adj_pval_asymmetric_full_matrix(tmp_path, monkeypatch):
 
 def test_adj_pval_non_dataframe_returns_none():
     assert adj_pval(np.zeros((2, 2)), method="bonferroni") is None
+
+
+def test_find_dist_plotfit_and_outputs(ref_data, example_fa, tmp_path,
+                                       monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    results = find_dist(inputseq=example_fa, k_mer=2, fit_model=True,
+                        models=["norm", "uniform"], subsetting=False,
+                        plotfit="fitplot", outputname="fitres")
+    assert len(results) == 2
+    assert (tmp_path / "fitplot.pdf").exists()
+    assert (tmp_path / "fitres.csv").exists()
+    df = pd.read_csv(tmp_path / "fitres.csv")
+    assert list(df.columns) == ["distribution_name", "D_statistics", "params"]
+
+
+@pytest.mark.parametrize("statsmethod", ["mse", "aic", "bic"])
+def test_fit_distributions_other_statsmethods(statsmethod):
+    rng = np.random.default_rng(6)
+    data = rng.normal(size=3000)
+    results = fit_distributions(data, ["norm", "uniform"],
+                                statsmethod=statsmethod)
+    assert len(results) == 2
+    # norm must beat uniform on normal data for every metric
+    assert results[0][0] == "norm"
+
+
+def test_fit_distributions_invalid_statsmethod_falls_back(capsys):
+    rng = np.random.default_rng(7)
+    results = fit_distributions(rng.normal(size=500), ["norm"],
+                                statsmethod="bogus")
+    assert "valid statsmethod" in capsys.readouterr().out
+    assert results[0][0] == "norm"
