@@ -152,11 +152,13 @@ class KmerCounter:
 
             for i in long_ids:
                 out[i] = count_kmers_long(encode_seq(self.seqs[i]), self.k)
-            short = [s for i, s in enumerate(self.seqs) if i not in set(long_ids)]
-            short_ids = np.array([i for i in range(len(self.seqs))
-                                  if i not in set(long_ids)], dtype=np.int64)
-            if not len(short):
+            long_set = set(long_ids)
+            short_pairs = [(i, s) for i, s in enumerate(self.seqs)
+                           if i not in long_set]
+            if not short_pairs:
                 return out
+            short_ids = np.array([i for i, _ in short_pairs], dtype=np.int64)
+            short = [s for _, s in short_pairs]
             encoded = encode_seqs(
                 short, self.k, self.alphabet,
                 max_rows_per_bucket=_MAX_ROWS_PER_BUCKET,

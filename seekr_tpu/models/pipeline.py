@@ -17,7 +17,6 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from seekr_tpu.ops.precision import pearson_precision
 
 from seekr_tpu.ops.math import accurate_log2
 
@@ -66,15 +65,10 @@ class SeekrPipeline:
 
     def forward(self, bases, lengths, mean=None, std=None) -> jax.Array:
         """Full pipeline: encoded sequences -> [m, m] Pearson r matrix."""
+        from seekr_tpu.ops.pearson import pearson_graph
+
         normalized, _, _ = self.counts(bases, lengths, mean, std)
-        c = normalized - jnp.mean(normalized, axis=1, keepdims=True)
-        c = c / jnp.std(c, axis=1, keepdims=True)
-        sim = jax.lax.dot_general(
-            c, c, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=pearson_precision(),
-        )
-        return sim / c.shape[1]
+        return pearson_graph(normalized)
 
     def jit_forward(self):
         return jax.jit(self.forward)

@@ -29,6 +29,23 @@ def _row_standardize(c):
     return c / jnp.std(c, axis=1, keepdims=True)
 
 
+def pearson_graph(c: jax.Array) -> jax.Array:
+    """Traced (jit-composable) self-Pearson: row-standardize + Gram / n.
+
+    The shared building block for the fused pipeline and the sharded
+    distributed pipeline; equivalent to ``pearson_device(c, c)``.
+    """
+    c = c - jnp.mean(c, axis=1, keepdims=True)
+    c = c / jnp.std(c, axis=1, keepdims=True)
+    sim = jax.lax.dot_general(
+        c, c,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=pearson_precision(),
+    )
+    return sim / c.shape[1]
+
+
 @functools.partial(jax.jit, static_argnames=("row_standardize",))
 def pearson_device(counts1, counts2, row_standardize: bool = True) -> jax.Array:
     """[m1, n] x [m2, n] -> [m1, m2] Pearson r matrix (float32)."""

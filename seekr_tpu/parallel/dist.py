@@ -56,17 +56,13 @@ def _pipeline_fn(bases, lengths, k: int, log2: str, mesh: Mesh):
     moments reduce over the sharded row axis (psum), the Pearson GEMM
     contracts the (optionally kmer-sharded) column axis.
     """
+    from seekr_tpu.ops.pearson import pearson_graph
+
     raw = _count_impl(bases, lengths, k)
     raw = jax.lax.with_sharding_constraint(
         raw, NamedSharding(mesh, P(DATA_AXIS, KMER_AXIS)))
     normalized, mean, std = _normalize_graph(raw, None, None, log2)
-    c = normalized - jnp.mean(normalized, axis=1, keepdims=True)
-    c = c / jnp.std(c, axis=1, keepdims=True)
-    sim = jax.lax.dot_general(
-        c, c, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=pearson_precision(),
-    ) / c.shape[1]
+    sim = pearson_graph(normalized)
     sim = jax.lax.with_sharding_constraint(
         sim, NamedSharding(mesh, P(DATA_AXIS, None)))
     return normalized, mean, std, sim
