@@ -42,7 +42,8 @@ def test_no_row_standardize():
     rng = np.random.default_rng(3)
     a = rng.normal(size=(3, 8)).astype(np.float32)
     expected = np.inner(a, a) / a.shape[1]
-    assert np.allclose(pearson(a, a, row_standardize=False), expected, rtol=1e-5, atol=1e-5)
+    assert np.allclose(pearson(a, a, row_standardize=False), expected,
+                       rtol=1e-4, atol=1e-4)  # documented parity budget
 
 
 def test_outfile(tmp_path):
