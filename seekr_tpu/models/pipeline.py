@@ -20,7 +20,7 @@ import jax.numpy as jnp
 
 from seekr_tpu.ops.math import accurate_log2
 
-from seekr_tpu.ops.count import _count_impl
+from seekr_tpu.ops.count import count_graph
 from seekr_tpu.ops.normalize import LOG2_NONE, LOG2_POST, LOG2_PRE
 
 
@@ -59,7 +59,7 @@ class SeekrPipeline:
         self.log2 = log2
 
     def counts(self, bases, lengths, mean=None, std=None):
-        raw = _count_impl(bases, lengths, self.k)
+        raw = count_graph(bases, lengths, self.k)
         normalized, mean, std = _normalize_graph(raw, mean, std, self.log2)
         return normalized, mean, std
 

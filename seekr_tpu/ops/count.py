@@ -109,27 +109,46 @@ def _count_impl(bases: jax.Array, lengths: jax.Array, k: int, scaled: bool = Tru
     return counts * scale[:, None]
 
 
-def _use_pallas() -> bool:
-    """Opt into the Pallas histogram kernel via SEEKR_TPU_COUNT_IMPL=pallas.
+def _impl_choice(k: int) -> str:
+    """Pick the counting implementation: 'pallas' or 'xla'.
 
-    Measured on v5e (m=2048, L=2048, k=6): the XLA scan path sustains
-    ~2.3 Gbases/s vs ~0.7 for the Pallas kernel — XLA's large fused einsum
-    schedule keeps the MXU busier than Mosaic's batch-8 64x64 dots — so XLA
-    is the default on every backend.
+    The round-2 Pallas kernel (ops.count_pallas, transposed one-hot layout)
+    measures 5.5 Gbases/s on v5e vs 2.35 for the XLA scan path (m=8192,
+    L=2048, k=6, net of dispatch overhead — see BASELINE.md), so it is the
+    DEFAULT on TPU for the k range it supports.  The XLA path remains the
+    default off-TPU (the kernel would run interpreted) and for k outside
+    [2, 8] (accumulator exceeds VMEM).  Override with
+    SEEKR_TPU_COUNT_IMPL={pallas,xla}.
     """
-    return os.environ.get("SEEKR_TPU_COUNT_IMPL", "").lower() == "pallas"
+    forced = os.environ.get("SEEKR_TPU_COUNT_IMPL", "").lower()
+    if forced in ("pallas", "xla"):
+        return forced
+    if jax.default_backend() == "tpu" and 2 <= k <= 8:
+        return "pallas"
+    return "xla"
 
 
-def count_kmers_device(bases, lengths, k: int) -> jax.Array:
-    """Count k-mers for padded 2-bit encoded sequences on the default device."""
-    if _use_pallas():
+def count_graph(bases: jax.Array, lengths: jax.Array, k: int,
+                scaled: bool = True) -> jax.Array:
+    """Jit-composable k-mer count: dispatches to the best single-device impl.
+
+    Note: inside GSPMD-sharded jits (seekr_tpu.parallel.dist) the XLA path
+    is used directly — XLA can partition the einsum across the mesh, while a
+    pallas_call is an opaque unit to the partitioner.
+    """
+    if _impl_choice(k) == "pallas":
         from seekr_tpu.ops.count_pallas import count_kmers_pallas
 
         # non-TPU backends only support the kernel in interpreter mode
         interpret = jax.default_backend() != "tpu"
-        return count_kmers_pallas(jnp.asarray(bases), jnp.asarray(lengths), k,
+        return count_kmers_pallas(bases, lengths, k, scaled=scaled,
                                   interpret=interpret)
-    return _count_impl(jnp.asarray(bases), jnp.asarray(lengths), k)
+    return _count_impl(bases, lengths, k, scaled=scaled)
+
+
+def count_kmers_device(bases, lengths, k: int) -> jax.Array:
+    """Count k-mers for padded 2-bit encoded sequences on the default device."""
+    return count_graph(jnp.asarray(bases), jnp.asarray(lengths), k)
 
 
 def split_long_digits(digits: np.ndarray, k: int, n_chunks: int):
@@ -170,7 +189,7 @@ def count_kmers_long(digits: np.ndarray, k: int,
         rows *= 2
     chunks, n_windows = split_long_digits(digits, k, rows)
     lengths = np.full(rows, chunks.shape[1], dtype=np.int32)
-    partial = _count_impl(jnp.asarray(chunks), jnp.asarray(lengths), k,
+    partial = count_graph(jnp.asarray(chunks), jnp.asarray(lengths), k,
                           scaled=False)
     total = jnp.sum(partial, axis=0)
     return np.asarray(total * (1000.0 / n_windows), dtype=np.float32)

@@ -1,18 +1,30 @@
 """Pallas k-mer histogram kernel vs the XLA path and the host oracle.
 
-Runs in interpreter mode on the CPU test mesh; on real TPU the same kernel
-compiles via Mosaic (exercised by bench.py and __graft_entry__ runs).
+On the CPU test mesh the kernel runs in interpreter mode; under
+SEEKR_TPU_TEST_BACKEND=tpu the SAME assertions run against the compiled
+Mosaic kernel on hardware (interpret=False), so compiled-mode semantics are
+assertion-tested, not just benchmarked.
 """
 
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from seekr_tpu.ops.count import _count_impl, count_kmers_host
 from seekr_tpu.ops.count_pallas import count_kmers_pallas
 
 DIGIT2CHAR = np.array(list("AGTCN"))
+
+# compiled Mosaic on real TPU, interpreter semantics elsewhere
+INTERPRET = jax.default_backend() != "tpu"
+
+
+def run_kernel(bases, lengths, k, **kw):
+    return np.asarray(count_kmers_pallas(jnp.asarray(bases),
+                                         jnp.asarray(lengths), k,
+                                         interpret=INTERPRET, **kw))
 
 
 def random_case(rng, m, L, k, with_invalid=True):
@@ -24,14 +36,12 @@ def random_case(rng, m, L, k, with_invalid=True):
     return bases, lengths
 
 
-@pytest.mark.parametrize("k", [1, 2, 3, 4, 6])
+@pytest.mark.parametrize("k", [2, 3, 4, 5, 6])
 def test_matches_xla_path(k):
     rng = np.random.default_rng(k)
     bases, lengths = random_case(rng, 9, 515, k)
     ref = np.asarray(_count_impl(jnp.asarray(bases), jnp.asarray(lengths), k))
-    got = np.asarray(count_kmers_pallas(jnp.asarray(bases),
-                                        jnp.asarray(lengths), k,
-                                        interpret=True))
+    got = run_kernel(bases, lengths, k)
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
 
 
@@ -41,9 +51,7 @@ def test_matches_host_oracle_strings():
     bases, lengths = random_case(rng, 6, 300, k, with_invalid=True)
     seqs = ["".join(DIGIT2CHAR[row[:n]]) for row, n in zip(bases, lengths)]
     oracle = count_kmers_host(seqs, k)
-    got = np.asarray(count_kmers_pallas(jnp.asarray(bases),
-                                        jnp.asarray(lengths), k,
-                                        interpret=True))
+    got = run_kernel(bases, lengths, k)
     np.testing.assert_allclose(got, oracle, rtol=1e-4, atol=1e-4)
 
 
@@ -53,9 +61,7 @@ def test_multi_chunk_rows():
     rng = np.random.default_rng(1)
     bases, lengths = random_case(rng, 8, 5000, k)
     ref = np.asarray(_count_impl(jnp.asarray(bases), jnp.asarray(lengths), k))
-    got = np.asarray(count_kmers_pallas(jnp.asarray(bases),
-                                        jnp.asarray(lengths), k,
-                                        interpret=True))
+    got = run_kernel(bases, lengths, k)
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
 
 
@@ -66,8 +72,28 @@ def test_row_padding_and_short_rows():
     bases, lengths = random_case(rng, 11, 260, k)
     lengths[3] = k - 1  # fewer than one window
     bases[3, :] = 4
-    got = np.asarray(count_kmers_pallas(jnp.asarray(bases),
-                                        jnp.asarray(lengths), k,
-                                        interpret=True))
+    got = run_kernel(bases, lengths, k)
     assert got.shape == (11, 4 ** k)
     np.testing.assert_array_equal(got[3], 0.0)
+
+
+def test_unscaled_integer_counts():
+    # scaled=False returns raw window counts (exact integers)
+    k = 5
+    rng = np.random.default_rng(3)
+    bases, lengths = random_case(rng, 7, 400, k)
+    ref = np.asarray(_count_impl(jnp.asarray(bases), jnp.asarray(lengths), k,
+                                 scaled=False))
+    got = run_kernel(bases, lengths, k, scaled=False)
+    np.testing.assert_array_equal(got, ref)
+    assert got.sum() > 0 and np.all(got == np.round(got))
+
+
+@pytest.mark.parametrize("k", [7, 8])
+def test_large_k(k):
+    # larger accumulators (16K / 64K bins) use smaller row tiles
+    rng = np.random.default_rng(k)
+    bases, lengths = random_case(rng, 5, 700, k)
+    ref = np.asarray(_count_impl(jnp.asarray(bases), jnp.asarray(lengths), k))
+    got = run_kernel(bases, lengths, k)
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
