@@ -49,7 +49,7 @@ def init_distributed(coordinator: Optional[str] = None, num_processes: Optional[
     )
 
 
-def _pipeline_fn(bases, lengths, k: int, log2: str, mesh: Mesh):
+def _pipeline_fn(bases, lengths, mean, std, k: int, log2: str, mesh: Mesh):
     """Shardable compute graph: encoded bases -> (normalized counts, r-matrix).
 
     All ops are GSPMD-friendly: the histogram is row-local, the column
@@ -61,32 +61,44 @@ def _pipeline_fn(bases, lengths, k: int, log2: str, mesh: Mesh):
     raw = _count_impl(bases, lengths, k)
     raw = jax.lax.with_sharding_constraint(
         raw, NamedSharding(mesh, P(DATA_AXIS, KMER_AXIS)))
-    normalized, mean, std = _normalize_graph(raw, None, None, log2)
+    normalized, mean, std = _normalize_graph(raw, mean, std, log2)
     sim = pearson_graph(normalized)
     sim = jax.lax.with_sharding_constraint(
         sim, NamedSharding(mesh, P(DATA_AXIS, None)))
     return normalized, mean, std, sim
 
 
-def distributed_pipeline(mesh: Mesh, k: int = 6, log2: str = "Log2.post"):
+def distributed_pipeline(mesh: Mesh, k: int = 6, log2: str = "Log2.post",
+                         use_norm_vectors: bool = False):
     """Compile the full pipeline step over a mesh.
 
     Returns a function (bases [M, L] int8, lengths [M] int32) ->
     (normalized counts [M, 4^k], mean, std, pearson [M, M]) with rows
     sharded over 'data' and histogram columns over 'kmer'.  M must divide
     by the data-axis size.
+
+    With ``use_norm_vectors`` the function takes two extra [4^k] arrays
+    (the BasicCounter mean=/std=-from-.npy mode) sharded over 'kmer'
+    instead of computing the column statistics from the data — for large k
+    this keeps even the norm vectors column-sharded across chips.
     """
+    vec_shard = NamedSharding(mesh, P(KMER_AXIS))
     in_shard = (
         NamedSharding(mesh, P(DATA_AXIS, None)),
         NamedSharding(mesh, P(DATA_AXIS)),
     )
     out_shard = (
         NamedSharding(mesh, P(DATA_AXIS, KMER_AXIS)),
-        NamedSharding(mesh, P()),
-        NamedSharding(mesh, P()),
+        vec_shard if use_norm_vectors else NamedSharding(mesh, P()),
+        vec_shard if use_norm_vectors else NamedSharding(mesh, P()),
         NamedSharding(mesh, P(DATA_AXIS, None)),
     )
-    fn = functools.partial(_pipeline_fn, k=k, log2=log2, mesh=mesh)
+    if use_norm_vectors:
+        fn = functools.partial(_pipeline_fn, k=k, log2=log2, mesh=mesh)
+        return jax.jit(fn, in_shardings=in_shard + (vec_shard, vec_shard),
+                       out_shardings=out_shard)
+    fn = functools.partial(_pipeline_fn, mean=None, std=None, k=k, log2=log2,
+                           mesh=mesh)
     return jax.jit(fn, in_shardings=in_shard, out_shardings=out_shard)
 
 

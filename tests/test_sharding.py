@@ -62,6 +62,42 @@ def test_distributed_norm_stats_psum():
     assert np.allclose(np.asarray(std), raw.std(axis=0), rtol=1e-4, atol=1e-4)
 
 
+def test_kmer_axis_sharding_at_large_k():
+    """k=10: 4^10 = 1,048,576 histogram columns sharded 4-way over 'kmer'.
+
+    The scenario the kmer axis exists for (SURVEY section 2: column-sharded
+    k-mer space for large k): the [m, 4^k] count matrix, the [4^k] norm
+    vectors, and the Pearson contraction over the sharded column axis
+    (GSPMD inserts the psum) all live column-sharded.  Per-chip HBM for the
+    count matrix is m x 262,144 f32 per shard here — at GENCODE scale
+    (m~13k) that is 13 GB unsharded vs 3.3 GB/chip at kmer_parallel=4,
+    which is what makes k=10 fit a 16 GB v5e at all.
+    """
+    k = 10
+    n_cols = 4 ** k
+    mesh = make_mesh(jax.devices()[:8], kmer_parallel=4)
+    bases, lengths = _batch(8, 256, k, seed=11)
+
+    rng = np.random.default_rng(12)
+    mean = rng.normal(0.0, 0.5, size=n_cols).astype(np.float32)
+    std = np.ones(n_cols, dtype=np.float32)
+
+    step = distributed_pipeline(mesh, k=k, log2="Log2.none",
+                                use_norm_vectors=True)
+    counts, out_mean, out_std, sim = step(bases, lengths, mean, std)
+    assert counts.shape == (8, n_cols)
+
+    raw = count_kmers_host(_decode(bases, lengths), k)
+    expected = raw - mean  # std is ones
+    got = np.asarray(counts)
+    assert np.allclose(got, expected, rtol=1e-4, atol=1e-4)
+
+    cs = (expected - expected.mean(axis=1, keepdims=True))
+    cs /= cs.std(axis=1, keepdims=True)
+    expected_sim = cs @ cs.T / n_cols
+    assert np.allclose(np.asarray(sim), expected_sim, rtol=1e-3, atol=1e-4)
+
+
 def test_sequence_parallel_long_transcript():
     k = 6
     mesh = make_mesh(jax.devices()[:8])
