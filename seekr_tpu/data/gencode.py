@@ -59,8 +59,15 @@ class Downloader:
         return url, gtf_url, release
 
     def gunzip(self, gzip_path: str) -> None:
-        """Unzip a gzipped file and remove the original (fasta.py:99-111)."""
-        out_path = gzip_path.strip(".gz")
+        """Unzip a gzipped file and remove the original (fasta.py:99-111).
+
+        Deliberate deviation (see PARITY.md): the reference strips the
+        ".gz" suffix with ``str.strip(".gz")``, which removes *characters*
+        — a path like ``zebra.fa.gz`` would gunzip to ``ebra.fa``.  This
+        implementation uses ``removesuffix`` so the output path is always
+        the input path minus its ``.gz`` extension.
+        """
+        out_path = gzip_path.removesuffix(".gz")
         with gzip.open(gzip_path, "rb") as in_file:
             with open(out_path, "wb") as out_file:
                 shutil.copyfileobj(in_file, out_file)

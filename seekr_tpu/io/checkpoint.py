@@ -7,9 +7,9 @@ reference cannot do: persisting a *sharded* intermediate (e.g. a count
 matrix distributed over a pod mesh) without gathering it to one host, and
 restoring it with the same or a different sharding.
 
-Backend: orbax (bundled with the JAX stack).  Arrays are saved per-shard by
-the hosts that own them; restore takes a NamedSharding so each host reads
-only its shards.
+Backend: orbax — an optional dependency (``pip install seekr-tpu[checkpoint]``).
+Arrays are saved per-shard by the hosts that own them; restore takes a
+NamedSharding so each host reads only its shards.
 """
 
 from __future__ import annotations
@@ -17,10 +17,21 @@ from __future__ import annotations
 import numpy as np
 
 
+def _orbax():
+    try:
+        import orbax.checkpoint as ocp
+    except ImportError as e:  # pragma: no cover - exercised without the extra
+        raise ImportError(
+            "seekr_tpu.io.checkpoint requires orbax-checkpoint; install the "
+            "extra with: pip install seekr-tpu[checkpoint]") from e
+    return ocp
+
+
 def save_sharded(path: str, array) -> None:
     """Save a (device, possibly sharded) array as an orbax checkpoint."""
     import jax
-    import orbax.checkpoint as ocp
+
+    ocp = _orbax()
 
     ckptr = ocp.StandardCheckpointer()
     # StandardCheckpointer takes pytrees, not bare arrays
@@ -36,8 +47,8 @@ def load_sharded(path: str, sharding=None, shape=None, dtype=None):
     restored with the layout recorded at save time.
     """
     import jax
-    import orbax.checkpoint as ocp
 
+    ocp = _orbax()
     ckptr = ocp.StandardCheckpointer()
     if sharding is None:
         return ckptr.restore(path)["array"]

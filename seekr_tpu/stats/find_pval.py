@@ -52,6 +52,12 @@ def find_pval(seq1file, seq2file, mean_path, std_path, k_mer, fitres,
 
     Same signature/return contract as seekr/find_pval.py:70 (None on invalid
     ``fitres`` format, with the same advisory messages).
+
+    ``progress_bar`` is accepted for signature parity but has no effect:
+    the reference ticks a bar once per matrix cell
+    (seekr/find_pval.py:130,161) because it computes p-values in a Python
+    loop; here the whole matrix is one vectorized cdf/searchsorted call, so
+    there is nothing incremental to report.
     """
     meanfile = np.load(mean_path)
     stdfile = np.load(std_path)

@@ -2,10 +2,17 @@
 
 The reference repeats font registration and the save-format fallback in every
 plotting module (e.g. seekr/kmer_heatmap.py:126-135,185-190); here they live
-once.  The reference bundles ``arial.ttf`` — if a font file is present at
-``seekr_tpu/data/arial.ttf`` it is registered, otherwise matplotlib's default
-sans-serif is used (Arial is not redistributable in this repo).  PDF fonttype
-42 (editable text in Illustrator) is always set.
+once.  The reference bundles ``arial.ttf`` (seekr/kmer_heatmap.py:126-135);
+Arial is not redistributable, so the lookup order is:
+
+  1. ``seekr_tpu/data/arial.ttf`` — drop Arial here for pixel-identical
+     reference output (not shipped),
+  2. the bundled ``seekr_tpu/data/default_plot_font.ttf`` (DejaVu Sans,
+     free license in data/LICENSE_DEJAVU) — deterministic rendering across
+     installs, though not metrically identical to Arial,
+  3. matplotlib's default sans-serif.
+
+PDF fonttype 42 (editable text in Illustrator) is always set.
 """
 
 from __future__ import annotations
@@ -13,8 +20,10 @@ from __future__ import annotations
 import os
 import re
 
-_FONT_PATH = os.path.join(os.path.dirname(os.path.realpath(__file__)),
-                          "..", "data", "arial.ttf")
+_DATA_DIR = os.path.join(os.path.dirname(os.path.realpath(__file__)),
+                         "..", "data")
+_FONT_PATHS = (os.path.join(_DATA_DIR, "arial.ttf"),
+               os.path.join(_DATA_DIR, "default_plot_font.ttf"))
 
 
 def is_hex_color(s) -> bool:
@@ -31,13 +40,14 @@ def setup_fonts():
     import matplotlib as mpl
     import matplotlib.pyplot as plt
 
-    font_path = os.path.normpath(_FONT_PATH)
-    if os.path.exists(font_path):
-        import matplotlib.font_manager as font_manager
+    for font_path in map(os.path.normpath, _FONT_PATHS):
+        if os.path.exists(font_path):
+            import matplotlib.font_manager as font_manager
 
-        font_manager.fontManager.addfont(font_path)
-        prop = font_manager.FontProperties(fname=font_path)
-        plt.rcParams["font.family"] = prop.get_name()
+            font_manager.fontManager.addfont(font_path)
+            prop = font_manager.FontProperties(fname=font_path)
+            plt.rcParams["font.family"] = prop.get_name()
+            break
     else:
         plt.rcParams["font.family"] = "sans-serif"
     mpl.rcParams["pdf.fonttype"] = 42

@@ -52,6 +52,19 @@ def test_gunzip_roundtrip(tmp_path):
     assert (tmp_path / "x.fa").read_bytes() == payload
 
 
+def test_gunzip_suffix_not_charstrip(tmp_path):
+    # deliberate fix of the reference's str.strip(".gz") quirk (PARITY.md):
+    # a name starting/ending in g/z characters must survive intact
+    payload = b">z\nGGGG\n"
+    gz = tmp_path / "zebra.fa.gz"
+    with gzip.open(gz, "wb") as f:
+        f.write(payload)
+    Downloader().gunzip(str(gz))
+    # reference would have produced "ebra.fa"
+    assert (tmp_path / "zebra.fa").read_bytes() == payload
+    assert not (tmp_path / "ebra.fa").exists()
+
+
 def test_get_gencode_path_asserts():
     with pytest.raises(AssertionError):
         Downloader().get_gencode("all", release="43", fasta_path="x.fa")
