@@ -405,6 +405,11 @@ def console_find_dist(argv=None):
     parser.add_argument("-nj", "--n_jobs", default=1,
                         help="host processes for distribution fitting "
                              "(extension; useful with -mdl all).")
+    parser.add_argument("-ft", "--fit_timeout", default=None,
+                        help="per-distribution fit timeout in seconds; a "
+                             "timed-out fit is skipped like any failed fit "
+                             "(extension; guards -mdl all against "
+                             "pathological scipy MLEs).")
     args = _parse_args_or_exit(parser, argv)
 
     _enable_xla_cache()
@@ -415,7 +420,8 @@ def console_find_dist(argv=None):
     find_dist(args.fasta, int(args.kmer), args.log2, modelslist,
               args.subsetting, int(args.subset_size), args.fit_model,
               args.statsmethod, args.progress_bar, args.plotfit,
-              args.outputname, n_jobs=int(args.n_jobs))
+              args.outputname, n_jobs=int(args.n_jobs),
+              fit_timeout=float(args.fit_timeout) if args.fit_timeout else None)
 
 
 # -- find_pval ---------------------------------------------------------------

@@ -132,8 +132,35 @@ def _fit_one(name, data, statsmethod):
     return (name, D, params)
 
 
+def _fit_one_timed(name, data, statsmethod, fit_timeout):
+    """_fit_one under a SIGALRM deadline (None/0 = no deadline).
+
+    The alarm fires inside _fit_one's try block, so a timeout surfaces as
+    the same reference-style "Could not fit <name> because ..." skip message
+    as any other fit failure (seekr/find_dist.py:233-236).  Falls back to an
+    unguarded fit off the main thread or on platforms without SIGALRM.
+    """
+    import signal
+    import threading
+
+    if not fit_timeout or not hasattr(signal, "SIGALRM") \
+            or threading.current_thread() is not threading.main_thread():
+        return _fit_one(name, data, statsmethod)
+
+    def _raise(signum, frame):
+        raise TimeoutError(f"fitting exceeded fit_timeout={fit_timeout}s")
+
+    old = signal.signal(signal.SIGALRM, _raise)
+    signal.setitimer(signal.ITIMER_REAL, fit_timeout)
+    try:
+        return _fit_one(name, data, statsmethod)
+    finally:
+        signal.setitimer(signal.ITIMER_REAL, 0)
+        signal.signal(signal.SIGALRM, old)
+
+
 def fit_distributions(data, names, statsmethod="ks", progress_bar=False,
-                      n_jobs: int = 1):
+                      n_jobs: int = 1, fit_timeout=None):
     """Fit each named scipy distribution to ``data``; score goodness of fit.
 
     Returns [(name, D, params)] sorted ascending by D, mirroring
@@ -141,6 +168,9 @@ def fit_distributions(data, names, statsmethod="ks", progress_bar=False,
     that fail to fit).  ``n_jobs > 1`` fans the host-bound scipy MLE loop out
     over processes (useful for models='all', ~100 distributions — SURVEY.md
     hard part 6); the result is identical to the sequential run.
+    ``fit_timeout`` (seconds) bounds each individual fit so one pathological
+    MLE on a large sample cannot hang models='all'; a timed-out distribution
+    is skipped with the usual "Could not fit ..." message.
     """
     if statsmethod not in ("ks", "mse", "aic", "bic"):
         print("Please enter a valid statsmethod: 'ks', 'mse', 'aic', or 'bic'. "
@@ -156,13 +186,16 @@ def fit_distributions(data, names, statsmethod="ks", progress_bar=False,
         # forking a multithreaded process can deadlock
         ctx = mp.get_context("spawn")
         with cf.ProcessPoolExecutor(max_workers=n_jobs, mp_context=ctx) as pool:
-            futures = [pool.submit(_fit_one, name, data, statsmethod)
+            # the deadline runs inside each worker (its own main thread)
+            futures = [pool.submit(_fit_one_timed, name, data, statsmethod,
+                                   fit_timeout)
                        for name in names]
             iterable = my_tqdm()(futures) if progress_bar else futures
             raw = [f.result() for f in iterable]
     else:
         iterable = my_tqdm()(names) if progress_bar else names
-        raw = [_fit_one(name, data, statsmethod) for name in iterable]
+        raw = [_fit_one_timed(name, data, statsmethod, fit_timeout)
+               for name in iterable]
 
     results = []
     for item in raw:
@@ -205,7 +238,7 @@ def plot_fits(data, results, plotfit):
 def find_dist(inputseq="default", k_mer=4, log2="Log2.post", models="common10",
               subsetting=True, subset_size=100000, fit_model=True,
               statsmethod="ks", progress_bar=False, plotfit=None,
-              outputname=None, n_jobs=1):
+              outputname=None, n_jobs=1, fit_timeout=None):
     """Find the best-fitting distribution of background pairwise similarities.
 
     API parity with seekr/find_dist.py:82 (same signature, same outputs: a
@@ -254,7 +287,8 @@ def find_dist(inputseq="default", k_mer=4, log2="Log2.post", models="common10",
               "are both large, subsetting is recommended to save time")
 
     results = fit_distributions(sim_triu, names, statsmethod=statsmethod,
-                                progress_bar=progress_bar, n_jobs=n_jobs)
+                                progress_bar=progress_bar, n_jobs=n_jobs,
+                                fit_timeout=fit_timeout)
     if plotfit:
         plot_fits(sim_triu, results, plotfit)
     if outputname:

@@ -47,6 +47,38 @@ def test_fit_distributions_parallel_matches_sequential():
     assert [(n, p) for n, _, p in seq] == [(n, p) for n, _, p in par]
 
 
+def test_fit_timeout_skips_hung_fit(monkeypatch, capsys):
+    """A pathological (here: deliberately sleeping) MLE is skipped with the
+    reference-style 'Could not fit ...' message instead of hanging 'all'."""
+    import time
+    from scipy import stats
+
+    def slow_fit(*a, **k):
+        time.sleep(10)
+        return (0.0, 1.0)
+
+    monkeypatch.setattr(type(stats.norm), "fit", slow_fit)
+    rng = np.random.default_rng(6)
+    data = rng.normal(size=2000)
+    t0 = time.perf_counter()
+    results = fit_distributions(data, ["norm", "uniform"], statsmethod="ks",
+                                fit_timeout=0.5)
+    assert time.perf_counter() - t0 < 5
+    assert [r[0] for r in results] == ["uniform"]
+    out = capsys.readouterr().out
+    assert "Could not fit norm because" in out
+    assert "fit_timeout" in out
+
+
+def test_fit_timeout_generous_keeps_results():
+    rng = np.random.default_rng(7)
+    data = rng.normal(size=2000)
+    with_to = fit_distributions(data, ["norm", "uniform"], statsmethod="ks",
+                                fit_timeout=60.0)
+    without = fit_distributions(data, ["norm", "uniform"], statsmethod="ks")
+    assert [(n, p) for n, _, p in with_to] == [(n, p) for n, _, p in without]
+
+
 def test_fit_distributions_norm_recovers_params():
     rng = np.random.default_rng(1)
     data = rng.normal(loc=2.0, scale=0.5, size=5000)
