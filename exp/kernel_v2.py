@@ -14,6 +14,12 @@ compares, and contract over the lane axis.  Variants:
   E  64x64 split with the shared 3-mer one-hot (H and L are shifted slices
      of ONE one-hot -> half the VPU compare work)
 
+NOTE: variant A (the winner) shipped as seekr_tpu/ops/count_pallas.py with
+tm=32.  The local count_v2 here is a frozen sweep copy (tm/split/dtype
+parameterized) and may diverge from production fixes — the timing run
+therefore also benchmarks the PRODUCTION kernel directly; compare new sweep
+numbers against that row, not against A_loop.
+
 Run:  python exp/kernel_v2.py [--quick]
 """
 
@@ -327,6 +333,10 @@ def main():
 
     gbs, dt = timeit(lambda x, y, kk: _count_impl(x, y, kk), bd, nd, k)
     print(f"  XLA _count_impl (baseline): {gbs:.2f} Gbases/s  ({dt*1e3:.2f} ms)")
+
+    from seekr_tpu.ops.count_pallas import count_kmers_pallas
+    gbs, dt = timeit(lambda x, y, kk: count_kmers_pallas(x, y, kk), bd, nd, k)
+    print(f"  PRODUCTION count_kmers_pallas: {gbs:.2f} Gbases/s  ({dt*1e3:.2f} ms)")
 
     for name, fn in good.items():
         try:

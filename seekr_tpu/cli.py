@@ -405,7 +405,10 @@ def console_find_dist(argv=None):
     parser.add_argument("-nj", "--n_jobs", default=1,
                         help="host processes for distribution fitting "
                              "(extension; useful with -mdl all).")
-    parser.add_argument("-ft", "--fit_timeout", default=None,
+    # short flag is -fto, NOT -ft: the sibling seekr_find_pval binds -ft to
+    # --fitres_type (reference flag family), and colliding habits would turn
+    # "-ft distribution" into a float-parse crash here
+    parser.add_argument("-fto", "--fit_timeout", default=None, type=float,
                         help="per-distribution fit timeout in seconds; a "
                              "timed-out fit is skipped like any failed fit "
                              "(extension; guards -mdl all against "
@@ -421,7 +424,7 @@ def console_find_dist(argv=None):
               args.subsetting, int(args.subset_size), args.fit_model,
               args.statsmethod, args.progress_bar, args.plotfit,
               args.outputname, n_jobs=int(args.n_jobs),
-              fit_timeout=float(args.fit_timeout) if args.fit_timeout else None)
+              fit_timeout=args.fit_timeout)
 
 
 # -- find_pval ---------------------------------------------------------------

@@ -121,8 +121,12 @@ def _impl_choice(k: int) -> str:
     SEEKR_TPU_COUNT_IMPL={pallas,xla}.
     """
     forced = os.environ.get("SEEKR_TPU_COUNT_IMPL", "").lower()
-    if forced in ("pallas", "xla"):
-        return forced
+    if forced == "xla":
+        return "xla"
+    if forced == "pallas":
+        # the kernel itself only supports 2 <= k <= 8; outside that range
+        # honor the spirit of the override as far as possible, not crash
+        return "pallas" if 2 <= k <= 8 else "xla"
     if jax.default_backend() == "tpu" and 2 <= k <= 8:
         return "pallas"
     return "xla"
@@ -137,12 +141,17 @@ def count_graph(bases: jax.Array, lengths: jax.Array, k: int,
     pallas_call is an opaque unit to the partitioner.
     """
     if _impl_choice(k) == "pallas":
-        from seekr_tpu.ops.count_pallas import count_kmers_pallas
+        from seekr_tpu.ops.count_pallas import _row_tile, count_kmers_pallas
 
-        # non-TPU backends only support the kernel in interpreter mode
-        interpret = jax.default_backend() != "tpu"
-        return count_kmers_pallas(bases, lengths, k, scaled=scaled,
-                                  interpret=interpret)
+        # tiny batches (e.g. the 2-8 chunk rows of count_kmers_long) would
+        # be padded up to a full row tile of all-invalid MXU work — the XLA
+        # path sizes to the actual rows and wins there
+        forced = os.environ.get("SEEKR_TPU_COUNT_IMPL", "").lower()
+        if bases.shape[0] >= _row_tile(k) or forced == "pallas":
+            # non-TPU backends only support the kernel in interpreter mode
+            interpret = jax.default_backend() != "tpu"
+            return count_kmers_pallas(bases, lengths, k, scaled=scaled,
+                                      interpret=interpret)
     return _count_impl(bases, lengths, k, scaled=scaled)
 
 

@@ -154,6 +154,10 @@ def _fit_one_timed(name, data, statsmethod, fit_timeout):
     signal.setitimer(signal.ITIMER_REAL, fit_timeout)
     try:
         return _fit_one(name, data, statsmethod)
+    except TimeoutError as e:
+        # the alarm can also fire just outside _fit_one's internal try
+        # (e.g. between fit completion and return); still a skip, not a crash
+        return f"Could not fit {name} because {e}, excluding it from the results"
     finally:
         signal.setitimer(signal.ITIMER_REAL, 0)
         signal.signal(signal.SIGALRM, old)

@@ -71,6 +71,19 @@ class TestCounting:
                 dev[rows] = res[: len(rows)]
             assert np.allclose(host, dev, rtol=1e-5, atol=1e-4), f"k={k}"
 
+    def test_forced_pallas_out_of_range_k_falls_back(self, monkeypatch):
+        # SEEKR_TPU_COUNT_IMPL=pallas with k outside the kernel's [2, 8]
+        # must fall back to the XLA path, not crash (round-2 review fix)
+        monkeypatch.setenv("SEEKR_TPU_COUNT_IMPL", "pallas")
+        seqs = ["AGTCAGTCAGTC", "TTTTGGGG"]
+        for k in (1, 9):
+            host = count_kmers_host(seqs, k)
+            enc = encode_seqs(seqs, k)
+            for bases, lengths, rows in enc.buckets:
+                res = np.asarray(count_kmers_device(bases, lengths, k))
+                assert np.allclose(host[rows], res[: len(rows)],
+                                   rtol=1e-5, atol=1e-4), f"k={k}"
+
     def test_custom_alphabet(self):
         # 2-letter alphabet: columns in product('AT', 2) order: AA AT TA TT
         out = count_kmers_host(["AATT"], 2, alphabet="AT")
