@@ -28,7 +28,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from seekr_tpu.models.pipeline import _normalize_graph
-from seekr_tpu.ops.count import _count_impl
+from seekr_tpu.ops.count import _count_impl, count_graph
 from seekr_tpu.ops.precision import pearson_precision
 from seekr_tpu.parallel.mesh import DATA_AXIS, KMER_AXIS
 
@@ -49,16 +49,44 @@ def init_distributed(coordinator: Optional[str] = None, num_processes: Optional[
     )
 
 
+def _sharded_count(mesh: Mesh, bases, lengths, k: int):
+    """Row-sharded k-mer counting with the per-device fast path.
+
+    A ``pallas_call`` is an opaque unit to the GSPMD partitioner, so the
+    count stage runs under ``shard_map`` over the 'data' axis: every device
+    histograms its local transcript rows with ``count_graph`` — on TPU
+    that is the Pallas kernel (2.4x the XLA einsum per chip, BASELINE.md);
+    on CPU test meshes it dispatches to the XLA path.  Devices along the
+    'kmer' axis hold replicated row shards and redundantly compute
+    identical local histograms (the deterministic result keeps the
+    replication invariant); the pipeline re-shards columns over 'kmer'
+    right after.
+    """
+
+    def local(b, n):
+        return count_graph(b, n, k)
+
+    # check_vma=False: same reason as count_long_sequence — the scan carry /
+    # kernel accumulator starts unvarying and becomes device-varying
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(DATA_AXIS, None), P(DATA_AXIS)),
+        out_specs=P(DATA_AXIS, None),
+        check_vma=False,
+    )(bases, lengths)
+
+
 def _pipeline_fn(bases, lengths, mean, std, k: int, log2: str, mesh: Mesh):
     """Shardable compute graph: encoded bases -> (normalized counts, r-matrix).
 
-    All ops are GSPMD-friendly: the histogram is row-local, the column
-    moments reduce over the sharded row axis (psum), the Pearson GEMM
-    contracts the (optionally kmer-sharded) column axis.
+    The count stage is shard_map'd (per-device Pallas kernel); everything
+    downstream is GSPMD-friendly: the column moments reduce over the
+    sharded row axis (psum), the Pearson GEMM contracts the (optionally
+    kmer-sharded) column axis.
     """
     from seekr_tpu.ops.pearson import pearson_graph
 
-    raw = _count_impl(bases, lengths, k)
+    raw = _sharded_count(mesh, bases, lengths, k)
     raw = jax.lax.with_sharding_constraint(
         raw, NamedSharding(mesh, P(DATA_AXIS, KMER_AXIS)))
     normalized, mean, std = _normalize_graph(raw, mean, std, log2)
@@ -111,7 +139,7 @@ def distributed_norm_stats(mesh: Mesh, k: int = 6, log2: str = "Log2.post"):
     """
 
     def fn(bases, lengths):
-        raw = _count_impl(bases, lengths, k)
+        raw = _sharded_count(mesh, bases, lengths, k)
         if log2 == "Log2.pre":
             from seekr_tpu.ops.math import accurate_log2
 
