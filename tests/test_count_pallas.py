@@ -89,6 +89,37 @@ def test_unscaled_integer_counts():
     assert got.sum() > 0 and np.all(got == np.round(got))
 
 
+@pytest.mark.parametrize("lpad", [2048, 2053, 2054, 4101])
+def test_chunk_boundary_lengths(lpad):
+    # Lpad straddling the cw=2048 chunk boundary: single chunk, exactly
+    # cw windows, one window into the second chunk, and deep two-chunk
+    k = 6
+    rng = np.random.default_rng(lpad)
+    bases, lengths = random_case(rng, 5, lpad, k)
+    lengths[0] = lpad  # full-width row
+    bases[0, :] = rng.integers(0, 4, size=lpad)
+    ref = np.asarray(_count_impl(jnp.asarray(bases), jnp.asarray(lengths), k))
+    got = run_kernel(bases, lengths, k)
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_mixed_degenerate_rows():
+    # rows with length == k (one window), < k (zero), and all-invalid
+    k = 5
+    rng = np.random.default_rng(9)
+    bases, lengths = random_case(rng, 6, 200, k, with_invalid=False)
+    lengths[0] = k          # exactly one window
+    bases[0, k:] = 4
+    lengths[1] = k - 1      # no windows
+    bases[1, :] = 4
+    bases[2, :lengths[2]] = 4  # valid length, every base invalid
+    ref = np.asarray(_count_impl(jnp.asarray(bases), jnp.asarray(lengths), k))
+    got = run_kernel(bases, lengths, k)
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+    assert got[1].sum() == 0 and got[2].sum() == 0
+    assert abs(got[0].sum() - 1000.0) < 1e-3  # one window -> 1000/kb total
+
+
 @pytest.mark.parametrize("k", [7, 8])
 def test_large_k(k):
     # larger accumulators (16K / 64K bins) use smaller row tiles
