@@ -11,7 +11,11 @@ WORK="$(mktemp -d)"
 trap 'rm -rf "$WORK"' EXIT
 cd "$WORK"
 
-run() { PYTHONPATH="$REPO" python -m seekr_tpu.cli "$@"; }
+# Hermetic functional run: pin the CPU backend.  (PYTHONPATH is replaced
+# wholesale, which also drops any site dir that registers accelerator
+# plugins — e.g. the axon TPU tunnel's, whose env var would otherwise point
+# JAX at a backend that is no longer registered.)
+run() { PYTHONPATH="$REPO" JAX_PLATFORMS=cpu python -m seekr_tpu.cli "$@"; }
 
 K=2
 run norm_vectors "$FA" -k $K -mv mean.npy -sv std.npy
