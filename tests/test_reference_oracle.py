@@ -103,6 +103,33 @@ def test_find_dist_rvalues_match_reference(ref_pkg, seqs_fastas, tmp_path,
                                rtol=1e-3, atol=1e-4)
 
 
+def test_find_pval_fitted_matches_reference(ref_pkg, seqs_fastas, tmp_path,
+                                            monkeypatch):
+    """Fitted-distribution branch: our vectorized 1-cdf(r) vs the
+    reference's per-cell loop (seekr/find_pval.py:126-133), same fitres."""
+    monkeypatch.chdir(tmp_path)
+    sys.path.insert(0, REFERENCE)
+    try:
+        from seekr.find_pval import find_pval as ref_find_pval
+    finally:
+        sys.path.remove(REFERENCE)
+    from seekr_tpu.stats import find_dist, find_pval
+    from seekr_tpu.stats.find_dist import fit_distributions
+
+    fa1, fa2 = seqs_fastas
+    bkg = find_dist(inputseq=fa1, k_mer=2, fit_model=False, subsetting=False)
+    fitres = fit_distributions(bkg, ["norm", "cauchy"], statsmethod="ks")
+    mean, std = "bkg_mean_2mers.npy", "bkg_std_2mers.npy"
+    ours = find_pval(fa1, fa2, mean, std, 2, fitres=fitres,
+                     progress_bar=False)
+    theirs = ref_find_pval(fa1, fa2, mean, std, 2, fitres=fitres,
+                           progress_bar=False)
+    assert list(ours.index) == list(theirs.index)
+    assert list(ours.columns) == list(theirs.columns)
+    np.testing.assert_allclose(ours.values, theirs.values,
+                               rtol=1e-4, atol=2e-3)
+
+
 def test_find_pval_empirical_matches_reference(ref_pkg, seqs_fastas, tmp_path,
                                                monkeypatch):
     monkeypatch.chdir(tmp_path)
