@@ -840,13 +840,33 @@ def console_pipeline(argv=None):
                         help="seed for null subsampling.")
     parser.add_argument("-o", "--outdir", default="seekr_out",
                         help="artifact output directory.")
+    parser.add_argument("-dp", "--data_parallel", default=None, type=int,
+                        help="devices on the mesh 'data' axis; >1 routes "
+                             "the O(m^2) Pearson stages through the "
+                             "data-sharded streaming GEMM (extension).")
+    parser.add_argument("-kp", "--kmer_parallel", default=1, type=int,
+                        help="devices on the mesh 'kmer' axis (extension).")
+    parser.add_argument("--coordinator", default=None,
+                        help="host0 address for multi-host bootstrap, e.g. "
+                             "host0:8476 (extension).")
+    parser.add_argument("--num_processes", default=None, type=int,
+                        help="total processes for multi-host bootstrap "
+                             "(extension).")
+    parser.add_argument("--process_id", default=None, type=int,
+                        help="this process's id for multi-host bootstrap "
+                             "(extension).")
     args = _parse_args_or_exit(parser, argv)
     _enable_xla_cache()
     run_workflow(args.seq1file, args.seq2file, args.background,
                  k=int(args.kmer), log2=args.log2, adj_method=args.method,
                  alpha=float(args.alpha), outdir=args.outdir,
                  subset_size=int(args.subset_size),
-                 seed=None if args.seed is None else int(args.seed))
+                 seed=None if args.seed is None else int(args.seed),
+                 data_parallel=args.data_parallel,
+                 kmer_parallel=args.kmer_parallel,
+                 coordinator=args.coordinator,
+                 num_processes=args.num_processes,
+                 process_id=args.process_id)
 
 
 # -- seekr help --------------------------------------------------------------

@@ -31,15 +31,63 @@ from seekr_tpu.stats.adj_pval import adj_pval
 from seekr_tpu.utils.logging import stage_timer
 
 
+class _ArrayCollector:
+    """Writer that accumulates streamed row blocks into one host array."""
+
+    def __init__(self):
+        self.blocks = []
+
+    def append(self, block):
+        self.blocks.append(np.asarray(block))
+
+    def result(self):
+        return np.vstack(self.blocks)
+
+
+def _build_mesh(data_parallel, kmer_parallel, coordinator, num_processes,
+                process_id):
+    """Optional mesh construction for the multi-device workflow path."""
+    from seekr_tpu.parallel.dist import init_distributed
+
+    if num_processes and num_processes > 1:
+        init_distributed(coordinator=coordinator, num_processes=num_processes,
+                         process_id=process_id)
+    if not data_parallel or data_parallel * max(kmer_parallel, 1) <= 1:
+        return None
+    import jax
+
+    from seekr_tpu.parallel.mesh import make_mesh
+
+    need = data_parallel * max(kmer_parallel, 1)
+    devices = jax.devices()
+    if need > len(devices):
+        raise ValueError(f"requested {need} devices "
+                         f"(data_parallel={data_parallel} x "
+                         f"kmer_parallel={kmer_parallel}), "
+                         f"have {len(devices)}")
+    return make_mesh(devices[:need], kmer_parallel=max(kmer_parallel, 1))
+
+
 def run_workflow(seq1file, seq2file=None, background=None, k=6,
                  log2="Log2.post", adj_method="fdr_bh", alpha=0.05,
-                 outdir="seekr_out", subset_size=100_000, seed=None):
+                 outdir="seekr_out", subset_size=100_000, seed=None,
+                 data_parallel=None, kmer_parallel=1, coordinator=None,
+                 num_processes=None, process_id=None):
     """Full analysis in one call; returns a dict of results.
 
     seq2file=None compares seq1file against itself.  ``background`` provides
     the normalization vectors and the empirical null distribution (required).
     Artifacts written to ``outdir``: mean/std .npy, counts CSVs, pearson CSV,
     pvals CSV, adjusted pvals CSV.
+
+    Multi-device extension (the reference is strictly single-process):
+    ``data_parallel``/``kmer_parallel`` build a device mesh and route the
+    O(m^2) Pearson stages through the data-sharded streaming GEMM
+    (parallel.dist.stream_pearson_sharded); ``coordinator``/
+    ``num_processes``/``process_id`` bootstrap multi-host first
+    (parallel.dist.init_distributed).  Counting stays per-host (it is
+    row-local and bucket-dispatched); results are identical to the
+    single-device run within GEMM reduction-order tolerance.
     """
     import pandas as pd
 
@@ -48,6 +96,19 @@ def run_workflow(seq1file, seq2file=None, background=None, k=6,
                          "empirical null)")
     seq2file = seq2file or seq1file
     os.makedirs(outdir, exist_ok=True)
+    mesh = _build_mesh(data_parallel, kmer_parallel, coordinator,
+                       num_processes, process_id)
+
+    def big_pearson(c1, c2):
+        """Self/cross Pearson on the mesh when one is configured."""
+        if mesh is None:
+            return pearson_blocked(c1, c2) if c1 is c2 else pearson(c1, c2)
+        from seekr_tpu.parallel.dist import stream_pearson_sharded
+
+        out = _ArrayCollector()
+        stream_pearson_sharded(mesh, c1, out,
+                               counts2=None if c2 is c1 else c2)
+        return out.result()
 
     with stage_timer("workflow/background"):
         bkg = KmerCounter(background, k=k, log2=log2, silent=True)
@@ -62,7 +123,7 @@ def run_workflow(seq1file, seq2file=None, background=None, k=6,
         bkg_counted = KmerCounter(background, mean=mean, std=std, k=k,
                                   silent=True)
         bkg_counted.get_counts()
-        sim_bkg = pearson_blocked(bkg_counted.counts, bkg_counted.counts)
+        sim_bkg = big_pearson(bkg_counted.counts, bkg_counted.counts)
         null_sample = sim_bkg[np.triu_indices(sim_bkg.shape[0], k=1)]
         if len(null_sample) > subset_size:
             rng = np.random.default_rng(seed)
@@ -84,7 +145,8 @@ def run_workflow(seq1file, seq2file=None, background=None, k=6,
 
     with stage_timer("workflow/pearson", items=len(headers1) * len(headers2),
                      unit="cells"):
-        sim = pearson(c1.counts, c2.counts)
+        sim = (pearson(c1.counts, c2.counts) if mesh is None
+               else big_pearson(c1.counts, c2.counts))
 
     with stage_timer("workflow/pvalues"):
         pvals = np.asarray(empirical_pvals(null_sample, sim),

@@ -187,16 +187,19 @@ def count_long_sequence(mesh: Mesh, k: int):
     return jax.jit(mapped)
 
 
-def stream_pearson_sharded(mesh: Mesh, counts, writer, block_rows: int = 4096):
-    """All-pairs Pearson of a data-sharded count matrix, streamed to host.
+def stream_pearson_sharded(mesh: Mesh, counts, writer, block_rows: int = 4096,
+                           counts2=None):
+    """All-pairs Pearson of data-sharded count matrices, streamed to host.
 
-    For m large enough that the [m, m] r-matrix cannot live on any single
+    For m large enough that the [m1, m2] r-matrix cannot live on any single
     device (SURVEY.md hard part 5: GENCODE m up to ~180k => 10^10 cells):
-    the standardized matrix stays sharded over the 'data' axis; each row
-    block is broadcast (GSPMD all-gathers the small [block, n] operand over
-    ICI), every shard computes its column slice of the [block, m] tile, and
-    the replicated tile is appended to ``writer`` — the full matrix never
-    exists on device, and host memory holds one tile at a time.
+    the standardized right matrix stays sharded over the 'data' axis; each
+    left row block is broadcast (GSPMD all-gathers the small [block, n]
+    operand over ICI), every shard computes its column slice of the
+    [block, m2] tile, and the replicated tile is appended to ``writer`` —
+    the full matrix never exists on device, and host memory holds one tile
+    at a time.  ``counts2=None`` streams the self-similarity (rows = cols);
+    otherwise rows come from ``counts`` and columns from ``counts2``.
     """
     data_shard = NamedSharding(mesh, P(DATA_AXIS, None))
     repl = NamedSharding(mesh, P())
@@ -218,12 +221,28 @@ def stream_pearson_sharded(mesh: Mesh, counts, writer, block_rows: int = 4096):
         )
         return d / c.shape[1]
 
-    c = standardize(jnp.asarray(counts, dtype=jnp.float32))
-    m = c.shape[0]
-    for start in range(0, m, block_rows):
-        end = min(start + block_rows, m)
-        blk = jax.device_put(np.asarray(c[start:end]), repl)
-        writer.append(np.asarray(block_fn(c, blk)))
+    n_data = mesh.shape[DATA_AXIS]
+
+    def prep(c):
+        """Pad rows to a data-axis multiple, then standardize sharded.
+
+        Pad rows standardize to NaN (0/0) but land only in output columns
+        that are sliced off below.
+        """
+        c = np.asarray(c, dtype=np.float32)
+        m_pad = -(-c.shape[0] // n_data) * n_data
+        if m_pad != c.shape[0]:
+            c = np.pad(c, ((0, m_pad - c.shape[0]), (0, 0)))
+        return standardize(jnp.asarray(c))
+
+    m1 = np.asarray(counts).shape[0]
+    m2 = m1 if counts2 is None else np.asarray(counts2).shape[0]
+    left = prep(counts)
+    right = left if counts2 is None else prep(counts2)
+    for start in range(0, m1, block_rows):
+        end = min(start + block_rows, m1)
+        blk = jax.device_put(np.asarray(left[start:end]), repl)
+        writer.append(np.asarray(block_fn(right, blk))[:, :m2])
 
 
 def shard_long_sequence(digits: np.ndarray, k: int, n_dev: int) -> Tuple[np.ndarray, int]:

@@ -68,6 +68,35 @@ def test_workflow_artifacts_and_cli(corpora, tmp_path, monkeypatch):
     assert ((pv.values >= 0) & (pv.values <= 1)).all()
 
 
+def test_workflow_mesh_matches_single_device(corpora, tmp_path):
+    """-dp/-kp mesh routing of the Pearson stages is numerically equivalent."""
+    import jax
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >=4 devices")
+    queries, background = corpora
+    base = run_workflow(queries, seq2file=background, background=background,
+                        k=2, outdir=str(tmp_path / "a"), subset_size=10 ** 9)
+    meshed = run_workflow(queries, seq2file=background, background=background,
+                          k=2, outdir=str(tmp_path / "b"),
+                          subset_size=10 ** 9, data_parallel=2,
+                          kmer_parallel=2)
+    np.testing.assert_allclose(meshed["pearson"], base["pearson"],
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.sort(meshed["null_sample"]),
+                               np.sort(base["null_sample"]),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(meshed["pvals"].values, base["pvals"].values,
+                               atol=1e-5)
+
+
+def test_workflow_mesh_too_many_devices_raises(corpora, tmp_path):
+    queries, background = corpora
+    with pytest.raises(ValueError, match="requested"):
+        run_workflow(queries, background=background, k=2,
+                     outdir=str(tmp_path / "c"), data_parallel=10 ** 6)
+
+
 def test_workflow_requires_background(corpora):
     queries, _ = corpora
     with pytest.raises(ValueError):
