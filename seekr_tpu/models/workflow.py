@@ -52,6 +52,8 @@ def _build_mesh(data_parallel, kmer_parallel, coordinator, num_processes,
     if num_processes and num_processes > 1:
         init_distributed(coordinator=coordinator, num_processes=num_processes,
                          process_id=process_id)
+    if not data_parallel and kmer_parallel > 1:
+        data_parallel = 1  # -kp without -dp still builds a mesh
     if not data_parallel or data_parallel * max(kmer_parallel, 1) <= 1:
         return None
     import jax
@@ -65,6 +67,12 @@ def _build_mesh(data_parallel, kmer_parallel, coordinator, num_processes,
                          f"(data_parallel={data_parallel} x "
                          f"kmer_parallel={kmer_parallel}), "
                          f"have {len(devices)}")
+    if jax.process_count() > 1 and need != len(devices):
+        # a device subset could exclude entire processes from the mesh;
+        # multi-host runs must use every device
+        raise ValueError(
+            f"multi-host runs must use all {len(devices)} devices: set "
+            f"data_parallel x kmer_parallel == {len(devices)}")
     return make_mesh(devices[:need], kmer_parallel=max(kmer_parallel, 1))
 
 

@@ -194,69 +194,72 @@ def stream_pearson_sharded(mesh: Mesh, counts, writer, block_rows: int = 4096,
     For m large enough that the [m1, m2] r-matrix cannot live on any single
     device (SURVEY.md hard part 5: GENCODE m up to ~180k => 10^10 cells):
     the standardized right matrix stays sharded over the 'data' axis; each
-    left row block is broadcast (GSPMD all-gathers the small [block, n]
-    operand over ICI), every shard computes its column slice of the
-    [block, m2] tile, and the replicated tile is appended to ``writer`` —
-    the full matrix never exists on device, and host memory holds one tile
-    at a time.  ``counts2=None`` streams the self-similarity (rows = cols);
-    otherwise rows come from ``counts`` and columns from ``counts2``.
+    left row block is extracted ON DEVICE into a replicated buffer (GSPMD
+    all-gathers the small [block, n] operand over ICI), every shard computes
+    its column slice of the [block, m2] tile, and the replicated tile is
+    appended to ``writer`` — the full matrix never exists on device, and
+    host memory holds one tile at a time.  ``counts2=None`` streams the
+    self-similarity (rows = cols); otherwise rows come from ``counts`` and
+    columns from ``counts2``.
+
+    Row counts need not divide the data axis (zero rows are padded in after
+    standardization and never reach the writer).  All data movement is
+    device-side, so this also runs under multi-host ``jax.distributed``
+    (every process receives identical replicated tiles; when writing files
+    in a multi-process run, give non-zero processes a no-op writer).
     """
+    from seekr_tpu.parallel.mesh import pad_to_shards
+
     data_shard = NamedSharding(mesh, P(DATA_AXIS, None))
     repl = NamedSharding(mesh, P())
+    n_data = mesh.shape[DATA_AXIS]
 
-    @functools.partial(jax.jit, in_shardings=(data_shard,),
+    m1 = int(np.shape(counts)[0])
+    m2 = m1 if counts2 is None else int(np.shape(counts2)[0])
+
+    @functools.partial(jax.jit, static_argnames=("m_pad",),
                        out_shardings=data_shard)
-    def standardize(c):
-        c = c.astype(jnp.float32)
+    def prep(c, m_pad):
+        c = jnp.asarray(c, dtype=jnp.float32)
         c = c - jnp.mean(c, axis=1, keepdims=True)
-        return c / jnp.std(c, axis=1, keepdims=True)
+        c = c / jnp.std(c, axis=1, keepdims=True)
+        if m_pad != c.shape[0]:  # pad AFTER standardizing: rows stay finite
+            c = jnp.pad(c, ((0, m_pad - c.shape[0]), (0, 0)))
+        return c
 
-    @functools.partial(jax.jit, in_shardings=(data_shard, repl),
+    m1_pad = pad_to_shards(m1, n_data)
+    block = min(block_rows, m1_pad)
+
+    @functools.partial(jax.jit, in_shardings=(data_shard, data_shard, None),
                        out_shardings=repl)
-    def block_fn(c, blk):
+    def tile_fn(right_c, left_c, start):
+        blk = jax.lax.dynamic_slice_in_dim(left_c, start, block, axis=0)
         d = jax.lax.dot_general(
-            blk, c, dimension_numbers=(((1,), (1,)), ((), ())),
+            blk, right_c, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=pearson_precision(),
         )
-        return d / c.shape[1]
+        return d / right_c.shape[1]
 
-    n_data = mesh.shape[DATA_AXIS]
-
-    def prep(c):
-        """Pad rows to a data-axis multiple, then standardize sharded.
-
-        Pad rows standardize to NaN (0/0) but land only in output columns
-        that are sliced off below.
-        """
-        c = np.asarray(c, dtype=np.float32)
-        m_pad = -(-c.shape[0] // n_data) * n_data
-        if m_pad != c.shape[0]:
-            c = np.pad(c, ((0, m_pad - c.shape[0]), (0, 0)))
-        return standardize(jnp.asarray(c))
-
-    m1 = np.asarray(counts).shape[0]
-    m2 = m1 if counts2 is None else np.asarray(counts2).shape[0]
-    left = prep(counts)
-    right = left if counts2 is None else prep(counts2)
-    for start in range(0, m1, block_rows):
-        end = min(start + block_rows, m1)
-        blk = jax.device_put(np.asarray(left[start:end]), repl)
-        writer.append(np.asarray(block_fn(right, blk))[:, :m2])
+    left = prep(counts, m1_pad)
+    right = left if counts2 is None else prep(counts2, pad_to_shards(m2, n_data))
+    for start in range(0, m1, block):
+        end = min(start + block, m1)
+        # dynamic_slice clamps at the edge; recover the requested rows
+        clamped = min(start, m1_pad - block)
+        off = start - clamped
+        tile = np.asarray(tile_fn(right, left, np.int32(clamped)))
+        writer.append(tile[off:off + (end - start), :m2])
 
 
 def shard_long_sequence(digits: np.ndarray, k: int, n_dev: int) -> Tuple[np.ndarray, int]:
     """Host-side prep for count_long_sequence: chunk + halo + pad.
 
     Returns (chunks [n_dev, chunk+k-1] int8, n_windows) where padding bases
-    are INVALID so they never form a counted window.
+    are INVALID so they never form a counted window.  The chunk/halo
+    invariant ("every window counted exactly once") lives in ONE place:
+    ops.count.split_long_digits, shared with the single-device long path.
     """
-    from seekr_tpu.io.encode import INVALID
+    from seekr_tpu.ops.count import split_long_digits
 
-    L = digits.shape[0]
-    n_windows = L - k + 1
-    chunk = -(-L // n_dev)
-    padded = np.full(chunk * n_dev + k - 1, INVALID, dtype=np.int8)
-    padded[:L] = digits
-    chunks = np.stack([padded[i * chunk: i * chunk + chunk + k - 1] for i in range(n_dev)])
-    return chunks, n_windows
+    return split_long_digits(digits, k, n_dev)

@@ -86,6 +86,29 @@ def main():
     local_mean = np.asarray(mean.addressable_shards[0].data)
     assert np.allclose(local_mean, raw.mean(axis=0), rtol=1e-5, atol=1e-4)
 
+    # streamed Pearson is device-side throughout, so it must also work
+    # multi-host, including row counts not divisible by the data axis
+    from seekr_tpu.parallel.dist import stream_pearson_sharded
+
+    class Collect:
+        def __init__(self):
+            self.blocks = []
+
+        def append(self, blk):
+            self.blocks.append(np.asarray(blk))
+
+    rng2 = np.random.default_rng(1)
+    s1 = rng2.normal(size=(13, 64)).astype(np.float32)
+    s2 = rng2.normal(size=(11, 64)).astype(np.float32)
+    w = Collect()
+    stream_pearson_sharded(mesh, s1, w, block_rows=5, counts2=s2)
+    got = np.vstack(w.blocks)
+    z1 = (s1 - s1.mean(1, keepdims=True)) / s1.std(1, keepdims=True)
+    z2 = (s2 - s2.mean(1, keepdims=True)) / s2.std(1, keepdims=True)
+    want = z1 @ z2.T / s1.shape[1]
+    assert got.shape == (13, 11)
+    assert np.allclose(got, want, rtol=1e-4, atol=1e-5), "streamed pearson"
+
     print(f"DIST_OK p{process_id}", flush=True)
 
 

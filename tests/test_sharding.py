@@ -110,6 +110,41 @@ def test_sequence_parallel_long_transcript():
     assert np.allclose(np.asarray(row), expected, rtol=1e-4, atol=1e-3)
 
 
+class _Collect:
+    def __init__(self):
+        self.blocks = []
+
+    def append(self, b):
+        self.blocks.append(np.asarray(b))
+
+    def result(self):
+        return np.vstack(self.blocks)
+
+
+def test_stream_pearson_sharded_cross_and_padding():
+    """Cross-matrix streaming with row counts NOT divisible by the data axis."""
+    from seekr_tpu.ops.pearson import pearson_device
+    from seekr_tpu.parallel.dist import stream_pearson_sharded
+
+    mesh = make_mesh(jax.devices()[:8])
+    rng = np.random.default_rng(3)
+    c1 = rng.normal(size=(13, 64)).astype(np.float32)
+    c2 = rng.normal(size=(11, 64)).astype(np.float32)
+
+    w = _Collect()
+    stream_pearson_sharded(mesh, c1, w, block_rows=5, counts2=c2)
+    got = w.result()
+    assert got.shape == (13, 11)
+    np.testing.assert_allclose(got, np.asarray(pearson_device(c1, c2)),
+                               rtol=1e-4, atol=1e-5)
+
+    w2 = _Collect()
+    stream_pearson_sharded(mesh, c1, w2, block_rows=4)
+    np.testing.assert_allclose(w2.result(),
+                               np.asarray(pearson_device(c1, c1)),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_graft_entry_contract():
     import importlib.util
     import pathlib
