@@ -73,36 +73,43 @@ def _kernel(lengths_ref, bases_ref, out_ref, acc_ref, *,
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    # window codes for this chunk: positions j*cw .. j*cw+cw-1
+    # skip chunks past every row's last window: with ragged (unbucketed)
+    # inputs whole position ranges hold only padding, and the one-hot
+    # builds + dots there would accumulate exact zeros
     base0 = j * cw
-    digits = bases_ref[:, pl.ds(base0, cw + k - 1)]  # int32 digits
-    code = jnp.zeros((tm, cw), jnp.int32)
-    bad = jnp.zeros((tm, cw), jnp.bool_)
-    for off in range(k):
-        d = digits[:, off:off + cw]  # static slice (Mosaic-lowerable)
-        bad = bad | (d >= 4)
-        code = code * 4 + jnp.where(d >= 4, 0, d)
+    tile_windows = jnp.max(lengths_ref[...]) - (k - 1)
 
-    # validity: window start must be < len - (k-1); lengths block is [tm, 1]
-    n_windows = lengths_ref[...].reshape(tm, 1) - (k - 1)
-    pos = base0 + jax.lax.broadcasted_iota(jnp.int32, (tm, cw), 1)
-    valid = (pos < n_windows) & ~bad
+    @pl.when(base0 < tile_windows)
+    def _():
+        # window codes for this chunk: positions j*cw .. j*cw+cw-1
+        digits = bases_ref[:, pl.ds(base0, cw + k - 1)]  # int32 digits
+        code = jnp.zeros((tm, cw), jnp.int32)
+        bad = jnp.zeros((tm, cw), jnp.bool_)
+        for off in range(k):
+            d = digits[:, off:off + cw]  # static slice (Mosaic-lowerable)
+            bad = bad | (d >= 4)
+            code = code * 4 + jnp.where(d >= 4, 0, d)
 
-    shift = n_lo.bit_length() - 1  # n_lo is a power of two
-    hi = jnp.where(valid, code >> shift, -1)  # invalid -> matches no bin
-    lo = code & (n_lo - 1)
+        # validity: window start < len - (k-1); lengths block is [tm, 1]
+        n_windows = lengths_ref[...].reshape(tm, 1) - (k - 1)
+        pos = base0 + jax.lax.broadcasted_iota(jnp.int32, (tm, cw), 1)
+        valid = (pos < n_windows) & ~bad
 
-    # transposed one-hots: bins on sublanes, windows on lanes
-    iota_hi = jax.lax.broadcasted_iota(jnp.int32, (n_hi, cw), 0)
-    iota_lo = jax.lax.broadcasted_iota(jnp.int32, (n_lo, cw), 0)
-    for t in range(tm):
-        h = (hi[t:t + 1, :] == iota_hi).astype(jnp.bfloat16)  # [n_hi, cw]
-        l = (lo[t:t + 1, :] == iota_lo).astype(jnp.bfloat16)  # [n_lo, cw]
-        acc_ref[t] += jax.lax.dot_general(
-            h, l,
-            dimension_numbers=(((1,), (1,)), ((), ())),  # contract lanes
-            preferred_element_type=jnp.float32,
-        )
+        shift = n_lo.bit_length() - 1  # n_lo is a power of two
+        hi = jnp.where(valid, code >> shift, -1)  # invalid -> matches no bin
+        lo = code & (n_lo - 1)
+
+        # transposed one-hots: bins on sublanes, windows on lanes
+        iota_hi = jax.lax.broadcasted_iota(jnp.int32, (n_hi, cw), 0)
+        iota_lo = jax.lax.broadcasted_iota(jnp.int32, (n_lo, cw), 0)
+        for t in range(tm):
+            h = (hi[t:t + 1, :] == iota_hi).astype(jnp.bfloat16)  # [n_hi, cw]
+            l = (lo[t:t + 1, :] == iota_lo).astype(jnp.bfloat16)  # [n_lo, cw]
+            acc_ref[t] += jax.lax.dot_general(
+                h, l,
+                dimension_numbers=(((1,), (1,)), ((), ())),  # contract lanes
+                preferred_element_type=jnp.float32,
+            )
 
     @pl.when(j == n_chunks - 1)
     def _():
