@@ -29,9 +29,12 @@ def _orbax():
 
 def save_sharded(path: str, array) -> None:
     """Save a (device, possibly sharded) array as an orbax checkpoint."""
+    import os
+
     import jax
 
     ocp = _orbax()
+    path = os.path.abspath(path)  # orbax rejects relative checkpoint paths
 
     ckptr = ocp.StandardCheckpointer()
     # StandardCheckpointer takes pytrees, not bare arrays
@@ -46,9 +49,12 @@ def load_sharded(path: str, sharding=None, shape=None, dtype=None):
     each process restores only the shards it owns; without it the array is
     restored with the layout recorded at save time.
     """
+    import os
+
     import jax
 
     ocp = _orbax()
+    path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
     if sharding is None:
         return ckptr.restore(path)["array"]

@@ -93,6 +93,8 @@ class Reader:
     # -- public API --------------------------------------------------------
 
     def get_lines(self) -> List[str]:
+        if self.data is not None:  # parse once per Reader instance
+            return self.data
         lines = self._native_lines()
         if lines is not None:
             self.data = lines

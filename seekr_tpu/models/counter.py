@@ -91,6 +91,10 @@ class KmerCounter:
         if infasta is not None:
             self.seqs = Reader(infasta).get_seqs()
         self._file_seqs = self.seqs  # identity-tracked for the fast file path
+        # snapshot of the same string objects: `==` is O(m) pointer compares
+        # while untouched, and catches IN-PLACE edits (c.seqs[0] = ...) that
+        # identity alone would miss — the reference counts mutated seqs
+        self._file_seqs_snapshot = list(self.seqs) if self.seqs else None
         self.outfile = outfile
         self.k = int(k)
         self.binary = binary
@@ -164,7 +168,8 @@ class KmerCounter:
                 max_rows_per_bucket=_MAX_ROWS_PER_BUCKET,
             )
             id_map = short_ids
-        elif self.infasta is not None and self.seqs is self._file_seqs:
+        elif (self.infasta is not None and self.seqs is self._file_seqs
+              and self.seqs == self._file_seqs_snapshot):
             # native C++ parse + multithreaded batch encode when available
             encoded = encode_fasta(
                 self.infasta, self.k, self.alphabet,

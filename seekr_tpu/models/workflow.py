@@ -103,9 +103,19 @@ def run_workflow(seq1file, seq2file=None, background=None, k=6,
         raise ValueError("a background fasta is required (norm vectors + "
                          "empirical null)")
     seq2file = seq2file or seq1file
-    os.makedirs(outdir, exist_ok=True)
     mesh = _build_mesh(data_parallel, kmer_parallel, coordinator,
                        num_processes, process_id)
+    # in a multi-host run every process computes (collectives require it)
+    # but only process 0 writes files — concurrent writers on a shared
+    # filesystem would interleave/truncate the artifacts
+    if num_processes and num_processes > 1:
+        import jax
+
+        is_writer = jax.process_index() == 0
+    else:
+        is_writer = True
+    if is_writer:
+        os.makedirs(outdir, exist_ok=True)
 
     def big_pearson(c1, c2):
         """Self/cross Pearson on the mesh when one is configured."""
@@ -123,8 +133,9 @@ def run_workflow(seq1file, seq2file=None, background=None, k=6,
         bkg.get_counts()
         mean = np.asarray(bkg.mean)
         std = np.asarray(bkg.std)
-        np.save(os.path.join(outdir, f"mean_{k}mers.npy"), mean)
-        np.save(os.path.join(outdir, f"std_{k}mers.npy"), std)
+        if is_writer:
+            np.save(os.path.join(outdir, f"mean_{k}mers.npy"), mean)
+            np.save(os.path.join(outdir, f"std_{k}mers.npy"), std)
         # null sample: background self-similarity, upper triangle
         # (the second counter keeps default log2 like the reference
         # find_dist quirk — see stats/find_dist.py)
@@ -163,16 +174,18 @@ def run_workflow(seq1file, seq2file=None, background=None, k=6,
         adj_df = adj_pval(pval_df, method=adj_method, alpha=alpha)
 
     with stage_timer("workflow/artifacts"):
-        pd.DataFrame(c1.counts, index=headers1, columns=c1.kmers).to_csv(
-            os.path.join(outdir, "counts1.csv"))
-        if c2 is not c1:
-            pd.DataFrame(c2.counts, index=headers2, columns=c2.kmers).to_csv(
-                os.path.join(outdir, "counts2.csv"))
-        pd.DataFrame(sim, index=headers1, columns=headers2).to_csv(
-            os.path.join(outdir, "pearson.csv"))
-        pval_df.to_csv(os.path.join(outdir, "pvals.csv"))
-        if adj_df is not None:
-            adj_df.to_csv(os.path.join(outdir, "pvals_adjusted.csv"))
+        if is_writer:
+            pd.DataFrame(c1.counts, index=headers1, columns=c1.kmers).to_csv(
+                os.path.join(outdir, "counts1.csv"))
+            if c2 is not c1:
+                pd.DataFrame(c2.counts, index=headers2,
+                             columns=c2.kmers).to_csv(
+                    os.path.join(outdir, "counts2.csv"))
+            pd.DataFrame(sim, index=headers1, columns=headers2).to_csv(
+                os.path.join(outdir, "pearson.csv"))
+            pval_df.to_csv(os.path.join(outdir, "pvals.csv"))
+            if adj_df is not None:
+                adj_df.to_csv(os.path.join(outdir, "pvals_adjusted.csv"))
 
     return {
         "mean": mean, "std": std, "null_sample": null_sample,

@@ -28,8 +28,10 @@ import numpy as np
 def ecdf_sf(background_sorted: jax.Array, r: jax.Array) -> jax.Array:
     """Device empirical survival function P(X > r) per element of ``r``.
 
-    background_sorted: [N] ascending.  Comparisons happen in the
-    background's dtype (float32 under default JAX config).
+    background_sorted: [N] ascending, FINITE values only (drop NaNs before
+    sorting — they would sort past every insertion point and count as
+    greater).  Comparisons happen in the background's dtype (float32 under
+    default JAX config).
     """
     n = background_sorted.shape[0]
     le = jnp.searchsorted(background_sorted, r.astype(background_sorted.dtype), side="right")
@@ -41,8 +43,14 @@ def empirical_pvals(background, sim) -> np.ndarray:
 
     Promotes to float64 like the reference's ``fitres > sim[i, j]``
     comparison, so near-tie values within float32 eps resolve identically.
+    NaN background entries compare False in the reference's ``mean(bkg > r)``
+    (they sort PAST every searchsorted insertion point, which would
+    otherwise count them as greater) — so only finite values enter the
+    numerator while the denominator keeps the full sample size.
     """
-    bkg = np.sort(np.asarray(background, dtype=np.float64).ravel())
+    bkg = np.asarray(background, dtype=np.float64).ravel()
+    n_total = len(bkg)
+    finite = np.sort(bkg[~np.isnan(bkg)])
     r = np.asarray(sim, dtype=np.float64)
-    le = np.searchsorted(bkg, r, side="right")
-    return ((len(bkg) - le) / len(bkg)).astype(np.float64)
+    le = np.searchsorted(finite, r, side="right")
+    return ((len(finite) - le) / n_total).astype(np.float64)

@@ -63,32 +63,31 @@ def pearson_device(counts1, counts2, row_standardize: bool = True) -> jax.Array:
     return dist / c1.shape[1]
 
 
+class _RowFiller:
+    """Writer that fills a preallocated array with streamed row blocks."""
+
+    def __init__(self, out: np.ndarray):
+        self.out = out
+        self.row = 0
+
+    def append(self, block):
+        block = np.asarray(block)
+        self.out[self.row:self.row + block.shape[0]] = block
+        self.row += block.shape[0]
+
+
 def pearson_blocked(counts1, counts2, row_standardize: bool = True,
                     block_rows: int = 4096) -> np.ndarray:
     """Row-blocked Pearson for outputs too large to hold on device at once.
 
-    Standardizes both operands once on device, then emits [block, m2] tiles
-    to host memory.
+    The blocked GEMM recipe lives in ONE place — io.stream.stream_pearson —
+    driven here into a preallocated host array.
     """
-    c1 = jnp.asarray(counts1, dtype=jnp.float32)
-    c2 = jnp.asarray(counts2, dtype=jnp.float32)
-    if row_standardize:
-        c1 = _row_standardize(c1)
-        c2 = _row_standardize(c2)
-    m1 = c1.shape[0]
-    n = c1.shape[1]
-    out = np.empty((m1, c2.shape[0]), dtype=np.float32)
+    from seekr_tpu.io.stream import stream_pearson
 
-    @jax.jit
-    def block(a, b):
-        d = jax.lax.dot_general(
-            a, b, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=pearson_precision(),
-        )
-        return d / n
-
-    for s in range(0, m1, block_rows):
-        e = min(s + block_rows, m1)
-        out[s:e] = np.asarray(block(c1[s:e], c2))
+    m1 = np.shape(counts1)[0]
+    m2 = np.shape(counts2)[0]
+    out = np.empty((m1, m2), dtype=np.float32)
+    stream_pearson(counts1, counts2, _RowFiller(out), block_rows=block_rows,
+                   row_standardize=row_standardize)
     return out

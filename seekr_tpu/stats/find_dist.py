@@ -52,6 +52,10 @@ def resolve_models(models):
     available = _all_scipy_distributions()
     if isinstance(models, str) and models == "all":
         return available
+    if isinstance(models, str):
+        # a bare name like 'norm' — list(models) would split it into
+        # characters and silently reject everything
+        models = [models]
     requested = list(models)
     valid = [d for d in requested if d in available]
     if len(valid) < len(requested):
@@ -215,6 +219,10 @@ def fit_distributions(data, names, statsmethod="ks", progress_bar=False,
 
 def plot_fits(data, results, plotfit):
     """Grid plot of fitted PDFs (red dashed) over data histogram (blue)."""
+    if not results:
+        print("No distributions were successfully fitted; skipping the "
+              "fit plot.")
+        return
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt

@@ -29,7 +29,15 @@ from seekr_tpu.ops.ecdf import empirical_pvals
 
 
 def is_float_type(x):
-    return isinstance(x, float) or np.isscalar(x)
+    """Numeric check for fitres entries.
+
+    Deliberate fix of the reference's version (seekr/find_pval.py:56-57:
+    ``isinstance(x, float) or np.isscalar(x)``): np.isscalar('x') is True,
+    so upstream validation accepts strings and then crashes inside
+    scipy.stats instead of returning None with the advisory message — this
+    implements the check the validation exists for.
+    """
+    return isinstance(x, (int, float, np.floating, np.integer))
 
 
 def check_tuple_format(tup):

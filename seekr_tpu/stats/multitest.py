@@ -72,6 +72,11 @@ def multipletests(pvals, alpha: float = 0.05, method: str = "fdr_bh",
     method = _METHOD_ALIASES.get(str(method).lower())
     if method is None:
         raise ValueError("method not recognized")
+    if n == 0:
+        # e.g. the empty upper triangle of a 1x1 symmetric p-value matrix
+        # reaching here through adj_pval; statsmodels returns empties too
+        empty = np.empty(shape)
+        return empty.astype(bool), empty, np.nan, np.nan
 
     alphac_sidak = 1.0 - (1.0 - alpha) ** (1.0 / n)
     alphac_bonf = alpha / n

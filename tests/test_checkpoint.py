@@ -51,3 +51,12 @@ def test_save_pipeline_state_artifacts(tmp_path):
     np.testing.assert_array_equal(np.load(f"{d}/std.npy"), std)
     restored = load_sharded(f"{d}/counts")
     np.testing.assert_array_equal(np.asarray(restored), np.ones((8, 16)))
+
+
+def test_relative_path_roundtrip(tmp_path, monkeypatch):
+    # orbax requires absolute paths; save/load absolutize relative ones
+    monkeypatch.chdir(tmp_path)
+    x = np.arange(32, dtype=np.float32).reshape(4, 8)
+    save_sharded("rel_ckpt", jax.device_put(x))
+    restored = load_sharded("rel_ckpt")
+    np.testing.assert_array_equal(np.asarray(restored), x)

@@ -184,3 +184,18 @@ class TestKmerCounter:
         counter.get_counts()
         with pytest.raises(AssertionError):
             counter.save()
+
+
+def test_inplace_seqs_mutation_is_counted(ref_data):
+    # reference BasicCounter counts whatever is in .seqs, even after
+    # in-place edits; the native fast-file path must not shortcut that
+    from seekr_tpu import KmerCounter
+
+    fa = str(ref_data / "example.fa")
+    c = KmerCounter(fa, k=1, mean=False, std=False, log2="Log2.none",
+                    silent=True)
+    c.seqs[0] = "AAAA"
+    c.get_counts()
+    expected = np.zeros(4)
+    expected[0] = 1000.0
+    np.testing.assert_allclose(c.counts[0], expected)

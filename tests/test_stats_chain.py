@@ -134,6 +134,50 @@ def test_find_pval_invalid_fitres_returns_none(ref_data, example_fa, tmp_path,
                      "bkg_std_2mers.npy", 3, fitres=np.zeros(5)) is None
 
 
+def test_empirical_pvals_nan_background_counts_as_not_greater():
+    # reference semantics: mean(bkg > r) — NaN comparisons are False, while
+    # naive searchsorted would count NaNs (sorted past the end) as greater
+    bkg = np.array([0.1, 0.5, np.nan, np.nan])
+    got = np.asarray(empirical_pvals(bkg, np.array([[0.6, 0.0]])))
+    want = np.array([[np.mean(bkg > 0.6), np.mean(bkg > 0.0)]])
+    np.testing.assert_allclose(got, want)
+    assert got[0, 0] == 0.0  # not 0.5
+
+
+def test_find_pval_rejects_string_params(ref_data, example_fa, tmp_path,
+                                         monkeypatch, capsys):
+    # intended validation (reference's np.isscalar('x') hole is fixed):
+    # malformed fitres -> advisory message + None, not a scipy crash
+    from seekr_tpu.stats.find_pval import check_main_list
+
+    assert not check_main_list([("norm", "bad", ("a", "b"))])
+    assert check_main_list([("norm", 0.1, (0.0, 1.0))])
+    assert check_main_list([("norm", np.float32(0.1), (np.float64(0.0), 1))])
+
+
+def test_adj_pval_single_cell_symmetric_no_crash():
+    # 1x1 symmetric matrix -> empty upper triangle -> empty correction
+    df = pd.DataFrame([[0.5]], index=["a"], columns=["a"])
+    adj = adj_pval(df, method="fdr_bh")
+    assert adj is not None
+    assert np.isnan(adj.values[0, 0])
+
+
+def test_resolve_models_bare_string_is_one_name(capsys):
+    from seekr_tpu.stats.find_dist import resolve_models
+
+    assert resolve_models("norm") == ["norm"]
+    assert "Excluding" not in capsys.readouterr().out
+
+
+def test_plot_fits_empty_results_no_crash(tmp_path, capsys):
+    from seekr_tpu.stats.find_dist import plot_fits
+
+    plot_fits(np.zeros(10), [], str(tmp_path / "p"))
+    assert "skipping" in capsys.readouterr().out
+    assert not (tmp_path / "p.pdf").exists()
+
+
 def test_adj_pval_symmetric_upper_triangle():
     p = np.array([[0.0, 0.01, 0.02],
                   [0.01, 0.0, 0.03],
