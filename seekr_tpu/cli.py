@@ -153,11 +153,14 @@ def _enable_xla_cache():
 
     Called only by device-backed commands — it imports JAX, which the pure
     host commands (heatmap, dendrogram, adj_pval, textplots, downloader,
-    filter) must not pay for.
+    filter) must not pay for.  Also starts a jax.profiler trace spanning
+    the command when SEEKR_TPU_TRACE is set.
     """
     from seekr_tpu.utils.compile_cache import enable_compilation_cache
+    from seekr_tpu.utils.profiler import start_trace_if_configured
 
     enable_compilation_cache()
+    start_trace_if_configured()
 
 
 def _formatter():
@@ -887,6 +890,7 @@ _CMDS2DOC = {
     "seekr_kmer_msd_barplot": KMER_MSD_BARPLOT_DOC,
     "seekr_kmer_comp_textplot": KMER_COMP_TEXTPLOT_DOC,
     "seekr_kmer_indi_textplot": KMER_INDI_TEXTPLOT_DOC,
+    "seekr_tpu_pipeline": PIPELINE_DOC,
 }
 
 

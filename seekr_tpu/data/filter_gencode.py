@@ -10,6 +10,13 @@ Behavioral parity with seekr/filter_gencode.py:114-225:
   * >50 GTF ids unmatched to fasta headers -> advisory warning
   * rm_dup: exact-duplicate sequences removed, first occurrence kept
   * writes ``{outputname}.fa`` and returns (headers, seqs) with '>' stripped
+
+Documented deviations (intended-behavior fixes, see PARITY.md):
+  * canonical+isoform combined: the surviving GTF line set is aligned by
+    transcript_id (the reference zips the per-GTF-line list against the
+    per-fasta-record mask — misaligned whenever the files differ).
+  * the GENCODE length header field is parsed only when length filtering is
+    requested, so dedup-only runs work on non-GENCODE headers.
 """
 
 from __future__ import annotations
@@ -85,9 +92,11 @@ def filter_gencode(fasta_path, gtf_path=None, len_threshold=0,
     seqs = reader.get_seqs()
     headers = [h[1:] for h in reader.get_headers()]
 
-    headers_list = [h.split("|") for h in headers]
-    headers_tids = [h[0] for h in headers_list]
-    headers_len = [int(h[-2]) for h in headers_list]
+    headers_tids = [h.split("|")[0] for h in headers]
+    # the GENCODE length field (split('|')[-2]) is parsed only when length
+    # filtering is requested — the reference parses it eagerly and crashes
+    # on plain (non-GENCODE) headers even for a dedup-only run
+    # (seekr/filter_gencode.py:122-125; documented deviation)
 
     if canonical or isoform != "0":
         if gtf_path is None:
@@ -101,17 +110,24 @@ def filter_gencode(fasta_path, gtf_path=None, len_threshold=0,
         gtfs = [line for line in gtfs if len(line) > 8 and line[2] == "transcript"]
 
         if canonical:
-            tids = [get_transcript_id_with_ensembl_canonical(line[8])
-                    for line in gtfs]
-            tids = [t for t in tids if t != ""]
-            tids_set = set(tids)
+            tids_by_line = [get_transcript_id_with_ensembl_canonical(line[8])
+                            for line in gtfs]
+            tids_set = set(t for t in tids_by_line if t != "")
             presence = [tid in tids_set for tid in headers_tids]
             _warn_unmatched(tids_set, headers_tids, "Ensemble_canonical tag")
             headers = [h for h, p in zip(headers, presence) if p]
             seqs = [s for s, p in zip(seqs, presence) if p]
-            headers_len = [n for n, p in zip(headers_len, presence) if p]
             headers_tids = [t for t, p in zip(headers_tids, presence) if p]
-            gtfs = [g for g, p in zip(gtfs, presence) if p]
+            # restrict the GTF lines to the canonical transcripts that
+            # survived in the fasta, so the isoform stage below evaluates
+            # the same set.  The reference instead zips the per-GTF-LINE
+            # list against the per-FASTA-RECORD presence mask
+            # (seekr/filter_gencode.py:171) — misaligned lists that keep or
+            # drop the wrong GTF lines whenever the files do not match 1:1;
+            # documented deviation implementing the intended filter.
+            surviving = set(headers_tids)
+            gtfs = [g for g, t in zip(gtfs, tids_by_line)
+                    if t != "" and t in surviving]
 
         if isoform != "0":
             itids = [get_transcript_id_with_isoform(line[8], isoform)
@@ -122,9 +138,9 @@ def filter_gencode(fasta_path, gtf_path=None, len_threshold=0,
             _warn_unmatched(itids_set, headers_tids, "isoform")
             headers = [h for h, p in zip(headers, ipresence) if p]
             seqs = [s for s, p in zip(seqs, ipresence) if p]
-            headers_len = [n for n, p in zip(headers_len, ipresence) if p]
 
     if len_threshold > 0:
+        headers_len = [int(h.split("|")[-2]) for h in headers]
         keep = [n >= len_threshold for n in headers_len]
         seqs = [s for s, p in zip(seqs, keep) if p]
         headers = [h for h, p in zip(headers, keep) if p]

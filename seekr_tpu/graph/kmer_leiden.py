@@ -15,7 +15,6 @@ from __future__ import annotations
 import numpy as np
 
 from seekr_tpu import native
-from seekr_tpu.io.fasta import Reader
 from seekr_tpu.models.counter import KmerCounter
 from seekr_tpu.models.pearson import pearson
 
@@ -37,7 +36,7 @@ def similarity_graph(inputfile, mean, std, k, pearsoncutoff=0):
 
     counter = KmerCounter(inputfile, mean=mean, std=std, k=k, silent=True)
     counter.make_count_file()
-    headers = [h[1:] for h in Reader(inputfile).get_headers()]
+    headers = [h[1:] for h in counter.headers]  # counter already parsed
     sim = np.asarray(pearson(counter.counts, counter.counts)).copy()
     sim[sim < pearsoncutoff] = 0
     np.fill_diagonal(sim, 0)
@@ -82,7 +81,9 @@ def _edge_style(df, edgecolormethod, edgethreshold):
     if edgecolormethod != "gradient":
         print("edgecolormethod must be either 'gradient' or 'threshold', "
               "use default 'gradient' now")
-    span = weights.max() - weights.min() if len(weights) else 1.0
+    if not len(weights):  # no pair cleared the cutoff: nothing to style
+        return [], []
+    span = weights.max() - weights.min()
     normalized = (weights - weights.min()) / (span if span > 0 else 1.0)
     mapped = 0.1 + 0.9 * normalized
     colors = [(1 - w, 1 - w, 1 - w) for w in mapped]
@@ -98,7 +99,13 @@ def plot_network(df, membership, plotname, edgecolormethod="gradient",
     import matplotlib.pyplot as plt
     import networkx as nx
 
-    G = nx.from_pandas_adjacency(df)
+    # positive weights only: community detection runs on the df>0 edge set
+    # (reference builds igraph from df>0, kmer_leiden.py:106) but the
+    # reference plots nx.from_pandas_adjacency(df) — ALL nonzero entries —
+    # so with a negative pearsoncutoff the styling arrays desynchronize
+    # from G.edges; plotting the same positive edge set is the intended
+    # behavior (documented deviation)
+    G = nx.from_pandas_adjacency(df.where(df > 0, 0.0))
     edge_colors, edge_widths = _edge_style(df, edgecolormethod, edgethreshold)
     community_colors = plt.cm.rainbow(np.linspace(0, 1, int(membership.max()) + 1))
     node_colors = [community_colors[c] for c in membership]
@@ -150,17 +157,12 @@ def kmer_leiden(inputfile, mean, std, k, algo="RBERVertexPartition", rs=1.0,
     the membership array (the reference returns None — returning the result
     is a strict superset of that contract).
     """
-    meanfile = np.load(mean)
-    stdfile = np.load(std)
-    # intended compatibility check; upstream kmer_leiden.py:75 has the same
-    # operator-precedence bug as find_pval.py:76 (see stats/find_pval.py)
-    if len(meanfile) != 4 ** k or len(stdfile) != 4 ** k:
-        print("kmer size is not compatible with the normalization mean "
-              "and/or std files.")
-        print("Please make sure the normalization mean and std files are "
-              "generated using the same kmer size as specified here in k.")
-        print("No Leiden community is calculated or plotted. "
-              "The output is None.")
+    from seekr_tpu.viz.style import check_norm_compat
+
+    # shared intended compatibility check (upstream kmer_leiden.py:75 has
+    # the same operator-precedence bug as find_pval.py:76)
+    if not check_norm_compat(mean, std, k,
+                             "Leiden community is calculated or plotted"):
         return None
 
     df = similarity_graph(inputfile, mean, std, k, pearsoncutoff)

@@ -53,17 +53,33 @@ class StreamingNpyWriter:
 
 
 class StreamingCsvWriter:
-    """Row-block CSV appender (labeled like pandas, or raw %1.6f)."""
+    """Row-block CSV appender (labeled like pandas, or raw %1.6f).
+
+    Labels are quoted with csv's minimal quoting so names containing commas
+    (legal in FASTA headers) round-trip exactly like the pandas ``to_csv``
+    path used for sub-threshold matrices.
+    """
 
     def __init__(self, path: str, columns=None, row_labels=None,
                  fmt: str = "%1.6f"):
+        import csv as _csv
+        import io as _io
+
         self.path = path
         self.fmt = fmt
         self.row_labels = list(row_labels) if row_labels is not None else None
         self.labeled = columns is not None
         self._fh = open(path, "w")
+
+        def quote(label):
+            buf = _io.StringIO()
+            _csv.writer(buf, lineterminator="").writerow([str(label)])
+            return buf.getvalue()
+
+        self._quote = quote
         if self.labeled:
-            self._fh.write("," + ",".join(str(c) for c in columns) + "\n")
+            self._fh.write(
+                "," + ",".join(quote(c) for c in columns) + "\n")
         self._row = 0
 
     def append(self, block: np.ndarray):
@@ -71,7 +87,8 @@ class StreamingCsvWriter:
         for row in block:
             cells = ",".join(self.fmt % v for v in row)
             if self.labeled:
-                self._fh.write(f"{self.row_labels[self._row]},{cells}\n")
+                label = self._quote(self.row_labels[self._row])
+                self._fh.write(f"{label},{cells}\n")
             else:
                 self._fh.write(cells + "\n")
             self._row += 1

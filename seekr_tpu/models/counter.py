@@ -88,8 +88,13 @@ class KmerCounter:
     ):
         self.infasta = infasta
         self.seqs = None
+        self.headers = None
         if infasta is not None:
-            self.seqs = Reader(infasta).get_seqs()
+            reader = Reader(infasta)
+            self.seqs = reader.get_seqs()
+            # free from the same cached parse; saves downstream callers
+            # (barplots, leiden, workflow) a full re-read for labels
+            self.headers = reader.get_headers()
         self._file_seqs = self.seqs  # identity-tracked for the fast file path
         # snapshot of the same string objects: `==` is O(m) pointer compares
         # while untouched, and catches IN-PLACE edits (c.seqs[0] = ...) that

@@ -22,7 +22,6 @@ import os
 
 import numpy as np
 
-from seekr_tpu.io.fasta import Reader
 from seekr_tpu.models.counter import KmerCounter
 from seekr_tpu.models.pearson import pearson
 from seekr_tpu.ops.ecdf import empirical_pvals
@@ -153,14 +152,14 @@ def run_workflow(seq1file, seq2file=None, background=None, k=6,
         c1 = KmerCounter(seq1file, mean=mean, std=std, k=k, log2=log2,
                          silent=True)
         c1.get_counts()
-        headers1 = [h[1:] for h in Reader(seq1file).get_headers()]
+        headers1 = [h[1:] for h in c1.headers]
         if seq2file == seq1file:
             c2, headers2 = c1, headers1
         else:
             c2 = KmerCounter(seq2file, mean=mean, std=std, k=k, log2=log2,
                              silent=True)
             c2.get_counts()
-            headers2 = [h[1:] for h in Reader(seq2file).get_headers()]
+            headers2 = [h[1:] for h in c2.headers]
 
     with stage_timer("workflow/pearson", items=len(headers1) * len(headers2),
                      unit="cells"):

@@ -21,18 +21,37 @@ _ACTIVE = False
 def trace_session(trace_dir: str | None = None):
     """Collect a jax.profiler trace for the enclosed region."""
     global _ACTIVE
-    import jax
-
     target = trace_dir or _TRACE_DIR
     if not target or _ACTIVE:
         yield
         return
+    import jax  # deferred: the disabled path must stay jax-free
+
     _ACTIVE = True
     try:
         with jax.profiler.trace(target):
             yield
     finally:
         _ACTIVE = False
+
+
+def start_trace_if_configured() -> bool:
+    """Start a process-lifetime trace when SEEKR_TPU_TRACE is set.
+
+    Used by the CLI device commands: the trace spans the whole command and
+    is stopped at interpreter exit.  Returns whether tracing started.
+    """
+    global _ACTIVE
+    if not _TRACE_DIR or _ACTIVE:
+        return False
+    import atexit
+
+    import jax
+
+    jax.profiler.start_trace(_TRACE_DIR)
+    _ACTIVE = True
+    atexit.register(jax.profiler.stop_trace)
+    return True
 
 
 @contextlib.contextmanager

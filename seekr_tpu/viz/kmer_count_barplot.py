@@ -10,7 +10,6 @@ from __future__ import annotations
 
 import numpy as np
 
-from seekr_tpu.io.fasta import Reader
 from seekr_tpu.models.counter import KmerCounter
 from seekr_tpu.viz.style import check_norm_compat, save_figure, setup_fonts
 
@@ -33,7 +32,7 @@ def kmer_count_barplot(inputfile, mean, std, k, log2="Log2.post",
     counter = KmerCounter(inputfile, mean=mean, std=std, log2=log2, k=k,
                           silent=True)
     counter.make_count_file()
-    headers = [h[1:] for h in Reader(inputfile).get_headers()]
+    headers = [h[1:] for h in counter.headers]  # counter already parsed
     counts = counter.counts
 
     if len(headers) > 10:

@@ -6,7 +6,6 @@ across sequences, sorted by mean or sd, seaborn barplot with sd errorbars.
 
 from __future__ import annotations
 
-from seekr_tpu.io.fasta import Reader
 from seekr_tpu.models.counter import KmerCounter
 from seekr_tpu.viz.style import check_norm_compat, save_figure, setup_fonts
 
@@ -29,7 +28,7 @@ def kmer_msd_barplot(inputfile, mean, std, k, log2="Log2.post",
     counter = KmerCounter(inputfile, mean=mean, std=std, log2=log2, k=k,
                           silent=True)
     counter.make_count_file()
-    headers = [h[1:] for h in Reader(inputfile).get_headers()]
+    headers = [h[1:] for h in counter.headers]  # counter already parsed
     df = pd.DataFrame(counter.counts, index=headers, columns=counter.kmers)
 
     if sortstat not in ("mean", "sd"):

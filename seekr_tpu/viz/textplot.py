@@ -149,7 +149,7 @@ def kmer_indi_textplot(seqfile, words, color_vec="default", wraplen=60,
 
     reader = Reader(seqfile)
     seqs = reader.get_seqs()
-    headers = [h[1:] for h in Reader(seqfile).get_headers()]
+    headers = [h[1:] for h in reader.get_headers()]  # cached, no re-parse
     plotnames = [header.split("|")[0] for header in headers]
 
     for seq, plotname in zip(seqs, plotnames):

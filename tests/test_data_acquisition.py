@@ -150,3 +150,45 @@ def test_filter_canonical_without_gtf_returns_none(gencode_fixture,
     monkeypatch.chdir(tmp)
     assert filter_gencode(fa, canonical=True) is None
     assert "provide a gtf file path" in capsys.readouterr().out
+
+
+def test_filter_canonical_plus_isoform_alignment(tmp_path, monkeypatch):
+    """Combined canonical+isoform filtering keeps the right transcripts.
+
+    The reference masks the per-GTF-line list with the per-fasta-record
+    presence mask (seekr/filter_gencode.py:171), which misaligns the two
+    whenever the GTF has lines for transcripts absent from the fasta —
+    here T2 — and silently filters the wrong set (PARITY.md deviation).
+    """
+    monkeypatch.chdir(tmp_path)
+    fa = tmp_path / "in.fa"
+    # fasta has T1 and T3 only (GTF also knows T2)
+    fa.write_text(">T1|G1|x|x|x|x|8|\nAAAATTTT\n"
+                  ">T3|G3|x|x|x|x|8|\nGGGGCCCC\n")
+    gtf = tmp_path / "in.gtf"
+
+    def line(tid, name, canonical):
+        tag = 'tag "Ensembl_canonical";' if canonical else 'tag "basic";'
+        return (f"chr1\tsrc\ttranscript\t1\t8\t.\t+\t.\t"
+                f'gene_id "G"; transcript_id "{tid}"; '
+                f'transcript_name "{name}"; {tag}\n')
+
+    # T1: canonical, isoform 201; T2: canonical, isoform 202 (not in fasta);
+    # T3: canonical, isoform 202
+    gtf.write_text(line("T1", "A-201", True) + line("T2", "B-202", True)
+                   + line("T3", "C-202", True))
+    headers, seqs = filter_gencode(str(fa), str(gtf), canonical=True,
+                                   isoform="202", outputname="out")
+    assert headers == ["T3|G3|x|x|x|x|8|"]
+    assert seqs == ["GGGGCCCC"]
+
+
+def test_filter_dedup_only_plain_headers(tmp_path, monkeypatch):
+    # non-GENCODE headers must work when no length filtering is requested
+    # (the reference parses the length field eagerly and crashes)
+    monkeypatch.chdir(tmp_path)
+    fa = tmp_path / "plain.fa"
+    fa.write_text(">seq1\nAAAA\n>seq2\nAAAA\n>seq3\nTTTT\n")
+    headers, seqs = filter_gencode(str(fa), rm_dup=True, outputname="out")
+    assert headers == ["seq1", "seq3"]
+    assert seqs == ["AAAA", "TTTT"]

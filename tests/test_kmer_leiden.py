@@ -80,3 +80,14 @@ def test_threshold_edge_style(norm_vectors, tmp_path, monkeypatch):
                              edgecolormethod="threshold", plotname="thr")
     assert (tmp_path / "thr.pdf").exists()
     assert membership is not None
+
+
+def test_edge_style_gradient_no_edges():
+    # every pair below the cutoff: styling must return empties, not crash
+    import pandas as pd
+
+    from seekr_tpu.graph.kmer_leiden import _edge_style
+
+    df = pd.DataFrame(np.zeros((4, 4)), index=list("abcd"), columns=list("abcd"))
+    colors, widths = _edge_style(df, "gradient", 0.1)
+    assert colors == [] and widths == []

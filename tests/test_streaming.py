@@ -58,3 +58,18 @@ def test_stream_pearson_matches_dense(tmp_path):
     with StreamingNpyWriter(path, (37, 21)) as w:
         stream_pearson(c1, c2, w, block_rows=10)
     np.testing.assert_allclose(np.load(path), dense, rtol=1e-5, atol=1e-6)
+
+
+def test_streaming_csv_quotes_labels_like_pandas(tmp_path):
+    import pandas as pd
+
+    labels = ["plain", "with,comma", 'with"quote']
+    block = np.arange(9, dtype=np.float32).reshape(3, 3)
+    path = str(tmp_path / "quoted.csv")
+    with StreamingCsvWriter(path, columns=labels, row_labels=labels,
+                            fmt="%s") as w:
+        w.append(block)
+    got = pd.read_csv(path, index_col=0)
+    assert list(got.index) == labels
+    assert list(got.columns) == labels
+    np.testing.assert_allclose(got.values, block)
