@@ -416,6 +416,11 @@ def console_find_dist(argv=None):
                              "timed-out fit is skipped like any failed fit "
                              "(extension; guards -mdl all against "
                              "pathological scipy MLEs).")
+    parser.add_argument("-dp", "--data_parallel", default=None, type=int,
+                        help="devices on the mesh 'data' axis for the "
+                             "O(m^2) background Pearson (extension).")
+    parser.add_argument("-kp", "--kmer_parallel", default=1, type=int,
+                        help="devices on the mesh 'kmer' axis (extension).")
     args = _parse_args_or_exit(parser, argv)
 
     _enable_xla_cache()
@@ -427,7 +432,9 @@ def console_find_dist(argv=None):
               args.subsetting, int(args.subset_size), args.fit_model,
               args.statsmethod, args.progress_bar, args.plotfit,
               args.outputname, n_jobs=int(args.n_jobs),
-              fit_timeout=args.fit_timeout)
+              fit_timeout=args.fit_timeout,
+              data_parallel=args.data_parallel,
+              kmer_parallel=args.kmer_parallel)
 
 
 # -- find_pval ---------------------------------------------------------------

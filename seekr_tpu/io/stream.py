@@ -52,6 +52,19 @@ class StreamingNpyWriter:
             self._fh.close()
 
 
+class ArrayCollector:
+    """Writer that accumulates streamed row blocks into one host array."""
+
+    def __init__(self):
+        self.blocks = []
+
+    def append(self, block):
+        self.blocks.append(np.asarray(block))
+
+    def result(self) -> np.ndarray:
+        return np.vstack(self.blocks)
+
+
 class StreamingCsvWriter:
     """Row-block CSV appender (labeled like pandas, or raw %1.6f).
 

@@ -30,49 +30,15 @@ from seekr_tpu.stats.adj_pval import adj_pval
 from seekr_tpu.utils.logging import stage_timer
 
 
-class _ArrayCollector:
-    """Writer that accumulates streamed row blocks into one host array."""
-
-    def __init__(self):
-        self.blocks = []
-
-    def append(self, block):
-        self.blocks.append(np.asarray(block))
-
-    def result(self):
-        return np.vstack(self.blocks)
-
-
 def _build_mesh(data_parallel, kmer_parallel, coordinator, num_processes,
                 process_id):
     """Optional mesh construction for the multi-device workflow path."""
-    from seekr_tpu.parallel.dist import init_distributed
+    from seekr_tpu.parallel.mesh import build_mesh_from_flags
 
-    if num_processes and num_processes > 1:
-        init_distributed(coordinator=coordinator, num_processes=num_processes,
-                         process_id=process_id)
-    if not data_parallel and kmer_parallel > 1:
-        data_parallel = 1  # -kp without -dp still builds a mesh
-    if not data_parallel or data_parallel * max(kmer_parallel, 1) <= 1:
-        return None
-    import jax
-
-    from seekr_tpu.parallel.mesh import make_mesh
-
-    need = data_parallel * max(kmer_parallel, 1)
-    devices = jax.devices()
-    if need > len(devices):
-        raise ValueError(f"requested {need} devices "
-                         f"(data_parallel={data_parallel} x "
-                         f"kmer_parallel={kmer_parallel}), "
-                         f"have {len(devices)}")
-    if jax.process_count() > 1 and need != len(devices):
-        # a device subset could exclude entire processes from the mesh;
-        # multi-host runs must use every device
-        raise ValueError(
-            f"multi-host runs must use all {len(devices)} devices: set "
-            f"data_parallel x kmer_parallel == {len(devices)}")
-    return make_mesh(devices[:need], kmer_parallel=max(kmer_parallel, 1))
+    return build_mesh_from_flags(data_parallel, kmer_parallel,
+                                 coordinator=coordinator,
+                                 num_processes=num_processes,
+                                 process_id=process_id)
 
 
 def run_workflow(seq1file, seq2file=None, background=None, k=6,
@@ -120,9 +86,10 @@ def run_workflow(seq1file, seq2file=None, background=None, k=6,
         """Self/cross Pearson on the mesh when one is configured."""
         if mesh is None:
             return pearson_blocked(c1, c2) if c1 is c2 else pearson(c1, c2)
+        from seekr_tpu.io.stream import ArrayCollector
         from seekr_tpu.parallel.dist import stream_pearson_sharded
 
-        out = _ArrayCollector()
+        out = ArrayCollector()
         stream_pearson_sharded(mesh, c1, out,
                                counts2=None if c2 is c1 else c2)
         return out.result()

@@ -55,3 +55,35 @@ def replicated(mesh: Mesh) -> NamedSharding:
 def pad_to_shards(n: int, n_shards: int) -> int:
     """Round row count up so it divides evenly across data shards."""
     return -(-n // n_shards) * n_shards
+
+
+def build_mesh_from_flags(data_parallel, kmer_parallel=1, coordinator=None,
+                          num_processes=None, process_id=None):
+    """CLI-flag mesh construction shared by the -dp/-kp extension flags.
+
+    Returns None when no parallelism was requested (single-device path).
+    Bootstraps multi-host first when num_processes > 1; multi-host meshes
+    must use every device (a subset could exclude entire processes).
+    """
+    from seekr_tpu.parallel.dist import init_distributed
+
+    if num_processes and num_processes > 1:
+        init_distributed(coordinator=coordinator, num_processes=num_processes,
+                         process_id=process_id)
+    if not data_parallel and kmer_parallel > 1:
+        data_parallel = 1  # -kp without -dp still builds a mesh
+    if not data_parallel or data_parallel * max(kmer_parallel, 1) <= 1:
+        return None
+
+    need = data_parallel * max(kmer_parallel, 1)
+    devices = jax.devices()
+    if need > len(devices):
+        raise ValueError(f"requested {need} devices "
+                         f"(data_parallel={data_parallel} x "
+                         f"kmer_parallel={kmer_parallel}), "
+                         f"have {len(devices)}")
+    if jax.process_count() > 1 and need != len(devices):
+        raise ValueError(
+            f"multi-host runs must use all {len(devices)} devices: set "
+            f"data_parallel x kmer_parallel == {len(devices)}")
+    return make_mesh(devices[:need], kmer_parallel=max(kmer_parallel, 1))

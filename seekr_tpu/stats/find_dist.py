@@ -70,12 +70,14 @@ def resolve_models(models):
 
 
 def background_similarity(inputseq, k_mer=4, log2="Log2.post",
-                          save_norm_prefix="bkg"):
+                          save_norm_prefix="bkg", mesh=None):
     """Counts + self-Pearson of a background fasta, upper triangle flattened.
 
     Regenerates and persists the background normalization vectors as
     ``{prefix}_mean_{k}mers.npy`` / ``{prefix}_std_{k}mers.npy`` exactly like
-    the reference (seekr/find_dist.py:148-153).
+    the reference (seekr/find_dist.py:148-153).  With ``mesh`` the all-pairs
+    GEMM (the O(m^2 4^k) bulk of find_dist at the default 13k-transcript
+    background) runs data-sharded across the mesh's devices.
     """
     norm_counter = KmerCounter(inputseq, log2=log2, k=k_mer, silent=True)
     norm_counter.get_counts()
@@ -91,7 +93,15 @@ def background_similarity(inputseq, k_mer=4, log2="Log2.post",
     counter = KmerCounter(inputseq, mean=mean_path, std=std_path, k=k_mer,
                           silent=True)
     counter.make_count_file()
-    sim = pearson_blocked(counter.counts, counter.counts)
+    if mesh is None:
+        sim = pearson_blocked(counter.counts, counter.counts)
+    else:
+        from seekr_tpu.io.stream import ArrayCollector
+        from seekr_tpu.parallel.dist import stream_pearson_sharded
+
+        w = ArrayCollector()
+        stream_pearson_sharded(mesh, counter.counts, w)
+        sim = w.result()
     return sim[np.triu_indices(sim.shape[0], k=1)]
 
 
@@ -250,12 +260,16 @@ def plot_fits(data, results, plotfit):
 def find_dist(inputseq="default", k_mer=4, log2="Log2.post", models="common10",
               subsetting=True, subset_size=100000, fit_model=True,
               statsmethod="ks", progress_bar=False, plotfit=None,
-              outputname=None, n_jobs=1, fit_timeout=None):
+              outputname=None, n_jobs=1, fit_timeout=None,
+              data_parallel=None, kmer_parallel=1):
     """Find the best-fitting distribution of background pairwise similarities.
 
     API parity with seekr/find_dist.py:82 (same signature, same outputs: a
     list of (name, D, params) tuples when ``fit_model`` else the raw r-value
-    array; optional grid plot and CSV artifacts).
+    array; optional grid plot and CSV artifacts).  Extensions: ``n_jobs``/
+    ``fit_timeout`` for the host fitting loop, and ``data_parallel``/
+    ``kmer_parallel`` to run the O(m^2) background Pearson data-sharded
+    across a device mesh.
     """
     if inputseq == "default":
         bundled = os.path.join(
@@ -276,7 +290,11 @@ def find_dist(inputseq="default", k_mer=4, log2="Log2.post", models="common10",
 
     names = resolve_models(models)
 
-    sim_triu = background_similarity(inputseq, k_mer=k_mer, log2=log2)
+    from seekr_tpu.parallel.mesh import build_mesh_from_flags
+
+    mesh = build_mesh_from_flags(data_parallel, kmer_parallel)
+    sim_triu = background_similarity(inputseq, k_mer=k_mer, log2=log2,
+                                     mesh=mesh)
 
     if subsetting:
         if len(sim_triu) > subset_size:

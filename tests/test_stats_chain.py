@@ -178,6 +178,21 @@ def test_plot_fits_empty_results_no_crash(tmp_path, capsys):
     assert not (tmp_path / "p.pdf").exists()
 
 
+def test_find_dist_mesh_matches_single_device(ref_data, example_fa, tmp_path,
+                                              monkeypatch):
+    """-dp routing of the background Pearson is numerically equivalent."""
+    import jax
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >=4 devices")
+    monkeypatch.chdir(tmp_path)
+    fa = str(ref_data.parent / "ldseq.fa")
+    base = find_dist(inputseq=fa, k_mer=2, fit_model=False, subsetting=False)
+    meshed = find_dist(inputseq=fa, k_mer=2, fit_model=False,
+                       subsetting=False, data_parallel=4)
+    np.testing.assert_allclose(meshed, base, rtol=1e-4, atol=1e-5)
+
+
 def test_adj_pval_symmetric_upper_triangle():
     p = np.array([[0.0, 0.01, 0.02],
                   [0.01, 0.0, 0.03],
