@@ -160,6 +160,37 @@ def encode_seqs(
     return EncodedSeqs(buckets=buckets, n_seqs=len(seqs), alphabet=alphabet, lengths=lengths)
 
 
+def _native_parse_is_safe(path: str) -> bool:
+    """Cheap byte-level gate: may the C++ parser's output differ from the
+    canonical Python reader's?
+
+    Falls back (returns False) on any '\\r' (Python universal newlines
+    treat lone CR as a line break; native splits on '\\n' only), any
+    non-ASCII byte (str.strip() removes Unicode whitespace the native
+    byte trim keeps), or a first non-empty line that is not a header
+    (native drops leading sequence lines, the reference misaligns them).
+    One sequential pass over the raw bytes; GENCODE files are pure-ASCII
+    LF so the fast path stays native.
+    """
+    try:
+        with open(path, "rb") as fh:
+            raw = fh.read()
+    except OSError:
+        return False
+    if b"\r" in raw or not raw.isascii():
+        return False
+    i, n = 0, len(raw)
+    while i < n:  # first non-empty line only; no full split
+        j = raw.find(b"\n", i)
+        if j == -1:
+            j = n
+        line = raw[i:j].strip()
+        if line:
+            return line.startswith(b">")
+        i = j + 1
+    return False
+
+
 def encode_fasta(
     path: str,
     k: int,
@@ -180,14 +211,14 @@ def encode_fasta(
             from seekr_tpu import native
         except ImportError:
             native = None
-        if native is not None and native.native_available():
+        if native is not None and native.native_available() \
+                and _native_parse_is_safe(path):
             with native.NativeFasta(path) as nf:
                 lengths = nf.lengths().astype(np.int32)
-                # same sanity gate as Reader._native_lines: a parse that
-                # produced no records or an empty sequence means the C++
-                # parser disagrees with Python line semantics (e.g. CR-only
-                # files) -> fall through to the Python path instead of
-                # silently emitting wrong buckets
+                # a parse with no records or an empty sequence means the
+                # C++ parser disagrees with Python line semantics ->
+                # fall through to the Python path instead of silently
+                # emitting wrong buckets
                 if len(lengths) > 0 and (lengths > 0).all():
                     buckets = _assemble_buckets(
                         lengths, k, min_bucket_len, row_multiple,

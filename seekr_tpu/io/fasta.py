@@ -67,8 +67,18 @@ class Reader:
     def _native_lines(self) -> Optional[List[str]]:
         """Parse via the C++ reader; None if unavailable or ambiguous input.
 
-        Falls back to the Python path when any record has an empty sequence
-        so the reference's header-without-sequence assertion still fires.
+        Falls back to the Python path whenever the native result COULD
+        diverge from the canonical reader, so behavior never depends on
+        toolchain availability:
+          * any record with an empty sequence (the reference's
+            header-without-a-sequence assertion must fire),
+          * a file whose first non-empty line is not a header (the native
+            parser drops leading sequence lines; the reference misaligns
+            them — reproduce the reference),
+          * embedded '\\r' (Python universal newlines treat a lone CR as a
+            line break; the native parser splits on '\\n' only),
+          * Unicode whitespace at record ends (str.strip() removes it, the
+            native byte-level trim does not).
         """
         try:
             from seekr_tpu import native
@@ -77,12 +87,23 @@ class Reader:
         if not native.native_available():
             return None
         try:
+            with open(self.infasta, "rb") as fh:
+                first = b""
+                for raw in fh:
+                    first = raw.strip()
+                    if first:
+                        break
+            if not first.startswith(b">"):
+                return None
             with native.NativeFasta(self.infasta) as nf:
                 headers = nf.headers()
                 seqs = nf.seqs()
         except (IOError, OSError):
             return None
         if not headers or len(headers) != len(seqs) or any(not s for s in seqs):
+            return None
+        if any("\r" in h or h != h.strip() for h in headers) \
+                or any("\r" in s or s != s.strip() for s in seqs):
             return None
         data: List[str] = []
         for header, seq in zip(headers, seqs):

@@ -108,6 +108,10 @@ def leiden(sources, targets, weights, n_nodes: int,
     dst = np.ascontiguousarray(targets, dtype=np.int64)
     if src.shape != dst.shape or src.ndim != 1:
         raise ValueError("sources/targets must be equal-length 1-D arrays")
+    if seed is not None and int(seed) < 0:
+        # -1 is the C ABI's "nondeterministic" sentinel; a user-supplied
+        # negative seed must not silently mean that
+        raise ValueError("seed must be None or a non-negative integer")
     n_edges = len(src)
     if weights is None:
         w_ptr = ctypes.POINTER(ctypes.c_double)()
@@ -185,6 +189,10 @@ class NativeFasta:
         Same semantics as the device engine and the reference's
         ``occurrences`` loop; useful on accelerator-less hosts.
         """
+        if not 1 <= int(k) <= 12:
+            # validate BEFORE the (num_seqs, 4^k) allocation: k=16 would
+            # attempt a multi-TB np.empty before C could return -1
+            raise ValueError(f"count_kmers supports 1 <= k <= 12, got {k}")
         out = np.empty((len(self), 4 ** k), dtype=np.float32)
         rc = self._lib.seekr_fasta_count_kmers(
             self._handle(), int(k),

@@ -50,10 +50,16 @@ def build_native_lib() -> str:
         try:
             proc = subprocess.run(cmd, capture_output=True, text=True,
                                   timeout=300)
+            if proc.returncode != 0:
+                raise NativeBuildError(
+                    f"g++ failed ({proc.returncode}):\n{proc.stderr}")
+            os.replace(tmp_path, lib_path)
         except (OSError, subprocess.TimeoutExpired) as e:
             raise NativeBuildError(f"failed to run g++: {e}") from e
-        if proc.returncode != 0:
-            raise NativeBuildError(
-                f"g++ failed ({proc.returncode}):\n{proc.stderr}")
-        os.replace(tmp_path, lib_path)
+        finally:
+            # failed/timed-out builds must not leak partial tmp outputs
+            try:
+                os.unlink(tmp_path)
+            except FileNotFoundError:
+                pass
         return lib_path

@@ -192,6 +192,12 @@ int64_t seekr_fasta_count_kmers(void* h, int64_t k, float* out) {
 
   int64_t n_threads = std::min<int64_t>(
       std::max<int64_t>(1, std::thread::hardware_concurrency()), std::max<int64_t>(m, 1));
+  // per-thread scratch is 4*4^k bytes (64 MB at k=12); cap the THREAD
+  // COUNT so total transient scratch stays <= ~512 MB on many-core hosts
+  const int64_t scratch_per_thread = int64_t(4) * n_cols;
+  const int64_t scratch_budget = int64_t(512) << 20;
+  n_threads = std::min<int64_t>(
+      n_threads, std::max<int64_t>(1, scratch_budget / scratch_per_thread));
   auto worker = [&](int64_t t) {
     // sparse accumulation: rows touch at most w distinct codes, usually
     // far fewer than 4^k, so only touched bins are scaled and re-zeroed;

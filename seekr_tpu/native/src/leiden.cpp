@@ -65,6 +65,7 @@ struct Partition {
   std::vector<int64_t> comm_size;  // sum of member sizes (original nodes)
   std::vector<int64_t> comm_nodes; // number of member (level) nodes
   std::vector<double> comm_in;     // total internal edge weight (incl. selfs)
+  std::vector<int64_t> free_slots; // lazily-maintained emptied communities
   double m_in = 0;                 // global internal weight
   double pairs_in = 0;             // sum over c of size_c*(size_c-1)/2
 
@@ -74,6 +75,7 @@ struct Partition {
     comm_size.assign(g.n, 0);
     comm_nodes.assign(g.n, 0);
     comm_in.assign(g.n, 0.0);
+    free_slots.clear();
     m_in = 0;
     pairs_in = 0;
     for (int64_t v = 0; v < g.n; ++v) {
@@ -98,6 +100,7 @@ struct Partition {
     pairs_in -= 0.5 * double(s) * double(s - 1);       // intra pairs of v
     comm_size[c] -= s;
     comm_nodes[c] -= 1;
+    if (comm_nodes[c] == 0) free_slots.push_back(c);  // lazy: may refill
     comm_in[c] -= w_v_comm + g.self_w[v];
     m_in -= w_v_comm + g.self_w[v];
     comm[v] = -1;
@@ -410,8 +413,16 @@ class Leiden {
     return c;
   }
 
-  static int64_t free_comm(const Partition& p) {
-    for (size_t c = 0; c < p.comm_nodes.size(); ++c)
+  static int64_t free_comm(Partition& p) {
+    // pop lazily-recorded empty slots (a slot may have been refilled
+    // since it was pushed; skip those) — O(1) amortized instead of the
+    // O(n) scan that made the local-move phase O(n^2) worst case
+    while (!p.free_slots.empty()) {
+      int64_t c = p.free_slots.back();
+      p.free_slots.pop_back();
+      if (p.comm_nodes[c] == 0) return c;
+    }
+    for (size_t c = 0; c < p.comm_nodes.size(); ++c)  // safety fallback
       if (p.comm_nodes[c] == 0) return int64_t(c);
     return int64_t(p.comm_nodes.size() - 1);  // unreachable for n>=1
   }
@@ -444,6 +455,9 @@ class Leiden {
       double s = double(p.comm_size[c]);
       p.pairs_in += 0.5 * s * (s - 1);
     }
+    p.free_slots.clear();
+    for (int64_t c = 0; c < g.n; ++c)
+      if (p.comm_nodes[c] == 0) p.free_slots.push_back(c);
   }
 
   static std::vector<int32_t> compact(const std::vector<int64_t>& comm) {
@@ -487,7 +501,8 @@ int64_t seekr_leiden(int64_t n_nodes, int64_t n_edges, const int64_t* src,
                      const int64_t* dst, const double* weight,
                      const char* quality, double resolution, int64_t seed,
                      int32_t* membership_out) {
-  if (n_nodes <= 0 || n_edges < 0 || !membership_out) return -1;
+  if (n_nodes <= 0 || n_edges < 0 || !membership_out || !quality) return -1;
+  if (n_edges > 0 && (!src || !dst)) return -1;
   Quality q;
   if (!parse_quality(quality, &q)) return -1;
 

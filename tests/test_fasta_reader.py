@@ -51,3 +51,28 @@ def test_reference_example_fixture(example_fa):
     seqs = Reader(example_fa).get_seqs()
     assert len(seqs) == 5
     assert seqs[0] == "AAAAAA"
+
+
+class TestNativeParserDivergenceGates:
+    """Inputs where the C++ parser COULD diverge must take the Python path,
+    so results never depend on toolchain availability (round-2 review)."""
+
+    def test_lone_cr_is_line_break(self, tmp_path):
+        # Python universal newlines: '\r' breaks the line -> seq 'ACGT'
+        fa = tmp_path / "cr.fa"
+        fa.write_bytes(b">h\nAC\rGT\n")
+        assert Reader(str(fa)).get_seqs() == ["ACGT"]
+
+    def test_unicode_whitespace_stripped(self, tmp_path):
+        # str.strip() removes NBSP; the native byte trim would keep it
+        fa = tmp_path / "nbsp.fa"
+        fa.write_bytes(b">h\nACGT\xc2\xa0\n")
+        assert Reader(str(fa)).get_seqs() == ["ACGT"]
+
+    def test_leading_sequence_line_matches_reference(self, tmp_path):
+        # reference reader keeps a misaligned leading sequence line; the
+        # native parser would silently drop it -> must fall back
+        fa = tmp_path / "leading.fa"
+        fa.write_bytes(b"ACGT\n>h\nTTTT\n")
+        lines = Reader(str(fa)).get_lines()
+        assert lines == ["ACGT", ">h", "TTTT"]

@@ -302,3 +302,34 @@ def test_significance_runs_unweighted(ref_data, tmp_path):
     m2 = leiden_membership(df2, algo="SignificanceVertexPartition",
                            setseed=True)
     np.testing.assert_array_equal(m1, m2)
+
+
+def test_leiden_negative_seed_rejected():
+    if not native.native_available():
+        pytest.skip("native unavailable")
+    with pytest.raises(ValueError, match="seed"):
+        native.leiden(np.array([0], dtype=np.int64),
+                      np.array([1], dtype=np.int64),
+                      np.ones(1), n_nodes=2, algo="CPMVertexPartition",
+                      seed=-5)
+
+
+def test_count_kmers_k_validated_before_alloc(tmp_path):
+    if not native.native_available():
+        pytest.skip("native unavailable")
+    fa = tmp_path / "a.fa"
+    fa.write_text(">a\nAGTC\n")
+    with native.NativeFasta(str(fa)) as nf:
+        with pytest.raises(ValueError, match="1 <= k <= 12"):
+            nf.count_kmers(16)
+
+
+def test_encode_fasta_cr_file_matches_python_path(tmp_path):
+    # the byte-level safety gate must route CR files to the Python encoder
+    from seekr_tpu.io.encode import encode_fasta, encode_seqs
+
+    fa = tmp_path / "cr.fa"
+    fa.write_bytes(b">h\nAC\rGT\n>i\nAAAA\n")
+    enc = encode_fasta(str(fa), k=1)
+    ref = encode_seqs(["ACGT", "AAAA"], k=1)
+    assert list(enc.lengths) == list(ref.lengths)
