@@ -93,7 +93,11 @@ def bench_tpu(bases, lengths):
 
 
 def bench_reference_cpu(bases, lengths):
-    """Time the reference full-size on the same corpus (one run, measured)."""
+    """Time the reference full-size on the same corpus (median of 3 runs).
+
+    The shared-vCPU baseline varies ~40% run to run (BASELINE.md table);
+    the median of three measured full-size runs pins it.
+    """
     if not os.path.isdir("/root/reference"):
         return None
     sys.path.insert(0, "/root/reference")
@@ -106,14 +110,16 @@ def bench_reference_cpu(bases, lengths):
         sys.path.pop(0)
 
     seqs = to_strings(bases, lengths)
-    t0 = time.perf_counter()
-    counter = RefCounter(infasta=None, k=K, mean=True, std=True,
-                         log2="Log2.post", silent=True)
-    counter.seqs = seqs
-    counter.get_counts()
-    ref_pearson(counter.counts, counter.counts)
-    total = time.perf_counter() - t0
-    return M / total
+    totals = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        counter = RefCounter(infasta=None, k=K, mean=True, std=True,
+                             log2="Log2.post", silent=True)
+        counter.seqs = seqs
+        counter.get_counts()
+        ref_pearson(counter.counts, counter.counts)
+        totals.append(time.perf_counter() - t0)
+    return M / sorted(totals)[1]
 
 
 def main():
