@@ -109,6 +109,31 @@ def main():
     assert got.shape == (13, 11)
     assert np.allclose(got, want, rtol=1e-4, atol=1e-5), "streamed pearson"
 
+    # norm stats: psum-merged column moments across process boundaries
+    from seekr_tpu.parallel.dist import distributed_norm_stats
+
+    nmean, nstd = distributed_norm_stats(mesh, k=k, log2="Log2.none")(b, n)
+    assert np.allclose(np.asarray(nmean.addressable_shards[0].data),
+                       raw.mean(axis=0), rtol=1e-5, atol=1e-4)
+    assert np.allclose(np.asarray(nstd.addressable_shards[0].data),
+                       raw.std(axis=0), rtol=1e-4, atol=1e-4)
+
+    # sequence parallelism: one long transcript chunked across BOTH
+    # processes' devices, partial histograms merged with a cross-host psum
+    from seekr_tpu.io.encode import encode_seq
+    from seekr_tpu.parallel.dist import (count_long_sequence,
+                                         shard_long_sequence)
+    from seekr_tpu.ops.count import count_kmers_host
+
+    rng3 = np.random.default_rng(5)
+    lseq = "".join(np.array(list("AGTC"))[rng3.integers(0, 4, 4096)])
+    chunks, n_windows = shard_long_sequence(encode_seq(lseq), k,
+                                            len(jax.devices()))
+    row = count_long_sequence(mesh, k)(chunks, np.float32(n_windows))
+    expected_row = count_kmers_host([lseq], k)[0]
+    assert np.allclose(np.asarray(row.addressable_shards[0].data),
+                       expected_row, rtol=1e-4, atol=1e-3), "seq-parallel"
+
     print(f"DIST_OK p{process_id}", flush=True)
 
 
