@@ -320,8 +320,13 @@ def _run_pearson(counts1, counts2, outfile, binary_input, binary_output):
     if binary_output:
         pearson(counts1, counts2, outfile=outfile)
     else:
+        from seekr_tpu.io.fast_csv import write_labeled_csv
+
         dist = pearson(counts1, counts2)
-        pd.DataFrame(dist, names1, names2).to_csv(outfile)
+        write_labeled_csv(
+            outfile, dist,
+            names1 if names1 is not None else range(dist.shape[0]),
+            names2 if names2 is not None else range(dist.shape[1]))
 
 
 def console_pearson(argv=None):

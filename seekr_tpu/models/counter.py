@@ -242,13 +242,14 @@ class KmerCounter:
             np.save(self.outfile, self.counts)
         elif self.label:
             if names is None:
-                names = Reader(self.infasta).get_headers()
-            import pandas as pd
+                names = self.headers
+            from seekr_tpu.io.fast_csv import write_labeled_csv
 
-            df = pd.DataFrame(data=self.counts, index=names, columns=self.kmers)
-            df.to_csv(self.outfile)
+            write_labeled_csv(self.outfile, self.counts, names, self.kmers)
         else:
-            np.savetxt(self.outfile, self.counts, delimiter=",", fmt="%1.6f")
+            from seekr_tpu.io.fast_csv import write_raw_csv
+
+            write_raw_csv(self.outfile, self.counts)
 
     def make_count_file(self, names=None):
         """get_counts + save (if outfile set); returns the counts matrix."""

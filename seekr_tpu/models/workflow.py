@@ -141,14 +141,15 @@ def run_workflow(seq1file, seq2file=None, background=None, k=6,
 
     with stage_timer("workflow/artifacts"):
         if is_writer:
-            pd.DataFrame(c1.counts, index=headers1, columns=c1.kmers).to_csv(
-                os.path.join(outdir, "counts1.csv"))
+            from seekr_tpu.io.fast_csv import write_labeled_csv
+
+            write_labeled_csv(os.path.join(outdir, "counts1.csv"),
+                              c1.counts, headers1, c1.kmers)
             if c2 is not c1:
-                pd.DataFrame(c2.counts, index=headers2,
-                             columns=c2.kmers).to_csv(
-                    os.path.join(outdir, "counts2.csv"))
-            pd.DataFrame(sim, index=headers1, columns=headers2).to_csv(
-                os.path.join(outdir, "pearson.csv"))
+                write_labeled_csv(os.path.join(outdir, "counts2.csv"),
+                                  c2.counts, headers2, c2.kmers)
+            write_labeled_csv(os.path.join(outdir, "pearson.csv"),
+                              sim, headers1, headers2)
             pval_df.to_csv(os.path.join(outdir, "pvals.csv"))
             if adj_df is not None:
                 adj_df.to_csv(os.path.join(outdir, "pvals_adjusted.csv"))

@@ -82,6 +82,12 @@ def _load():
     lib.seekr_fasta_count_kmers.restype = ctypes.c_int64
     lib.seekr_fasta_count_kmers.argtypes = [ctypes.c_void_p, ctypes.c_int64,
                                             ctypes.POINTER(ctypes.c_float)]
+    lib.seekr_write_csv_f32.restype = ctypes.c_int64
+    lib.seekr_write_csv_f32.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_char_p), ctypes.c_int32,
+    ]
     _lib = lib
     return _lib
 
@@ -243,3 +249,34 @@ def encode_string(seq: str) -> np.ndarray:
     lib.seekr_encode_string(raw, len(raw),
                             out.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)))
     return out
+
+
+def write_csv_f32(path: str, matrix: np.ndarray, header_line: str = None,
+                  row_label_cells=None, mode: int = 0) -> None:
+    """Write a float32 matrix as CSV via the multithreaded C++ formatter.
+
+    ``header_line`` is written verbatim (include the trailing newline);
+    ``row_label_cells`` are pre-quoted label strings prepended per row.
+    mode 0 = pandas-float32-repr bytes, mode 1 = np.savetxt '%1.6f'.
+    Callers are responsible for CSV-quoting labels (see io.fast_csv).
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native library unavailable: {_load_error}")
+    m = np.ascontiguousarray(matrix, dtype=np.float32)
+    if m.ndim != 2:
+        raise ValueError("matrix must be 2-D")
+    rows, cols = m.shape
+    labels_arr = None
+    if row_label_cells is not None:
+        if len(row_label_cells) != rows:
+            raise ValueError("row_label_cells length must equal row count")
+        labels_arr = (ctypes.c_char_p * rows)(
+            *[str(s).encode("utf-8") for s in row_label_cells])
+    rc = lib.seekr_write_csv_f32(
+        str(path).encode(), m.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        rows, cols,
+        header_line.encode("utf-8") if header_line else None,
+        labels_arr, int(mode))
+    if rc != 0:
+        raise IOError(f"seekr_write_csv_f32 failed for {path!r}")
