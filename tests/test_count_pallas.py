@@ -120,6 +120,30 @@ def test_mixed_degenerate_rows():
     assert abs(got[0].sum() - 1000.0) < 1e-3  # one window -> 1000/kb total
 
 
+def test_pallas_under_shard_map_on_tpu():
+    """The multi-chip count path (dist._sharded_count) runs the kernel
+    inside shard_map; Mosaic-under-shard_map only compiles on real TPU
+    (CPU meshes dispatch to XLA), so validate it there on a 1-chip mesh."""
+    if jax.default_backend() != "tpu":
+        pytest.skip("compiled shard_map+Mosaic path needs the TPU backend")
+    from seekr_tpu.parallel.dist import distributed_pipeline
+    from seekr_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(jax.devices()[:1])
+    k = 6
+    rng = np.random.default_rng(0)
+    m, L = 64, 256  # m >= the row tile so count_graph picks the kernel
+    bases, lengths = random_case(rng, m, L, k, with_invalid=False)
+    mean = np.zeros(4 ** k, np.float32)
+    std = np.ones(4 ** k, np.float32)
+    step = distributed_pipeline(mesh, k=k, log2="Log2.none",
+                                use_norm_vectors=True)
+    counts, _, _, _ = step(bases, lengths, mean, std)
+    seqs = ["".join(DIGIT2CHAR[bases[r, :lengths[r]]]) for r in range(m)]
+    np.testing.assert_allclose(np.asarray(counts), count_kmers_host(seqs, k),
+                               rtol=1e-4, atol=1e-4)
+
+
 @pytest.mark.parametrize("k", [7, 8])
 def test_large_k(k):
     # larger accumulators (16K / 64K bins) use smaller row tiles
