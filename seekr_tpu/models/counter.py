@@ -45,9 +45,13 @@ class Log2:
     none = "Log2.none"
 
 
-# Cap on rows per compiled bucket: keeps transient one-hot buffers bounded
-# (rows * 512 positions * 128 lanes * 2B ~ 64MB at 512 rows).
-_MAX_ROWS_PER_BUCKET = 512
+# Cap on rows per compiled bucket.  The round-1 value (512) was sized for
+# the XLA scan path's HBM-materialized one-hots; the round-2 Pallas kernel
+# keeps one-hots in VMEM and is ~2x more efficient at m=2048 than m=512
+# (fixed launch/convert overhead amortizes — BASELINE.md m-scaling table),
+# and fewer, larger dispatches also cut per-dispatch latency.  Transient
+# device memory stays modest (bases [2048, L<=16384] int8 = 32 MB max).
+_MAX_ROWS_PER_BUCKET = 2048
 
 # Sequences longer than this are counted via the chunked (sequence-parallel)
 # path instead of padding a power-of-two bucket to their full length — e.g.
