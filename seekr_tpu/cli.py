@@ -291,8 +291,10 @@ def _run_pearson(counts1, counts2, outfile, binary_input, binary_output):
         counts1 = np.load(counts1)
         counts2 = np.load(counts2)
     else:
-        counts1 = pd.read_csv(counts1, index_col=0)
-        counts2 = pd.read_csv(counts2, index_col=0)
+        from seekr_tpu.io.fast_csv import read_labeled_csv
+
+        counts1 = read_labeled_csv(counts1)
+        counts2 = read_labeled_csv(counts2)
         names1 = counts1.index.values
         names2 = counts2.index.values
 

@@ -51,6 +51,48 @@ def write_labeled_csv(path, matrix, index, columns) -> None:
                          row_label_cells=labels, mode=0)
 
 
+def _maybe_int(val: str):
+    """pandas parses a 0,1,2,... label column/header as integers."""
+    if val and (val.isdigit() or (val[0] == "-" and val[1:].isdigit())):
+        return int(val)
+    return val
+
+
+def _unquote(cell: str):
+    """Inverse of _quote for one still-quoted CSV cell."""
+    row = next(iter(csv.reader([cell])), [])
+    return _maybe_int(row[0] if row else "")
+
+
+def read_labeled_csv(path):
+    """Drop-in for ``pd.read_csv(path, index_col=0)`` on labeled float
+    matrices (the artifact format this package writes), ~6x faster via the
+    multithreaded C++ parser; values come back float32 (correctly-rounded
+    strtod, equivalent to pandas float_precision='round_trip').  Falls back
+    to pandas when the native library is unavailable or the file does not
+    parse as a pure float matrix.
+    """
+    import pandas as pd
+
+    try:
+        from seekr_tpu import native
+    except ImportError:
+        native = None
+    if native is not None and native.native_available():
+        try:
+            data, header, raw_labels = native.read_csv_f32(path)
+        except (IOError, RuntimeError):
+            data = None
+        if data is not None:
+            head_cells = next(iter(csv.reader([header])))
+            cols = head_cells[1:]  # pandas keeps header cells as strings
+            index = [_unquote(l) for l in raw_labels]
+            df = pd.DataFrame(data, index=index, columns=cols)
+            df.index.name = head_cells[0] or None
+            return df
+    return pd.read_csv(path, index_col=0)
+
+
 def write_raw_csv(path, matrix) -> None:
     """Byte-identical to ``np.savetxt(path, matrix, delimiter=',',
     fmt='%1.6f')``."""

@@ -88,6 +88,23 @@ def _load():
         ctypes.c_int64, ctypes.c_int64,
         ctypes.c_char_p, ctypes.POINTER(ctypes.c_char_p), ctypes.c_int32,
     ]
+    lib.seekr_csv_open.restype = ctypes.c_void_p
+    lib.seekr_csv_open.argtypes = [ctypes.c_char_p]
+    lib.seekr_csv_close.argtypes = [ctypes.c_void_p]
+    for fn in ("seekr_csv_rows", "seekr_csv_cols", "seekr_csv_header_len"):
+        getattr(lib, fn).restype = ctypes.c_int64
+        getattr(lib, fn).argtypes = [ctypes.c_void_p]
+    lib.seekr_csv_header.restype = ctypes.c_int64
+    lib.seekr_csv_header.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                     ctypes.c_int64]
+    lib.seekr_csv_label_len.restype = ctypes.c_int64
+    lib.seekr_csv_label_len.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+    lib.seekr_csv_label.restype = ctypes.c_int64
+    lib.seekr_csv_label.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                    ctypes.c_char_p, ctypes.c_int64]
+    lib.seekr_csv_data.restype = ctypes.c_int64
+    lib.seekr_csv_data.argtypes = [ctypes.c_void_p,
+                                   ctypes.POINTER(ctypes.c_float)]
     _lib = lib
     return _lib
 
@@ -280,3 +297,38 @@ def write_csv_f32(path: str, matrix: np.ndarray, header_line: str = None,
         labels_arr, int(mode))
     if rc != 0:
         raise IOError(f"seekr_write_csv_f32 failed for {path!r}")
+
+
+def read_csv_f32(path: str):
+    """Parse a labeled float CSV via the multithreaded C++ reader.
+
+    Returns (matrix float32 [rows, cols], header_line str, raw_label_cells
+    list of still-CSV-quoted strings) or raises IOError on parse failure.
+    Callers unquote labels/header with the csv module (io.fast_csv).
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native library unavailable: {_load_error}")
+    h = lib.seekr_csv_open(str(path).encode())
+    if not h:
+        raise IOError(f"seekr_csv_open failed for {path!r}")
+    try:
+        rows = lib.seekr_csv_rows(h)
+        cols = lib.seekr_csv_cols(h)
+        out = np.empty((rows, cols), dtype=np.float32)
+        if lib.seekr_csv_data(
+                h, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float))) != 0:
+            raise IOError("seekr_csv_data failed")
+        n = lib.seekr_csv_header_len(h)
+        buf = ctypes.create_string_buffer(max(n, 1))
+        lib.seekr_csv_header(h, buf, n)
+        header = buf.raw[:n].decode("utf-8")
+        labels = []
+        for r in range(rows):
+            ln = lib.seekr_csv_label_len(h, r)
+            lbuf = ctypes.create_string_buffer(max(ln, 1))
+            lib.seekr_csv_label(h, r, lbuf, ln)
+            labels.append(lbuf.raw[:ln].decode("utf-8"))
+        return out, header, labels
+    finally:
+        lib.seekr_csv_close(h)

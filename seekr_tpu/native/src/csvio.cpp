@@ -17,6 +17,7 @@
 #include <cmath>
 #include <cstdint>
 #include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <string>
 #include <thread>
@@ -162,5 +163,171 @@ int64_t seekr_write_csv_f32(const char* path, const float* data,
   ok = (std::fclose(f) == 0) && ok;
   return ok ? 0 : -1;
 }
+
+}  // extern "C"
+
+// ---------------------------------------------------------------- reading
+
+namespace {
+
+struct CsvFile {
+  std::string raw;                    // whole file
+  std::vector<const char*> line_ptr;  // start of each data line (after header)
+  std::vector<int64_t> line_len;
+  int64_t header_len = 0;             // bytes of the first line (no \n)
+  int64_t rows = 0;
+  int64_t cols = 0;                   // numeric columns (excludes label cell)
+  std::vector<std::string> labels;    // raw (still-quoted) label cells
+};
+
+// scan one line's label cell: bytes up to the first comma OUTSIDE quotes
+int64_t label_cell_end(const char* p, int64_t n) {
+  bool in_q = false;
+  for (int64_t i = 0; i < n; ++i) {
+    if (p[i] == '"') in_q = !in_q;
+    else if (p[i] == ',' && !in_q) return i;
+  }
+  return n;
+}
+
+bool parse_rows(CsvFile* f, float* data, int64_t r0, int64_t r1) {
+  for (int64_t r = r0; r < r1; ++r) {
+    const char* p = f->line_ptr[size_t(r)];
+    int64_t n = f->line_len[size_t(r)];
+    int64_t le = label_cell_end(p, n);
+    f->labels[size_t(r)].assign(p, size_t(le));
+    const char* q = p + le;
+    const char* end = p + n;
+    float* out = data + r * f->cols;
+    for (int64_t c = 0; c < f->cols; ++c) {
+      if (q >= end || *q != ',') return false;
+      ++q;
+      if (q == end || *q == ',') {  // empty cell = NaN (pandas convention)
+        out[c] = std::nanf("");
+        continue;
+      }
+      // from_chars: locale-free, correctly-rounded SINGLE-precision parse
+      // — exactly recovers a float32 from its shortest repr (strtof is
+      // ~15x slower through glibc locale machinery; strtod-then-cast
+      // double-rounds and can be 1 ulp off).  Spec accepts inf/nan but
+      // not a leading '+', which this package's writer never emits.
+      auto res = std::from_chars(q, end, out[c]);
+      if (res.ec != std::errc() || res.ptr == q) return false;
+      q = res.ptr;
+    }
+    if (q != end) return false;  // trailing junk / too many cells
+  }
+  return true;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Parses a labeled float CSV (the artifact format this package writes):
+// one header line, then one label cell + `cols` numeric cells per line.
+// Returns an opaque handle or NULL on parse failure.
+void* seekr_csv_open(const char* path) {
+  if (!path) return nullptr;
+  std::FILE* fp = std::fopen(path, "rb");
+  if (!fp) return nullptr;
+  auto f = new CsvFile();
+  std::fseek(fp, 0, SEEK_END);
+  long sz = std::ftell(fp);
+  std::fseek(fp, 0, SEEK_SET);
+  f->raw.resize(size_t(sz));
+  bool ok = sz == 0 ||
+            std::fread(&f->raw[0], 1, size_t(sz), fp) == size_t(sz);
+  std::fclose(fp);
+  if (!ok || sz == 0) { delete f; return nullptr; }
+
+  // split lines (tolerate missing trailing newline; skip empty last line)
+  const char* p = f->raw.data();
+  const char* end = p + f->raw.size();
+  const char* nl = static_cast<const char*>(memchr(p, '\n', size_t(end - p)));
+  if (!nl) { delete f; return nullptr; }
+  f->header_len = nl - p;
+  for (const char* s = nl + 1; s < end;) {
+    const char* e = static_cast<const char*>(memchr(s, '\n', size_t(end - s)));
+    if (!e) e = end;
+    if (e > s) {
+      f->line_ptr.push_back(s);
+      f->line_len.push_back(e - s);
+    }
+    s = e + 1;
+  }
+  f->rows = int64_t(f->line_ptr.size());
+
+  // column count from the header: commas outside quotes
+  {
+    bool in_q = false;
+    int64_t commas = 0;
+    for (int64_t i = 0; i < f->header_len; ++i) {
+      char ch = f->raw[size_t(i)];
+      if (ch == '"') in_q = !in_q;
+      else if (ch == ',' && !in_q) ++commas;
+    }
+    f->cols = commas;  // first header cell is the (empty) index name
+  }
+  if (f->cols <= 0) { delete f; return nullptr; }
+  f->labels.resize(size_t(f->rows));
+  return f;
+}
+
+int64_t seekr_csv_rows(void* h) { return h ? static_cast<CsvFile*>(h)->rows : -1; }
+int64_t seekr_csv_cols(void* h) { return h ? static_cast<CsvFile*>(h)->cols : -1; }
+
+int64_t seekr_csv_header_len(void* h) {
+  return h ? static_cast<CsvFile*>(h)->header_len : -1;
+}
+
+int64_t seekr_csv_header(void* h, char* out, int64_t cap) {
+  if (!h || !out) return -1;
+  auto f = static_cast<CsvFile*>(h);
+  if (cap < f->header_len) return -1;
+  std::memcpy(out, f->raw.data(), size_t(f->header_len));
+  return f->header_len;
+}
+
+int64_t seekr_csv_label_len(void* h, int64_t r) {
+  auto f = static_cast<CsvFile*>(h);
+  if (!f || r < 0 || r >= f->rows) return -1;
+  return int64_t(f->labels[size_t(r)].size());
+}
+
+int64_t seekr_csv_label(void* h, int64_t r, char* out, int64_t cap) {
+  auto f = static_cast<CsvFile*>(h);
+  if (!f || !out || r < 0 || r >= f->rows) return -1;
+  const std::string& s = f->labels[size_t(r)];
+  if (cap < int64_t(s.size())) return -1;
+  std::memcpy(out, s.data(), s.size());
+  return int64_t(s.size());
+}
+
+// Parses all numeric cells directly into ``out`` [rows, cols] (parallel)
+// and materializes the label cells.  Call before the label accessors.
+int64_t seekr_csv_data(void* h, float* out) {
+  auto f = static_cast<CsvFile*>(h);
+  if (!f || !out) return -1;
+  int64_t n_threads = std::min<int64_t>(
+      std::max<int64_t>(1, std::thread::hardware_concurrency()),
+      std::max<int64_t>(f->rows, 1));
+  std::vector<std::thread> ts;
+  std::vector<char> oks(static_cast<size_t>(n_threads), 1);
+  int64_t per = (f->rows + n_threads - 1) / n_threads;
+  for (int64_t t = 0; t < n_threads; ++t) {
+    int64_t r0 = t * per, r1 = std::min(f->rows, r0 + per);
+    if (r0 >= r1) break;
+    ts.emplace_back([f, out, r0, r1, t, &oks] {
+      oks[size_t(t)] = parse_rows(f, out, r0, r1) ? 1 : 0;
+    });
+  }
+  for (auto& th : ts) th.join();
+  for (char okf : oks)
+    if (!okf) return -1;
+  return 0;
+}
+
+void seekr_csv_close(void* h) { delete static_cast<CsvFile*>(h); }
 
 }  // extern "C"

@@ -58,3 +58,47 @@ def test_range_index_matches_pandas(tmp_path):
     write_labeled_csv(str(a), m, range(2), range(3))
     pd.DataFrame(m).to_csv(str(b))
     assert a.read_bytes() == b.read_bytes()
+
+
+def test_read_labeled_csv_roundtrip_exact():
+    import tempfile, os
+
+    from seekr_tpu.io.fast_csv import read_labeled_csv
+
+    rng = np.random.default_rng(1)
+    m = np.concatenate([np.tile(SPECIAL, (3, 1)),
+                        rng.normal(0, 50, (40, 20)).astype(np.float32)])
+    idx = [f">s{i},c\"q" if i % 5 == 0 else f">s{i}" for i in range(m.shape[0])]
+    cols = [f"K{j}" for j in range(m.shape[1])]
+    d = tempfile.mkdtemp()
+    p = os.path.join(d, "x.csv")
+    write_labeled_csv(p, m, idx, cols)
+    df = read_labeled_csv(p)
+    ref = pd.read_csv(p, index_col=0)
+    assert list(df.index) == list(ref.index) == idx
+    assert list(df.columns) == list(ref.columns) == cols
+    # float32 shortest-repr roundtrip is EXACT through the native parser
+    np.testing.assert_array_equal(df.values, m)
+
+
+def test_read_labeled_csv_range_index_matches_pandas(tmp_path):
+    from seekr_tpu.io.fast_csv import read_labeled_csv
+
+    m = np.arange(15, dtype=np.float32).reshape(5, 3)
+    p = tmp_path / "r.csv"
+    pd.DataFrame(m).to_csv(str(p))
+    a = read_labeled_csv(str(p))
+    b = pd.read_csv(str(p), index_col=0)
+    assert list(a.index) == list(b.index)
+    assert list(a.columns) == list(b.columns)
+    np.testing.assert_allclose(a.values, b.values)
+
+
+def test_read_labeled_csv_falls_back_on_nonfloat(tmp_path):
+    from seekr_tpu.io.fast_csv import read_labeled_csv
+
+    p = tmp_path / "mixed.csv"
+    p.write_text(",a,b\nr0,1.5,hello\nr1,2.5,world\n")
+    df = read_labeled_csv(str(p))  # must not crash: pandas fallback
+    assert list(df.columns) == ["a", "b"]
+    assert df["b"].tolist() == ["hello", "world"]
