@@ -38,6 +38,13 @@ def _native_ok(matrix) -> bool:
 def write_labeled_csv(path, matrix, index, columns) -> None:
     """Byte-identical to ``pd.DataFrame(matrix, index, columns).to_csv``."""
     matrix = np.asarray(matrix)
+    index, columns = list(index), list(columns)
+    if matrix.shape != (len(index), len(columns)):
+        # same failure the pandas path raises — the native writer must not
+        # silently emit a structurally corrupt CSV
+        raise ValueError(
+            f"Shape of passed values is {matrix.shape}, indices imply "
+            f"({len(index)}, {len(columns)})")
     if not _native_ok(matrix):
         import pandas as pd
 
@@ -51,17 +58,37 @@ def write_labeled_csv(path, matrix, index, columns) -> None:
                          row_label_cells=labels, mode=0)
 
 
-def _maybe_int(val: str):
-    """pandas parses a 0,1,2,... label column/header as integers."""
-    if val and (val.isdigit() or (val[0] == "-" and val[1:].isdigit())):
-        return int(val)
-    return val
-
-
-def _unquote(cell: str):
+def _unquote(cell: str) -> str:
     """Inverse of _quote for one still-quoted CSV cell."""
     row = next(iter(csv.reader([cell])), [])
-    return _maybe_int(row[0] if row else "")
+    return row[0] if row else ""
+
+
+def _is_int(v: str) -> bool:
+    return bool(v) and (v.isdigit() or (v[0] == "-" and v[1:].isdigit()))
+
+
+def _is_float(v: str) -> bool:
+    if not v:
+        return False
+    try:
+        float(v)
+        return True
+    except ValueError:
+        return False
+
+
+def _infer_index(labels):
+    """Per-COLUMN dtype inference, matching pd.read_csv(index_col=0):
+    all-int -> ints, all-float-like -> floats, else strings with empty
+    cells as NaN."""
+    import numpy as np
+
+    if labels and all(_is_int(v) for v in labels):
+        return [int(v) for v in labels]
+    if labels and all(_is_float(v) for v in labels):
+        return [float(v) for v in labels]
+    return [np.nan if v == "" else v for v in labels]
 
 
 def read_labeled_csv(path):
@@ -86,7 +113,11 @@ def read_labeled_csv(path):
         if data is not None:
             head_cells = next(iter(csv.reader([header])))
             cols = head_cells[1:]  # pandas keeps header cells as strings
-            index = [_unquote(l) for l in raw_labels]
+            if len(set(cols)) != len(cols):
+                # pandas mangles duplicate headers ('a' -> 'a.1'); rare
+                # (k-mer columns are unique) — defer to pandas
+                return pd.read_csv(path, index_col=0)
+            index = _infer_index([_unquote(l) for l in raw_labels])
             df = pd.DataFrame(data, index=index, columns=cols)
             df.index.name = head_cells[0] or None
             return df

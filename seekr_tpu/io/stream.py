@@ -75,24 +75,17 @@ class StreamingCsvWriter:
 
     def __init__(self, path: str, columns=None, row_labels=None,
                  fmt: str = "%1.6f"):
-        import csv as _csv
-        import io as _io
+        from seekr_tpu.io.fast_csv import _quote  # one quoting policy
 
         self.path = path
         self.fmt = fmt
         self.row_labels = list(row_labels) if row_labels is not None else None
         self.labeled = columns is not None
         self._fh = open(path, "w")
-
-        def quote(label):
-            buf = _io.StringIO()
-            _csv.writer(buf, lineterminator="").writerow([str(label)])
-            return buf.getvalue()
-
-        self._quote = quote
+        self._quote = _quote
         if self.labeled:
             self._fh.write(
-                "," + ",".join(quote(c) for c in columns) + "\n")
+                "," + ",".join(_quote(c) for c in columns) + "\n")
         self._row = 0
 
     def append(self, block: np.ndarray):

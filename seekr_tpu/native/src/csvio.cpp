@@ -19,6 +19,7 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <memory>
 #include <string>
 #include <thread>
 #include <vector>
@@ -141,6 +142,7 @@ int64_t seekr_write_csv_f32(const char* path, const float* data,
       std::max<int64_t>(1, std::thread::hardware_concurrency()),
       std::max<int64_t>((rows + chunk - 1) / chunk, 1));
   std::vector<std::string> bufs(static_cast<size_t>(n_threads));
+  std::vector<char> worker_ok(static_cast<size_t>(n_threads), 1);
   // waves of n_threads chunks: format in parallel, write in order
   for (int64_t wave = 0; ok && wave * chunk * n_threads < rows; ++wave) {
     int64_t base = wave * chunk * n_threads;
@@ -151,11 +153,20 @@ int64_t seekr_write_csv_f32(const char* path, const float* data,
       if (r0 >= rows) break;
       int64_t r1 = std::min(rows, r0 + chunk);
       ++live;
-      ts.emplace_back(format_rows, data, cols, r0, r1, row_label_cells,
-                      mode, std::ref(bufs[size_t(t)]));
+      ts.emplace_back([&, t, r0, r1] {
+        // exceptions (bad_alloc) must not escape a thread entry — that
+        // would std::terminate the process instead of returning -1
+        try {
+          format_rows(data, cols, r0, r1, row_label_cells, mode,
+                      bufs[size_t(t)]);
+        } catch (...) {
+          worker_ok[size_t(t)] = 0;
+        }
+      });
     }
     for (auto& th : ts) th.join();
     for (int64_t t = 0; ok && t < live; ++t) {
+      if (!worker_ok[size_t(t)]) { ok = false; break; }
       const std::string& b = bufs[size_t(t)];
       ok = std::fwrite(b.data(), 1, b.size(), f) == b.size();
     }
@@ -227,25 +238,26 @@ extern "C" {
 // Parses a labeled float CSV (the artifact format this package writes):
 // one header line, then one label cell + `cols` numeric cells per line.
 // Returns an opaque handle or NULL on parse failure.
-void* seekr_csv_open(const char* path) {
+void* seekr_csv_open(const char* path) try {
   if (!path) return nullptr;
   std::FILE* fp = std::fopen(path, "rb");
   if (!fp) return nullptr;
-  auto f = new CsvFile();
+  std::unique_ptr<CsvFile> fu(new CsvFile());
+  CsvFile* f = fu.get();
   std::fseek(fp, 0, SEEK_END);
-  long sz = std::ftell(fp);
+  long sz = std::ftell(fp);  // -1 for pipes/fifos -> caller falls back
   std::fseek(fp, 0, SEEK_SET);
+  if (sz <= 0) { std::fclose(fp); return nullptr; }
   f->raw.resize(size_t(sz));
-  bool ok = sz == 0 ||
-            std::fread(&f->raw[0], 1, size_t(sz), fp) == size_t(sz);
+  bool ok = std::fread(&f->raw[0], 1, size_t(sz), fp) == size_t(sz);
   std::fclose(fp);
-  if (!ok || sz == 0) { delete f; return nullptr; }
+  if (!ok) return nullptr;
 
   // split lines (tolerate missing trailing newline; skip empty last line)
   const char* p = f->raw.data();
   const char* end = p + f->raw.size();
   const char* nl = static_cast<const char*>(memchr(p, '\n', size_t(end - p)));
-  if (!nl) { delete f; return nullptr; }
+  if (!nl) return nullptr;
   f->header_len = nl - p;
   for (const char* s = nl + 1; s < end;) {
     const char* e = static_cast<const char*>(memchr(s, '\n', size_t(end - s)));
@@ -269,9 +281,13 @@ void* seekr_csv_open(const char* path) {
     }
     f->cols = commas;  // first header cell is the (empty) index name
   }
-  if (f->cols <= 0) { delete f; return nullptr; }
+  if (f->cols <= 0) return nullptr;
   f->labels.resize(size_t(f->rows));
-  return f;
+  return fu.release();
+} catch (...) {
+  // exceptions (bad_alloc, length_error) must not cross the C ABI —
+  // NULL routes the caller to the pandas fallback
+  return nullptr;
 }
 
 int64_t seekr_csv_rows(void* h) { return h ? static_cast<CsvFile*>(h)->rows : -1; }
@@ -319,7 +335,11 @@ int64_t seekr_csv_data(void* h, float* out) {
     int64_t r0 = t * per, r1 = std::min(f->rows, r0 + per);
     if (r0 >= r1) break;
     ts.emplace_back([f, out, r0, r1, t, &oks] {
-      oks[size_t(t)] = parse_rows(f, out, r0, r1) ? 1 : 0;
+      try {
+        oks[size_t(t)] = parse_rows(f, out, r0, r1) ? 1 : 0;
+      } catch (...) {
+        oks[size_t(t)] = 0;
+      }
     });
   }
   for (auto& th : ts) th.join();

@@ -102,3 +102,60 @@ def test_read_labeled_csv_falls_back_on_nonfloat(tmp_path):
     df = read_labeled_csv(str(p))  # must not crash: pandas fallback
     assert list(df.columns) == ["a", "b"]
     assert df["b"].tolist() == ["hello", "world"]
+
+
+def test_read_index_inference_matches_pandas(tmp_path):
+    from seekr_tpu.io.fast_csv import read_labeled_csv
+
+    cases = [
+        ["12345", "geneA", "7"],        # mixed -> strings
+        ["1.5", "2.5", "3.5"],          # float-like -> floats
+        ["3", "1", "2"],                # ints
+        ["", "r1", "r2"],               # empty cell -> NaN
+    ]
+    for i, labels in enumerate(cases):
+        p = tmp_path / f"c{i}.csv"
+        body = ",a,b\n" + "".join(f"{l},1.5,2.5\n" for l in labels)
+        p.write_text(body)
+        a = read_labeled_csv(str(p))
+        b = pd.read_csv(str(p), index_col=0)
+        assert [x if x == x else "NA" for x in a.index] \
+            == [x if x == x else "NA" for x in b.index], labels
+
+
+def test_read_duplicate_columns_defers_to_pandas(tmp_path):
+    from seekr_tpu.io.fast_csv import read_labeled_csv
+
+    p = tmp_path / "dup.csv"
+    p.write_text(",a,a\nr0,1.5,2.5\n")
+    a = read_labeled_csv(str(p))
+    b = pd.read_csv(str(p), index_col=0)
+    assert list(a.columns) == list(b.columns)  # pandas-mangled 'a','a.1'
+
+
+def test_write_shape_mismatch_raises(tmp_path):
+    m = np.zeros((3, 2), np.float32)
+    with pytest.raises(ValueError, match="Shape of passed values"):
+        write_labeled_csv(str(tmp_path / "x.csv"), m, ["a", "b", "c"],
+                          ["only_one"])
+
+
+def test_read_fifo_falls_back(tmp_path):
+    # named pipes have no seekable size; must not abort the process
+    import os
+    import threading
+
+    from seekr_tpu.io.fast_csv import read_labeled_csv
+
+    fifo = str(tmp_path / "pipe.csv")
+    os.mkfifo(fifo)
+
+    def feed():
+        with open(fifo, "w") as f:
+            f.write(",a,b\nr0,1.5,2.5\n")
+
+    t = threading.Thread(target=feed)
+    t.start()
+    df = read_labeled_csv(fifo)
+    t.join()
+    assert list(df.columns) == ["a", "b"]
