@@ -141,5 +141,39 @@ def main():
     }))
 
 
+def supervise():
+    """Run the benchmark in a child process with timeout + retries.
+
+    The tunneled TPU's remote-compile link occasionally wedges an in-flight
+    HTTP request indefinitely (BASELINE.md); a fresh process reliably
+    recovers, so rather than hang the whole round, retry up to 3 times and
+    emit the child's JSON line.
+    """
+    import subprocess
+
+    last_err = ""
+    for attempt in range(3):
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env={**os.environ, "SEEKR_TPU_BENCH_WORKER": "1"},
+                capture_output=True, text=True, timeout=900)
+        except subprocess.TimeoutExpired:
+            last_err = f"attempt {attempt}: timed out (tunnel wedge?)"
+            print(last_err, file=sys.stderr)
+            continue
+        lines = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
+        if proc.returncode == 0 and lines:
+            print(lines[-1])
+            return 0
+        last_err = (f"attempt {attempt}: rc={proc.returncode} "
+                    f"stderr={proc.stderr[-500:]}")
+        print(last_err, file=sys.stderr)
+    raise SystemExit(f"bench failed after 3 attempts: {last_err}")
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("SEEKR_TPU_BENCH_WORKER"):
+        main()
+    else:
+        supervise()
