@@ -159,3 +159,19 @@ def test_read_fifo_falls_back(tmp_path):
     df = read_labeled_csv(fifo)
     t.join()
     assert list(df.columns) == ["a", "b"]
+
+
+def test_formatter_fuzz_random_bit_patterns(tmp_path):
+    """Byte parity with pandas across random float32 BIT PATTERNS (hits
+    subnormals, huge/tiny magnitudes, and the fixed/scientific thresholds
+    far more densely than value-space sampling)."""
+    rng = np.random.default_rng(2026)
+    bits = rng.integers(0, 2 ** 32, size=20_000, dtype=np.uint64)
+    vals = bits.astype(np.uint32).view(np.float32)
+    m = vals.reshape(200, 100)
+    idx = [f"r{i}" for i in range(200)]
+    cols = [f"c{j}" for j in range(100)]
+    a, b = tmp_path / "a.csv", tmp_path / "b.csv"
+    write_labeled_csv(str(a), m, idx, cols)
+    pd.DataFrame(m, index=idx, columns=cols).to_csv(str(b))
+    assert a.read_bytes() == b.read_bytes()
