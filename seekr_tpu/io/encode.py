@@ -34,15 +34,18 @@ _LUT_CACHE = {}
 def base_lut(alphabet: str = ALPHABET_AGTC) -> np.ndarray:
     """256-entry byte -> digit lookup table (INVALID for other bytes).
 
-    Upper- and lower-case bytes both map to their digit, although the FASTA
-    reader upper-cases sequences already.
+    Lowercase bytes are INVALID, matching the reference: its k-mer map
+    holds uppercase keys only (kmer_counts.py:121-122), so a lowercase
+    window is skipped while the denominator keeps it.  File input never
+    hits this (the readers upper-case), but manually-assigned ``.seqs``
+    with soft-masked (lowercase) bases must count identically to the
+    reference.
     """
     lut = _LUT_CACHE.get(alphabet)
     if lut is None:
         lut = np.full(256, INVALID, dtype=np.int8)
         for digit, ch in enumerate(alphabet):
             lut[ord(ch)] = digit
-            lut[ord(ch.lower())] = digit
         _LUT_CACHE[alphabet] = lut
     return lut
 
@@ -100,18 +103,20 @@ class EncodedSeqs:
 
 
 def _assemble_buckets(lengths, k, min_bucket_len, row_multiple,
-                      max_rows_per_bucket, encode_chunk):
+                      max_rows_per_bucket, encode_chunk, include=None):
     """Shared bucket assembly: group by padded length, pad rows to a power
     of two (>= ``row_multiple``), delegate the row content to
     ``encode_chunk(ids, lpad) -> [len(ids), lpad] int8``.
 
-    Keeping one copy of this policy guarantees the Python and native
-    encoders produce identically-shaped buckets.
+    ``include`` restricts assembly to those row ids (bucket row_ids stay
+    in the original id space).  Keeping one copy of this policy guarantees
+    the Python and native encoders produce identically-shaped buckets.
     """
+    lengths = np.asarray(lengths)
     by_bucket = {}
-    for i, n in enumerate(lengths):
-        lpad = pick_bucket_length(int(n), k, min_bucket_len)
-        by_bucket.setdefault(lpad, []).append(i)
+    for i in (range(len(lengths)) if include is None else include):
+        lpad = pick_bucket_length(int(lengths[i]), k, min_bucket_len)
+        by_bucket.setdefault(lpad, []).append(int(i))
 
     buckets = []
     for lpad in sorted(by_bucket):
@@ -172,23 +177,36 @@ def _native_parse_is_safe(path: str) -> bool:
     One sequential pass over the raw bytes; GENCODE files are pure-ASCII
     LF so the fast path stays native.
     """
+    first_line_ok = None
+    carry = b""
     try:
         with open(path, "rb") as fh:
-            raw = fh.read()
+            while True:  # chunked scan: no whole-file slurp (3x RSS before)
+                chunk = fh.read(8 << 20)
+                if not chunk:
+                    break
+                if b"\r" in chunk or not chunk.isascii():
+                    return False
+                if first_line_ok is None:
+                    buf = carry + chunk
+                    i, n = 0, len(buf)
+                    while i < n:
+                        j = buf.find(b"\n", i)
+                        if j == -1:
+                            carry = buf[i:]
+                            break
+                        line = buf[i:j].strip()
+                        if line:
+                            first_line_ok = line.startswith(b">")
+                            if not first_line_ok:
+                                return False
+                            break
+                        i = j + 1
     except OSError:
         return False
-    if b"\r" in raw or not raw.isascii():
-        return False
-    i, n = 0, len(raw)
-    while i < n:  # first non-empty line only; no full split
-        j = raw.find(b"\n", i)
-        if j == -1:
-            j = n
-        line = raw[i:j].strip()
-        if line:
-            return line.startswith(b">")
-        i = j + 1
-    return False
+    if first_line_ok is None:  # no newline seen: judge the remainder
+        first_line_ok = carry.strip().startswith(b">")
+    return bool(first_line_ok)
 
 
 def encode_fasta(
@@ -198,13 +216,18 @@ def encode_fasta(
     min_bucket_len: int = 256,
     row_multiple: int = 8,
     max_rows_per_bucket: Optional[int] = None,
+    include_ids: Optional[Sequence[int]] = None,
 ) -> EncodedSeqs:
     """Encode a FASTA file directly, using the C++ parser/encoder if present.
 
     The native path parses once and encodes each padded bucket with a
     multithreaded batch encoder — no Python string per sequence.  Non-AGTC
     alphabets and missing-toolchain environments fall back to the pure
-    Python path (byte-identical output).
+    Python path (byte-identical output).  ``include_ids`` restricts the
+    encoded buckets to those records (row_ids stay file-order indices;
+    ``lengths``/``n_seqs`` still describe the whole file) — used by the
+    counter to keep short sequences on the native batch path while very
+    long ones take the chunked route.
     """
     if alphabet == ALPHABET_AGTC:
         try:
@@ -222,13 +245,31 @@ def encode_fasta(
                 if len(lengths) > 0 and (lengths > 0).all():
                     buckets = _assemble_buckets(
                         lengths, k, min_bucket_len, row_multiple,
-                        max_rows_per_bucket, nf.encode_batch)
+                        max_rows_per_bucket, nf.encode_batch,
+                        include=include_ids)
                     return EncodedSeqs(buckets=buckets, n_seqs=len(lengths),
                                        alphabet=alphabet, lengths=lengths)
 
     from seekr_tpu.io.fasta import Reader
 
-    return encode_seqs(Reader(path).get_seqs(), k, alphabet,
-                       min_bucket_len=min_bucket_len,
-                       row_multiple=row_multiple,
-                       max_rows_per_bucket=max_rows_per_bucket)
+    seqs = Reader(path).get_seqs()
+    if include_ids is None:
+        return encode_seqs(seqs, k, alphabet,
+                           min_bucket_len=min_bucket_len,
+                           row_multiple=row_multiple,
+                           max_rows_per_bucket=max_rows_per_bucket)
+    lengths = np.array([len(s) for s in seqs], dtype=np.int64)
+    lut = base_lut(alphabet)
+
+    def encode_chunk(ids, lpad):  # same shape as encode_seqs' closure
+        out = np.full((len(ids), lpad), INVALID, dtype=np.int8)
+        for r, i in enumerate(ids):
+            raw = np.frombuffer(seqs[i].encode("ascii"), dtype=np.uint8)
+            out[r, : raw.size] = lut[raw]
+        return out
+
+    buckets = _assemble_buckets(lengths, k, min_bucket_len, row_multiple,
+                                max_rows_per_bucket, encode_chunk,
+                                include=include_ids)
+    return EncodedSeqs(buckets=buckets, n_seqs=len(seqs), alphabet=alphabet,
+                       lengths=lengths)

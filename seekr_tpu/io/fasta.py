@@ -2,7 +2,9 @@
 
 Semantics match the reference reader (seekr/fasta_reader.py:41-63): lines are
 stripped, multi-line sequences joined, sequences upper-cased, and file order
-preserved.  The reference materialises a list of alternating header/sequence
+preserved.  One documented deviation: blank lines are tolerated (skipped) —
+the reference's ``line[0]`` indexing raises IndexError on any empty line
+(fasta_reader.py:53), which is a crash, not a behavior worth reproducing.  The reference materialises a list of alternating header/sequence
 strings; we keep that public contract (``get_lines``/``get_seqs``/
 ``get_headers``/``get_data``) so downstream tooling behaves identically.
 
@@ -69,16 +71,11 @@ class Reader:
 
         Falls back to the Python path whenever the native result COULD
         diverge from the canonical reader, so behavior never depends on
-        toolchain availability:
-          * any record with an empty sequence (the reference's
-            header-without-a-sequence assertion must fire),
-          * a file whose first non-empty line is not a header (the native
-            parser drops leading sequence lines; the reference misaligns
-            them — reproduce the reference),
-          * embedded '\\r' (Python universal newlines treat a lone CR as a
-            line break; the native parser splits on '\\n' only),
-          * Unicode whitespace at record ends (str.strip() removes it, the
-            native byte-level trim does not).
+        toolchain availability.  The byte-level gate (shared with
+        encode_fasta: _native_parse_is_safe) rejects lone-CR line breaks,
+        any non-ASCII byte, and leading sequence lines; the post-hoc
+        checks below additionally reject empty sequences (the reference's
+        header-without-a-sequence assertion must fire on the Python path).
         """
         try:
             from seekr_tpu import native
@@ -86,15 +83,15 @@ class Reader:
             return None
         if not native.native_available():
             return None
+        from seekr_tpu.io.encode import _native_parse_is_safe
+
+        # shared byte-level gate (one policy with encode_fasta): rejects
+        # lone-CR line breaks, ANY non-ASCII byte (str.strip's Unicode
+        # whitespace cannot be handled byte-wise, even mid-record), and
+        # files whose first non-empty line is not a header
+        if not _native_parse_is_safe(self.infasta):
+            return None
         try:
-            with open(self.infasta, "rb") as fh:
-                first = b""
-                for raw in fh:
-                    first = raw.strip()
-                    if first:
-                        break
-            if not first.startswith(b">"):
-                return None
             with native.NativeFasta(self.infasta) as nf:
                 headers = nf.headers()
                 seqs = nf.seqs()

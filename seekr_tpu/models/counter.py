@@ -18,6 +18,10 @@ Deviations (documented, all within the reference's own test tolerances):
     ZeroDivisionError when len == k-1.
   * non-4-letter alphabets use a vectorized host path (TPU path assumes the
     2-bit encoding).
+  * lowercase (soft-masked) bases are invalid window members exactly like
+    the reference (its k-mer map holds uppercase keys only) — relevant
+    only for manually-assigned ``.seqs``; file input is upper-cased by the
+    readers.
 """
 
 from __future__ import annotations
@@ -149,6 +153,31 @@ class KmerCounter:
         row[hit] = counts[hit]
         return row
 
+    def _encode_from_file(self, include_ids=None):
+        """Native parse+encode of infasta, guarded against file drift.
+
+        Returns None (caller falls back to encoding ``self.seqs``) when the
+        file cannot be read or its record lengths no longer match the
+        sequences parsed at construction time — counting must always
+        reflect ``self.seqs``, never a later state of the file (the
+        reference reads only once).  A same-length in-place content
+        rewrite is not detectable without materializing the parse and is
+        out of scope.
+        """
+        try:
+            encoded = encode_fasta(
+                self.infasta, self.k, self.alphabet,
+                max_rows_per_bucket=_MAX_ROWS_PER_BUCKET,
+                include_ids=include_ids,
+            )
+        except OSError:
+            return None
+        if encoded.n_seqs != len(self.seqs) or not np.array_equal(
+                np.asarray(encoded.lengths),
+                [len(s) for s in self.seqs]):
+            return None
+        return encoded
+
     def _raw_counts(self) -> np.ndarray:
         """Raw counts-per-kb matrix [m, alpha_len**k] float32."""
         if self.alpha_len != 4:
@@ -164,33 +193,30 @@ class KmerCounter:
             from seekr_tpu.ops.count import count_kmers_long
 
             for i in long_ids:
-                out[i] = count_kmers_long(encode_seq(self.seqs[i]), self.k)
-            long_set = set(long_ids)
-            short_pairs = [(i, s) for i, s in enumerate(self.seqs)
-                           if i not in long_set]
-            if not short_pairs:
-                return out
-            short_ids = np.array([i for i, _ in short_pairs], dtype=np.int64)
-            short = [s for _, s in short_pairs]
+                out[i] = count_kmers_long(
+                    encode_seq(self.seqs[i], self.alphabet), self.k)
+
+        long_set = set(long_ids)
+        short_ids = [i for i in range(len(self.seqs)) if i not in long_set]
+        if not short_ids:
+            return out
+
+        encoded = None
+        id_map = None
+        file_path_ok = (self.infasta is not None
+                        and self.seqs is self._file_seqs
+                        and self.seqs == self._file_seqs_snapshot)
+        if file_path_ok:
+            # native C++ parse + multithreaded batch encode when available;
+            # long rows (if any) are excluded but keep file-order row ids
+            encoded = self._encode_from_file(
+                include_ids=short_ids if long_ids else None)
+        if encoded is None:
             encoded = encode_seqs(
-                short, self.k, self.alphabet,
+                [self.seqs[i] for i in short_ids], self.k, self.alphabet,
                 max_rows_per_bucket=_MAX_ROWS_PER_BUCKET,
             )
-            id_map = short_ids
-        elif (self.infasta is not None and self.seqs is self._file_seqs
-              and self.seqs == self._file_seqs_snapshot):
-            # native C++ parse + multithreaded batch encode when available
-            encoded = encode_fasta(
-                self.infasta, self.k, self.alphabet,
-                max_rows_per_bucket=_MAX_ROWS_PER_BUCKET,
-            )
-            id_map = None
-        else:
-            encoded = encode_seqs(
-                self.seqs, self.k, self.alphabet,
-                max_rows_per_bucket=_MAX_ROWS_PER_BUCKET,
-            )
-            id_map = None
+            id_map = np.asarray(short_ids, dtype=np.int64)
 
         buckets = encoded.buckets
         if not self.silent:

@@ -30,15 +30,15 @@ signed char kDigit[256];
 
 struct DigitInit {
   DigitInit() {
+    // uppercase only: lowercase (soft-masked) bases are INVALID, matching
+    // the reference's uppercase-keyed k-mer map (parsed file sequences are
+    // uppercased before they reach this table; raw-string encodes must
+    // agree with the Python LUT in io/encode.py)
     std::memset(kDigit, 4, sizeof(kDigit));
     kDigit[(unsigned char)'A'] = 0;
-    kDigit[(unsigned char)'a'] = 0;
     kDigit[(unsigned char)'G'] = 1;
-    kDigit[(unsigned char)'g'] = 1;
     kDigit[(unsigned char)'T'] = 2;
-    kDigit[(unsigned char)'t'] = 2;
     kDigit[(unsigned char)'C'] = 3;
-    kDigit[(unsigned char)'c'] = 3;
   }
 } digit_init;
 
@@ -71,9 +71,14 @@ void* seekr_fasta_open(const char* path) {
   while (pos < buf.size()) {
     size_t eol = buf.find('\n', pos);
     size_t end = (eol == std::string::npos) ? buf.size() : eol;
-    // strip the same whitespace set as Python str.strip()
+    // strip the same ASCII whitespace set as Python str.strip()
+    // (incl. the file/group/record/unit separators \x1c-\x1f, which
+    // str.isspace() counts; non-ASCII whitespace like NBSP cannot be
+    // handled byte-wise — the Python-side safety gate routes non-ASCII
+    // files to the canonical reader)
     auto is_ws = [](char c) {
-      return c == ' ' || c == '\t' || c == '\r' || c == '\v' || c == '\f';
+      return c == ' ' || c == '\t' || c == '\r' || c == '\v' || c == '\f' ||
+             (c >= '\x1c' && c <= '\x1f');
     };
     size_t b = pos, e = end;
     while (e > b && is_ws(buf[e - 1])) --e;

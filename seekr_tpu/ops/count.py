@@ -213,9 +213,10 @@ def count_kmers_host(seqs: Sequence[str], k: int, alphabet: str = "AGTC") -> np.
     a = len(alphabet)
     n_cols = a ** k
     lut = np.full(256, -1, dtype=np.int64)
+    # uppercase only: the reference's k-mer map has uppercase keys, so
+    # lowercase (soft-masked) windows are skipped with the denominator kept
     for digit, ch in enumerate(alphabet):
         lut[ord(ch)] = digit
-        lut[ord(ch.lower())] = digit
     out = np.zeros((len(seqs), n_cols), dtype=np.float32)
     powers = a ** np.arange(k - 1, -1, -1, dtype=np.int64)
     for i, seq in enumerate(seqs):

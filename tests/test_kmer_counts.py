@@ -199,3 +199,91 @@ def test_inplace_seqs_mutation_is_counted(ref_data):
     expected = np.zeros(4)
     expected[0] = 1000.0
     np.testing.assert_allclose(c.counts[0], expected)
+
+
+def test_lowercase_windows_skipped_like_reference():
+    # the reference's k-mer map has uppercase keys only: lowercase
+    # (soft-masked) windows are skipped, denominator kept
+    from seekr_tpu import KmerCounter
+
+    c = KmerCounter(k=1, mean=False, std=False, log2="Log2.none", silent=True)
+    c.seqs = ["AAaa"]
+    c.get_counts()
+    expected = np.zeros(4)
+    expected[0] = 2 * 1000 / 4  # two valid 'A' windows of 4 total
+    np.testing.assert_allclose(c.counts[0], expected)
+
+
+def test_nonagtc_alphabet_long_sequence_columns(tmp_path):
+    # long sequences must encode with the counter's alphabet, not AGTC
+    # (digit order differs -> silent column permutation before the fix)
+    from seekr_tpu import KmerCounter
+    from seekr_tpu.models import counter as counter_mod
+
+    fa = tmp_path / "long.fa"
+    seq = "ACGT" * 30  # len 120 > patched threshold below
+    fa.write_text(f">a\n{seq}\n>b\nACGTACGT\n")
+    orig = counter_mod._LONG_SEQ_THRESHOLD
+    counter_mod._LONG_SEQ_THRESHOLD = 100
+    try:
+        c = KmerCounter(str(fa), k=2, mean=False, std=False,
+                        log2="Log2.none", alphabet="ACGT", silent=True)
+        c.get_counts()
+    finally:
+        counter_mod._LONG_SEQ_THRESHOLD = orig
+    from seekr_tpu.ops.count import count_kmers_host
+
+    expected = count_kmers_host([seq, "ACGTACGT"], 2, alphabet="ACGT")
+    np.testing.assert_allclose(c.counts, expected, rtol=1e-5, atol=1e-4)
+
+
+def test_counts_reflect_init_seqs_not_changed_file(tmp_path):
+    # the reference reads the fasta once at __init__; rewriting (or
+    # deleting) the file afterwards must not change what gets counted.
+    # The guard compares record lengths; a same-length content rewrite is
+    # documented as out of scope (_encode_from_file docstring).
+    from seekr_tpu import KmerCounter
+    from seekr_tpu.ops.count import count_kmers_host
+
+    fa = tmp_path / "x.fa"
+    fa.write_text(">a\nAAAA\n>b\nTTTT\n")
+    c = KmerCounter(str(fa), k=1, mean=False, std=False, log2="Log2.none",
+                    silent=True)
+    fa.write_text(">a\nGG\n>b\nCCCCCC\n>c\nAA\n")  # different shape
+    c.get_counts()
+    np.testing.assert_allclose(c.counts,
+                               count_kmers_host(["AAAA", "TTTT"], 1))
+
+    fa2 = tmp_path / "gone.fa"
+    fa2.write_text(">a\nAAAA\n")
+    import os
+
+    c2 = KmerCounter(str(fa2), k=1, mean=False, std=False,
+                     log2="Log2.none", silent=True)
+    os.unlink(str(fa2))  # deleted after init: counts still work
+    c2.get_counts()
+    np.testing.assert_allclose(c2.counts, count_kmers_host(["AAAA"], 1))
+
+
+def test_long_plus_short_mixed_file(tmp_path):
+    from seekr_tpu import KmerCounter
+    from seekr_tpu.models import counter as counter_mod
+    from seekr_tpu.ops.count import count_kmers_host
+
+    rng = np.random.default_rng(0)
+    letters = np.array(list("AGTC"))
+    long_seq = "".join(letters[rng.integers(0, 4, 300)])
+    shorts = ["".join(letters[rng.integers(0, 4, n)]) for n in (20, 37, 64)]
+    fa = tmp_path / "mix.fa"
+    fa.write_text(f">L\n{long_seq}\n" +
+                  "".join(f">s{i}\n{s}\n" for i, s in enumerate(shorts)))
+    orig = counter_mod._LONG_SEQ_THRESHOLD
+    counter_mod._LONG_SEQ_THRESHOLD = 200
+    try:
+        c = KmerCounter(str(fa), k=3, mean=False, std=False,
+                        log2="Log2.none", silent=True)
+        c.get_counts()
+    finally:
+        counter_mod._LONG_SEQ_THRESHOLD = orig
+    expected = count_kmers_host([long_seq] + shorts, 3)
+    np.testing.assert_allclose(c.counts, expected, rtol=1e-5, atol=1e-4)

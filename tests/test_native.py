@@ -101,8 +101,9 @@ def test_native_encode_matches_python(ref_data):
             seq = nf.seq(i)
             np.testing.assert_array_equal(
                 nf.encode_batch([i], len(seq))[0], encode_seq(seq))
+    # lowercase is INVALID like the reference's uppercase-keyed k-mer map
     np.testing.assert_array_equal(native.encode_string("AGTCNagtcn"),
-                                  [0, 1, 2, 3, 4, 0, 1, 2, 3, 4])
+                                  [0, 1, 2, 3, 4, 4, 4, 4, 4, 4])
 
 
 def test_encode_fasta_native_equals_python(ref_data):
