@@ -1,0 +1,189 @@
+"""Randomized differential fuzz against the live reference implementation.
+
+Each seed generates a quirky-but-valid FASTA corpus (multi-line wrapping,
+lowercase soft-masking, N runs, pipe/duplicate headers, very short
+sequences) plus a random parameter draw, then asserts stage-for-stage
+agreement with the mounted reference package (/root/reference).
+
+Generator stays inside what the reference tolerates (seekr crashes on
+blank lines in `_upper_seq_per_line` fasta_reader.py:53 and on sequences
+of length exactly k-1 — ZeroDivisionError at kmer_counts.py:144 — so
+those inputs are not generated; they are covered by our own error-path
+tests instead).
+"""
+
+import sys
+
+import numpy as np
+import pytest
+
+REFERENCE = "/root/reference"
+
+BASES = "AGTC"
+
+
+@pytest.fixture(scope="module")
+def ref_pkg():
+    sys.path.insert(0, REFERENCE)
+    try:
+        from seekr.kmer_counts import BasicCounter as RefCounter
+        from seekr.pearson import pearson as ref_pearson
+        from seekr.fasta_reader import Reader as RefReader
+    except ImportError:
+        pytest.skip("reference package not importable")
+    finally:
+        sys.path.remove(REFERENCE)
+    return RefCounter, ref_pearson, RefReader
+
+
+def _random_seq(rng, length):
+    """Random sequence with lowercase runs and N (invalid) runs."""
+    chars = list(rng.choice(list(BASES), size=length))
+    # soft-masked (lowercase) run — uppercased by the FASTA readers
+    if length > 4 and rng.random() < 0.7:
+        a = int(rng.integers(0, length - 2))
+        b = int(rng.integers(a + 1, length))
+        for i in range(a, b):
+            chars[i] = chars[i].lower()
+    # N runs (invalid k-mers but still in the length denominator)
+    if length > 4 and rng.random() < 0.5:
+        a = int(rng.integers(0, length - 1))
+        b = min(length, a + int(rng.integers(1, 6)))
+        for i in range(a, b):
+            chars[i] = "N"
+    return "".join(chars)
+
+
+def _write_fasta(path, rng, n_seqs, k):
+    """Write a corpus with wrapped lines and messy headers; return n_seqs."""
+    header_pool = [
+        ">seq{i}",
+        ">ENST0000{i}.1|GENE{i}|OTTHUM|len={i}|lncRNA|",
+        ">dup|header",
+        ">seq {i} with spaces",
+    ]
+    lines = []
+    for i in range(n_seqs):
+        h = header_pool[int(rng.integers(0, len(header_pool)))]
+        lines.append(h.replace("{i}", str(i)))
+        length = int(rng.integers(1, 240))
+        while length == k - 1:  # reference ZeroDivisionError (see docstring)
+            length = int(rng.integers(1, 240))
+        seq = _random_seq(rng, length)
+        wrap = int(rng.integers(10, 80))
+        for j in range(0, len(seq), wrap):
+            lines.append(seq[j:j + wrap])
+    path.write_text("\n".join(lines) + "\n")
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_counts_fuzz_vs_reference(ref_pkg, tmp_path, seed, capsys):
+    from seekr_tpu import BasicCounter
+
+    RefCounter, _, _ = ref_pkg
+    rng = np.random.default_rng(seed)
+    k = int(rng.integers(2, 6))
+    n_seqs = int(rng.integers(2, 14))
+    log2 = ["Log2.none", "Log2.pre", "Log2.post"][int(rng.integers(0, 3))]
+    mean = bool(rng.integers(0, 2))
+    # std needs mean-centering in practice but the reference allows any
+    # combination; draw independently
+    std = bool(rng.integers(0, 2))
+
+    fa = tmp_path / "fuzz.fa"
+    _write_fasta(fa, rng, n_seqs, k)
+
+    ours = BasicCounter(str(fa), k=k, mean=mean, std=std, log2=log2,
+                        silent=True)
+    ours.get_counts()
+    ref = RefCounter(str(fa), k=k, mean=mean, std=std, log2=log2,
+                     silent=True)
+    ref.get_counts()
+    capsys.readouterr()  # swallow NaN-after-standardization warnings
+
+    assert ours.counts.shape == ref.counts.shape
+    np.testing.assert_allclose(np.asarray(ours.counts), ref.counts,
+                               rtol=1e-4, atol=1e-4, equal_nan=True)
+    if mean:
+        np.testing.assert_allclose(np.asarray(ours.mean), ref.mean,
+                                   rtol=1e-4, atol=1e-4, equal_nan=True)
+    if std:
+        np.testing.assert_allclose(np.asarray(ours.std), ref.std,
+                                   rtol=1e-4, atol=1e-4, equal_nan=True)
+
+
+@pytest.mark.parametrize("seed", range(8, 12))
+def test_norm_vector_roundtrip_fuzz(ref_pkg, tmp_path, seed):
+    """mean/std saved as .npy by one corpus, loaded by another — the
+    cross-file normalization contract (kmer_counts.py:110-114)."""
+    from seekr_tpu import BasicCounter
+
+    RefCounter, _, _ = ref_pkg
+    rng = np.random.default_rng(seed)
+    k = int(rng.integers(2, 5))
+    fa1, fa2 = tmp_path / "bkg.fa", tmp_path / "tgt.fa"
+    _write_fasta(fa1, rng, int(rng.integers(3, 10)), k)
+    _write_fasta(fa2, rng, int(rng.integers(2, 8)), k)
+
+    bkg = RefCounter(str(fa1), k=k, log2="Log2.none", silent=True)
+    bkg.get_counts()
+    mean_p, std_p = tmp_path / "m.npy", tmp_path / "s.npy"
+    np.save(mean_p, bkg.mean)
+    np.save(std_p, np.where(bkg.std == 0, 1.0, bkg.std))
+
+    ours = BasicCounter(str(fa2), k=k, mean=str(mean_p), std=str(std_p),
+                        log2="Log2.post", silent=True)
+    ours.get_counts()
+    ref = RefCounter(str(fa2), k=k, mean=str(mean_p), std=str(std_p),
+                     log2="Log2.post", silent=True)
+    ref.get_counts()
+    np.testing.assert_allclose(np.asarray(ours.counts), ref.counts,
+                               rtol=1e-4, atol=1e-4, equal_nan=True)
+
+
+@pytest.mark.parametrize("seed", range(12, 18))
+def test_reader_fuzz_vs_reference(ref_pkg, tmp_path, seed):
+    """Reader parity on quirky formatting: seqs, headers, data layout."""
+    from seekr_tpu.io.fasta import Reader
+
+    _, _, RefReader = ref_pkg
+    rng = np.random.default_rng(seed)
+    fa = tmp_path / "r.fa"
+    _write_fasta(fa, rng, int(rng.integers(1, 12)), k=2)
+
+    ours, ref = Reader(str(fa)), RefReader(str(fa))
+    assert ours.get_seqs() == ref.get_seqs()
+    assert ours.get_headers() == ref.get_headers()
+    # get_data returns (tuples, headers, seqs) with tuples a zip object
+    # (fasta_reader.py:84-88) — materialize before comparing
+    o_t, o_h, o_s = ours.get_data()
+    r_t, r_h, r_s = ref.get_data()
+    assert list(o_t) == list(r_t)
+    assert (o_h, o_s) == (r_h, r_s)
+    assert list(ours.get_data(tuples_only=True)) == \
+        list(ref.get_data(tuples_only=True))
+
+
+@pytest.mark.parametrize("seed", range(18, 22))
+def test_pearson_fuzz_vs_reference(ref_pkg, seed):
+    """All-pairs Pearson on random count-like matrices, incl. rows with
+    zero variance (NaN parity) and tiny column counts."""
+    from seekr_tpu import pearson
+
+    _, ref_pearson, _ = ref_pkg
+    rng = np.random.default_rng(seed)
+    m1, m2 = int(rng.integers(1, 40)), int(rng.integers(1, 40))
+    ncol = 4 ** int(rng.integers(1, 5))
+    c1 = rng.gamma(0.3, 50.0, size=(m1, ncol)).astype(np.float32)
+    c2 = rng.gamma(0.3, 50.0, size=(m2, ncol)).astype(np.float32)
+    # sprinkle constant rows -> zero stddev -> NaN/inf semantics
+    if m1 > 2:
+        c1[int(rng.integers(0, m1))] = 3.25
+    if m2 > 2:
+        c2[int(rng.integers(0, m2))] = 0.0
+
+    ours = np.asarray(pearson(c1.copy(), c2.copy()))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        theirs = ref_pearson(c1.copy(), c2.copy())
+    np.testing.assert_allclose(ours, theirs, rtol=1e-3, atol=1e-4,
+                               equal_nan=True)
