@@ -7,10 +7,14 @@ GENCODE-lncRNA-like corpus (fixed seed; lengths 512..2047).
 Measurement: ITERS asynchronously-dispatched pipeline calls with a single
 sync at the end.  The tunneled TPU in this container has a ~1.5 ms
 round-trip dispatch latency (see BASELINE.md "dispatch floor"), but
-dispatches queue, so a long enough loop amortizes it and measures sustained
-device throughput (30 iters measure ~2.4 ms/iter vs ~4.3 for 10; running
-the loop inside one jitted lax.scan was tried and is SLOWER than the
-queued host loop — 3.9 ms/iter — so the host loop stays).
+dispatches queue, so a long enough loop amortizes it and measures
+sustained device throughput.  Measured loop cost fits
+(per_iter * ITERS + drain) with per_iter ~1.57 ms and a fixed ~28 ms
+drain tail (exp/bench_dispatch.py): 30 iters read 2.5 ms/iter, 300 read
+1.67, asymptote ~1.6 — hence ITERS=600.  In-graph iteration was tried
+twice and is genuinely slower than the queued host loop (lax.scan 3.9
+ms/iter; fori_loop with a carry-dependent perturbation 2.16; B-stacked
+batching with vmapped Pearson 2.3), so the host loop stays.
 
 Baseline: the reference implementation (pure numpy/Python, mounted at
 /root/reference) timed on the SAME full-size corpus on this host's CPU —
@@ -38,7 +42,7 @@ M = 2048          # transcripts
 L_MIN, L_MAX = 512, 2048
 K = 6
 SEED = 0
-ITERS = 30
+ITERS = 600
 REPS = 3
 
 
