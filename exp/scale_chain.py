@@ -1,0 +1,163 @@
+"""Full-chain timing at GENCODE scale (m=13,000 transcripts, k=6).
+
+Drives every production stage end-to-end on a synthetic vM25-like corpus
+(lognormal lengths ~1.4 kb capped at 4 kb, ~18 M bases):
+
+  counts+norm (device) -> all-pairs Pearson 13k x 13k (device, blocked)
+  -> upper-triangle subset + scipy fit (host)      [find_dist]
+  -> 1000 x 1000 query p-values (device + host)    [find_pval]
+  -> BH correction of the full 13k x 13k matrix    [adj_pval]
+  -> Leiden communities on the 13k-node graph      [native C++ engine]
+
+On this container the device->host fetch of the 676 MB similarity matrix
+rides a ~3-10 MB/s tunnel; the fetch is timed separately so the
+hardware-representative stage times (device compute, host stats, native
+Leiden) are readable on their own.
+
+Run: python exp/scale_chain.py [--m 13000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DIGIT2CHAR = np.array(list("AGTC"))
+
+
+def synth_fasta(path, m, seed=0):
+    rng = np.random.default_rng(seed)
+    lengths = np.minimum(
+        rng.lognormal(mean=7.0, sigma=0.55, size=m).astype(np.int64), 4096)
+    lengths = np.maximum(lengths, 64)
+    with open(path, "w") as fh:
+        for i in range(m):
+            seq = "".join(DIGIT2CHAR[rng.integers(0, 4, size=lengths[i])])
+            fh.write(f">SYNT{i:05d}.1|GENE{i}|{lengths[i]}|lncRNA|\n")
+            for j in range(0, len(seq), 80):
+                fh.write(seq[j:j + 80] + "\n")
+    return int(lengths.sum())
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--m", type=int, default=13000)
+    ap.add_argument("--query", type=int, default=1000)
+    ap.add_argument("--workdir", default="/tmp/seekr_scale")
+    args = ap.parse_args()
+
+    os.makedirs(args.workdir, exist_ok=True)
+    os.chdir(args.workdir)
+
+    from seekr_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    t0 = time.perf_counter()
+    total_bases = synth_fasta("bkg.fa", args.m)
+    print(f"[gen] corpus: m={args.m}, {total_bases/1e6:.1f} M bases "
+          f"({time.perf_counter()-t0:.1f} s)")
+
+    # ---- counts + normalization vectors (find_dist's first half) ----
+    from seekr_tpu.models.counter import KmerCounter
+
+    t0 = time.perf_counter()
+    norm = KmerCounter("bkg.fa", k=6, silent=True)
+    norm.get_counts()
+    np.save("bkg_mean_6mers.npy", norm.mean)
+    np.save("bkg_std_6mers.npy", norm.std)
+    t_counts = time.perf_counter() - t0
+    print(f"[counts] 13k x 4096 device counts + norm vectors: {t_counts:.1f} s "
+          f"(includes FASTA parse+encode and device->host fetch)")
+
+    t0 = time.perf_counter()
+    counter = KmerCounter("bkg.fa", mean="bkg_mean_6mers.npy",
+                          std="bkg_std_6mers.npy", k=6, silent=True)
+    counter.get_counts()
+    t_counts2 = time.perf_counter() - t0
+    print(f"[counts] normalized pass: {t_counts2:.1f} s")
+
+    # ---- all-pairs Pearson (device, blocked) ----
+    from seekr_tpu.ops.pearson import pearson_blocked
+
+    t0 = time.perf_counter()
+    sim = np.asarray(pearson_blocked(counter.counts, counter.counts))
+    t_pearson = time.perf_counter() - t0
+    print(f"[pearson] {args.m} x {args.m} blocked GEMM + fetch "
+          f"({sim.nbytes/1e6:.0f} MB): {t_pearson:.1f} s")
+
+    # ---- find_dist second half: triu subset + scipy fit ----
+    t0 = time.perf_counter()
+    triu = sim[np.triu_indices(sim.shape[0], k=1)]
+    np.random.seed(0)
+    subset = np.random.choice(triu, size=100_000, replace=False)
+    t_triu = time.perf_counter() - t0
+
+    from seekr_tpu.stats.find_dist import fit_distributions
+
+    t0 = time.perf_counter()
+    fitres = fit_distributions(subset, ["cauchy", "chi2", "expon", "exponpow",
+                                        "gamma", "lognorm", "norm", "pareto",
+                                        "rayleigh", "uniform"],
+                               statsmethod="ks", n_jobs=4)
+    t_fit = time.perf_counter() - t0
+    print(f"[find_dist] triu+subset {t_triu:.1f} s; common10 ks fit on 100k "
+          f"samples (n_jobs=4): {t_fit:.1f} s -> best: {fitres[0][0]}")
+
+    # ---- find_pval: 1000-seq query sets against each other ----
+    synth_fasta("q1.fa", args.query, seed=1)
+    synth_fasta("q2.fa", args.query, seed=2)
+    from seekr_tpu.stats.find_pval import find_pval
+
+    t0 = time.perf_counter()
+    pvals = find_pval("q1.fa", "q2.fa", "bkg_mean_6mers.npy",
+                      "bkg_std_6mers.npy", 6, fitres=fitres[:1],
+                      progress_bar=False)
+    t_pval = time.perf_counter() - t0
+    print(f"[find_pval] {args.query} x {args.query} fitted-cdf p-values: "
+          f"{t_pval:.1f} s")
+
+    # ---- adj_pval on the FULL 13k x 13k matrix (169 M cells) ----
+    import pandas as pd
+    from seekr_tpu.stats.adj_pval import adj_pval
+
+    labels = [f"s{i}" for i in range(args.m)]
+    # symmetric pseudo p-value matrix derived from |r| (host transform)
+    pmat = np.minimum(1.0, 2 * (1 - 0.5 * (1 + np.abs(sim))))
+    pdf_ = pd.DataFrame(pmat, index=labels, columns=labels)
+    t0 = time.perf_counter()
+    adj = adj_pval(pdf_, "fdr_bh")
+    t_adj = time.perf_counter() - t0
+    print(f"[adj_pval] fdr_bh over the symmetric {args.m} x {args.m} matrix "
+          f"({pmat.size/1e6:.0f} M cells, triu corrected): {t_adj:.1f} s")
+    del adj, pdf_, pmat
+
+    # ---- Leiden on the 13k-node similarity graph (native C++) ----
+    from seekr_tpu.graph.kmer_leiden import leiden_membership
+
+    cutoff = 0.05
+    gdf = pd.DataFrame(np.where(sim > cutoff, sim, 0.0),
+                       index=labels, columns=labels)
+    np.fill_diagonal(gdf.values, 0.0)
+    n_edges = int((gdf.values > 0).sum()) // 2
+    t0 = time.perf_counter()
+    membership = leiden_membership(gdf, algo="RBERVertexPartition", rs=1.0,
+                                   setseed=True)
+    t_leiden = time.perf_counter() - t0
+    print(f"[leiden] native engine, {args.m} nodes / {n_edges} edges "
+          f"(r>{cutoff}): {t_leiden:.1f} s, "
+          f"{len(np.unique(membership))} communities")
+
+    print("\nsummary (s): counts=%.1f norm_pass=%.1f pearson=%.1f "
+          "fit=%.1f pval=%.1f adj=%.1f leiden=%.1f" %
+          (t_counts, t_counts2, t_pearson, t_fit, t_pval, t_adj, t_leiden))
+
+
+if __name__ == "__main__":
+    main()

@@ -128,6 +128,16 @@ Example:
   $ seekr_kmer_indi_textplot rnas.fa 'ATTA,AAAA' -op plots/
 """
 
+GEN_RAND_RNAS_DOC = """
+Generate random RNAs that preserve the k-mer content of an input fasta
+(legacy seekr 1.x capability, reconstructed): each sequence is replaced by
+a k-mer-multiset-preserving Euler shuffle, optionally with point
+mutations, optionally shuffling the pooled concatenation (-g).
+
+Example:
+  $ seekr_gen_rand_rnas rnas.fa rand_rnas.fa -k 2 -m 5 -s 0
+"""
+
 PIPELINE_DOC = """
 One-shot end-to-end analysis (extension): background norm vectors +
 empirical null, query counts, all-pairs Pearson, empirical p-values, and
@@ -222,6 +232,35 @@ def console_filter_gencode(argv=None):
     args = _parse_args_or_exit(parser, argv)
     filter_gencode(args.fasta, args.gtf_path, int(args.len_threshold),
                    args.canonical, args.isoform, args.rmdup, args.outputname)
+
+
+# -- gen_rand_rnas (legacy capability) ---------------------------------------
+
+def _run_gen_rand_rnas(infasta, outfasta, kmer, mutations, seed, group):
+    from seekr_tpu.data.rand_rnas import gen_rand_rnas
+
+    gen_rand_rnas(infasta, outfasta, k=int(kmer), mutations=int(mutations),
+                  seed=None if seed is None else int(seed), group=group)
+
+
+def console_gen_rand_rnas(argv=None):
+    parser = argparse.ArgumentParser(usage=GEN_RAND_RNAS_DOC,
+                                     formatter_class=_formatter())
+    parser.add_argument("infasta", help="Full path of fasta file to shuffle.")
+    parser.add_argument("outfasta", help="Path for the shuffled fasta.")
+    parser.add_argument("-k", "--kmer", default=1,
+                        help="Size of the preserved kmers (1 = composition "
+                             "only).")
+    parser.add_argument("-m", "--mutations", default=0,
+                        help="Number of point mutations per sequence.")
+    parser.add_argument("-s", "--seed", default=None,
+                        help="RNG seed for reproducible output.")
+    parser.add_argument("-g", "--group", action="store_true",
+                        help="Shuffle the pooled concatenation of all "
+                             "sequences instead of each individually.")
+    args = _parse_args_or_exit(parser, argv)
+    _run_gen_rand_rnas(args.infasta, args.outfasta, args.kmer, args.mutations,
+                       args.seed, args.group)
 
 
 # -- kmer_counts -------------------------------------------------------------
@@ -904,6 +943,7 @@ _CMDS2DOC = {
     "seekr_kmer_msd_barplot": KMER_MSD_BARPLOT_DOC,
     "seekr_kmer_comp_textplot": KMER_COMP_TEXTPLOT_DOC,
     "seekr_kmer_indi_textplot": KMER_INDI_TEXTPLOT_DOC,
+    "seekr_gen_rand_rnas": GEN_RAND_RNAS_DOC,
     "seekr_tpu_pipeline": PIPELINE_DOC,
 }
 
@@ -948,6 +988,7 @@ COMMANDS = {
     "kmer_msd_barplot": console_kmer_msd_barplot,
     "kmer_comp_textplot": console_kmer_comp_textplot,
     "kmer_indi_textplot": console_kmer_indi_textplot,
+    "gen_rand_rnas": console_gen_rand_rnas,
     "pipeline": console_pipeline,
     "help": console_seekr_help,
 }
