@@ -64,6 +64,13 @@ def main():
     print(f"[gen] corpus: m={args.m}, {total_bases/1e6:.1f} M bases "
           f"({time.perf_counter()-t0:.1f} s)")
 
+    sim_cache = f"sim_{args.m}.npy"
+    if os.path.exists(sim_cache):
+        sim = np.load(sim_cache)
+        print(f"[resume] loaded cached similarity matrix {sim.shape}")
+        _downstream(args, sim)
+        return
+
     # ---- counts + normalization vectors (find_dist's first half) ----
     from seekr_tpu.models.counter import KmerCounter
 
@@ -91,6 +98,12 @@ def main():
     t_pearson = time.perf_counter() - t0
     print(f"[pearson] {args.m} x {args.m} blocked GEMM + fetch "
           f"({sim.nbytes/1e6:.0f} MB): {t_pearson:.1f} s")
+    np.save(sim_cache, sim)
+    _downstream(args, sim)
+
+
+def _downstream(args, sim):
+    """Host-side stages (tunnel-independent timings)."""
 
     # ---- find_dist second half: triu subset + scipy fit ----
     t0 = time.perf_counter()
@@ -128,24 +141,27 @@ def main():
     from seekr_tpu.stats.adj_pval import adj_pval
 
     labels = [f"s{i}" for i in range(args.m)]
-    # symmetric pseudo p-value matrix derived from |r| (host transform)
+    # symmetric pseudo p-value matrix derived from |r| (host transform);
+    # blocked-GEMM roundoff makes raw sim asymmetric past the detector's
+    # 5-dp tolerance, so symmetrize to exercise the triu-correction path
     pmat = np.minimum(1.0, 2 * (1 - 0.5 * (1 + np.abs(sim))))
+    pmat = (pmat + pmat.T) / 2
     pdf_ = pd.DataFrame(pmat, index=labels, columns=labels)
     t0 = time.perf_counter()
     adj = adj_pval(pdf_, "fdr_bh")
     t_adj = time.perf_counter() - t0
     print(f"[adj_pval] fdr_bh over the symmetric {args.m} x {args.m} matrix "
-          f"({pmat.size/1e6:.0f} M cells, triu corrected): {t_adj:.1f} s")
+          f"({pmat.size/1e6:.0f} M cells): {t_adj:.1f} s")
     del adj, pdf_, pmat
 
     # ---- Leiden on the 13k-node similarity graph (native C++) ----
     from seekr_tpu.graph.kmer_leiden import leiden_membership
 
     cutoff = 0.05
-    gdf = pd.DataFrame(np.where(sim > cutoff, sim, 0.0),
-                       index=labels, columns=labels)
-    np.fill_diagonal(gdf.values, 0.0)
-    n_edges = int((gdf.values > 0).sum()) // 2
+    gmat = np.where(sim > cutoff, sim, 0.0)
+    np.fill_diagonal(gmat, 0.0)
+    gdf = pd.DataFrame(gmat, index=labels, columns=labels)
+    n_edges = int((gmat > 0).sum()) // 2
     t0 = time.perf_counter()
     membership = leiden_membership(gdf, algo="RBERVertexPartition", rs=1.0,
                                    setseed=True)
@@ -154,9 +170,7 @@ def main():
           f"(r>{cutoff}): {t_leiden:.1f} s, "
           f"{len(np.unique(membership))} communities")
 
-    print("\nsummary (s): counts=%.1f norm_pass=%.1f pearson=%.1f "
-          "fit=%.1f pval=%.1f adj=%.1f leiden=%.1f" %
-          (t_counts, t_counts2, t_pearson, t_fit, t_pval, t_adj, t_leiden))
+    del pvals  # keep flake-level hygiene; per-stage prints are the output
 
 
 if __name__ == "__main__":

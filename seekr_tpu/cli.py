@@ -138,6 +138,16 @@ Example:
   $ seekr_gen_rand_rnas rnas.fa rand_rnas.fa -k 2 -m 5 -s 0
 """
 
+PWMS_DOC = """
+Weight k-mer count profiles by protein-binding motif PWMs (legacy seekr
+1.x capability, reconstructed): each sequence is scored against every
+position-weight-matrix file in a directory; scores are the PWM-alignment
+weight vector dotted with the sequence's k-mer counts.
+
+Example:
+  $ seekr_pwms pwms/ counts.npy -k 5 -o pwm_scores.csv
+"""
+
 PIPELINE_DOC = """
 One-shot end-to-end analysis (extension): background norm vectors +
 empirical null, query counts, all-pairs Pearson, empirical p-values, and
@@ -261,6 +271,29 @@ def console_gen_rand_rnas(argv=None):
     args = _parse_args_or_exit(parser, argv)
     _run_gen_rand_rnas(args.infasta, args.outfasta, args.kmer, args.mutations,
                        args.seed, args.group)
+
+
+# -- pwms (legacy capability) ------------------------------------------------
+
+def _run_pwms(pwm_dir, counts, kmer, out_path):
+    from seekr_tpu.models.pwm import CountsWeighter
+
+    CountsWeighter(pwm_dir, counts, k=int(kmer), out_path=out_path).run()
+
+
+def console_pwms(argv=None):
+    parser = argparse.ArgumentParser(usage=PWMS_DOC,
+                                     formatter_class=_formatter())
+    parser.add_argument("pwm_dir", help="Directory of tab-separated PWM "
+                                        "files (Pos/A/C/G/U columns).")
+    parser.add_argument("counts", help="k-mer counts artifact (.npy or "
+                                       "labeled CSV) to score.")
+    parser.add_argument("-k", "--kmer", default=5,
+                        help="Length of kmers the counts were made with.")
+    parser.add_argument("-o", "--out_path", default=None,
+                        help="CSV path for the PWM x sequence score table.")
+    args = _parse_args_or_exit(parser, argv)
+    _run_pwms(args.pwm_dir, args.counts, args.kmer, args.out_path)
 
 
 # -- kmer_counts -------------------------------------------------------------
@@ -944,6 +977,7 @@ _CMDS2DOC = {
     "seekr_kmer_comp_textplot": KMER_COMP_TEXTPLOT_DOC,
     "seekr_kmer_indi_textplot": KMER_INDI_TEXTPLOT_DOC,
     "seekr_gen_rand_rnas": GEN_RAND_RNAS_DOC,
+    "seekr_pwms": PWMS_DOC,
     "seekr_tpu_pipeline": PIPELINE_DOC,
 }
 
@@ -989,6 +1023,7 @@ COMMANDS = {
     "kmer_comp_textplot": console_kmer_comp_textplot,
     "kmer_indi_textplot": console_kmer_indi_textplot,
     "gen_rand_rnas": console_gen_rand_rnas,
+    "pwms": console_pwms,
     "pipeline": console_pipeline,
     "help": console_seekr_help,
 }
