@@ -148,6 +148,16 @@ Example:
   $ seekr_pwms pwms/ counts.npy -k 5 -o pwm_scores.csv
 """
 
+GRAPH_DOC = """
+Louvain/Leiden community graph from an adjacency matrix (legacy seekr
+1.x capability, reconstructed): threshold the matrix, build the weighted
+graph, partition its largest connected component (native engine), and
+write a Group-annotated GML plus a node-to-community CSV.
+
+Example:
+  $ seekr_graph adj.npy -g graph.gml -c communities.csv -t 0.13
+"""
+
 PIPELINE_DOC = """
 One-shot end-to-end analysis (extension): background norm vectors +
 empirical null, query counts, all-pairs Pearson, empirical p-values, and
@@ -294,6 +304,40 @@ def console_pwms(argv=None):
                         help="CSV path for the PWM x sequence score table.")
     args = _parse_args_or_exit(parser, argv)
     _run_pwms(args.pwm_dir, args.counts, args.kmer, args.out_path)
+
+
+# -- graph (legacy capability) -----------------------------------------------
+
+def _run_graph(adj, gml_path, csv_path, threshold, gamma, n_comms, seed):
+    from seekr_tpu.graph.maker import Maker
+
+    maker = Maker(adj, gml_path=gml_path, csv_path=csv_path,
+                  threshold=float(threshold), gamma=float(gamma),
+                  n_comms=int(n_comms),
+                  seed=None if seed is None else int(seed))
+    maker.make_gml_csv_files()
+
+
+def console_graph(argv=None):
+    parser = argparse.ArgumentParser(usage=GRAPH_DOC,
+                                     formatter_class=_formatter())
+    parser.add_argument("adj", help="Adjacency matrix (.npy or labeled CSV), "
+                                    "e.g. a seekr_pearson output.")
+    parser.add_argument("-g", "--gml_path", default="graph.gml",
+                        help="Path for the Group-annotated GML file.")
+    parser.add_argument("-c", "--csv_path", default="graph.csv",
+                        help="Path for the node-to-community CSV.")
+    parser.add_argument("-t", "--threshold", default=0, type=float,
+                        help="Zero adjacency entries below this value.")
+    parser.add_argument("-m", "--gamma", default=1.0, type=float,
+                        help="Resolution parameter of the partition.")
+    parser.add_argument("-n", "--n_comms", default=5, type=int,
+                        help="Cap on the number of distinct community ids.")
+    parser.add_argument("-s", "--seed", default=None,
+                        help="Partition RNG seed (default: unseeded).")
+    args = _parse_args_or_exit(parser, argv)
+    _run_graph(args.adj, args.gml_path, args.csv_path, args.threshold,
+               args.gamma, args.n_comms, args.seed)
 
 
 # -- kmer_counts -------------------------------------------------------------
@@ -978,6 +1022,7 @@ _CMDS2DOC = {
     "seekr_kmer_indi_textplot": KMER_INDI_TEXTPLOT_DOC,
     "seekr_gen_rand_rnas": GEN_RAND_RNAS_DOC,
     "seekr_pwms": PWMS_DOC,
+    "seekr_graph": GRAPH_DOC,
     "seekr_tpu_pipeline": PIPELINE_DOC,
 }
 
@@ -1024,6 +1069,7 @@ COMMANDS = {
     "kmer_indi_textplot": console_kmer_indi_textplot,
     "gen_rand_rnas": console_gen_rand_rnas,
     "pwms": console_pwms,
+    "graph": console_graph,
     "pipeline": console_pipeline,
     "help": console_seekr_help,
 }

@@ -1,0 +1,217 @@
+"""Legacy graph.Maker / utils.get_adj / seekr_graph surface.
+
+Behavioral contract and golden numbers from the reference's shipped
+legacy tests (/root/reference/seekr/tests/test_graph.py and
+test_utils.py); the 2-mer fixture is read from the mounted reference,
+never copied. The partition engine here is the framework's native C++
+Leiden (seekr_tpu/native/src/leiden.cpp), not python-louvain/igraph —
+the goldens hold because the tiny test graphs have unique weighted
+optima (verified exhaustively when this module was written).
+"""
+
+import pathlib
+
+import networkx
+import numpy as np
+import pandas as pd
+import pytest
+
+from seekr_tpu.graph.maker import Maker
+from seekr_tpu.utils import get_adj
+
+REF_2MERS = pathlib.Path("/root/reference/seekr/tests/data/example_2mers.npy")
+
+pytestmark = pytest.mark.skipif(not REF_2MERS.exists(),
+                                reason="reference fixture not mounted")
+
+
+def fixture_adj():
+    kmers = np.load(REF_2MERS)
+    adj = np.corrcoef(kmers) * -1  # flip signs for fewer negatives
+    names = list(range(5))
+    return pd.DataFrame(adj, names, names)
+
+
+def disconnected_graph():
+    g = networkx.Graph()
+    g.add_edges_from([(0, 1), (0, 2), (0, 3), (1, 2), (2, 4), (2, 5),
+                      (2, 6), (7, 8), (8, 9)])
+    networkx.set_edge_attributes(g, 1, "weight")
+    return g
+
+
+def partitioned_maker(tmp_path, **kwargs):
+    maker = Maker(fixture_adj(),
+                  gml_path=str(tmp_path / "out_main_sub.gml"),
+                  seed=0, **kwargs)
+    maker.build()
+    maker.save(True)
+    maker.get_partition()
+    return maker
+
+
+def partitioned_disconnected_maker(tmp_path, **kwargs):
+    maker = Maker(gml_path=str(tmp_path / "out_main_sub.gml"), **kwargs)
+    maker.graph = disconnected_graph()
+    maker.find_main_sub()
+    maker.save(True)
+    maker.get_partition()
+    return maker
+
+
+# -- get_adj (legacy seekr.utils) --------------------------------------------
+
+def test_get_adj_passthrough():
+    arr = fixture_adj().values
+    assert get_adj(arr) is arr
+    df = fixture_adj()
+    assert get_adj(df) is df
+
+
+def test_get_adj_paths(tmp_path):
+    npy = tmp_path / "adj.npy"
+    np.save(npy, fixture_adj().values)
+    loaded = get_adj(str(npy))
+    assert isinstance(loaded, np.ndarray)
+    csv = tmp_path / "adj.csv"
+    fixture_adj().to_csv(csv)
+    loaded = get_adj(str(csv))
+    assert isinstance(loaded, pd.DataFrame)
+    assert loaded.shape == (5, 5)
+
+
+# -- thresholding ------------------------------------------------------------
+
+def test_apply_threshold_mutates_in_place():
+    adj = fixture_adj()
+    maker = Maker(adj)
+    maker.apply_threshold()
+    # diagonal and the one negative pair drop; positive pairs survive
+    assert np.all(maker.adj.values.diagonal() == 0)
+    assert adj.values[1, 0] == 0  # the caller's frame mutated
+    assert adj.values[1, 2] != 0
+
+
+def test_apply_threshold_one_zeroes_all():
+    maker = Maker(fixture_adj(), threshold=1)
+    maker.apply_threshold()
+    assert maker.adj.values.sum() == 0
+
+
+def test_apply_threshold_ndarray():
+    maker = Maker(fixture_adj().values, threshold=1)
+    maker.apply_threshold()
+    assert maker.adj.sum() == 0
+
+
+# -- graph construction ------------------------------------------------------
+
+def test_build():
+    maker = Maker(fixture_adj())
+    maker.build()
+    assert isinstance(maker.graph, networkx.Graph)
+    assert len(maker.graph) == 5
+    assert len(maker.graph.edges()) == 9
+    assert len(networkx.get_edge_attributes(maker.graph, "weight")) == 9
+    assert maker.adj is None
+    assert maker.main_sub is not None
+
+
+def test_build_ndarray_and_keep_adj():
+    maker = Maker(fixture_adj().values)
+    maker.build(clear_adj=False, main_sub=False)
+    assert len(maker.graph) == 5
+    assert len(maker.graph.edges()) == 9
+    assert maker.adj is not None
+    assert maker.main_sub is None
+
+
+def test_find_main_sub():
+    maker = Maker()
+    maker.graph = disconnected_graph()
+    maker.find_main_sub()
+    assert list(maker.main_sub) == list(range(7))
+
+
+def test_save_roundtrip(tmp_path):
+    gml_path = tmp_path / "out.gml"
+    maker = Maker(fixture_adj(), gml_path=str(gml_path))
+    maker.build()
+    maker.save()
+    saved = networkx.read_gml(str(gml_path))
+    assert list(saved.nodes()) == [str(n) for n in maker.graph.nodes()]
+    assert list(saved.edges()) == [(str(a), str(b))
+                                   for a, b in maker.graph.edges()]
+
+
+def test_save_main_sub(tmp_path):
+    maker = Maker(gml_path=str(tmp_path / "ms.gml"))
+    maker.graph = disconnected_graph()
+    maker.find_main_sub()
+    maker.save(main_sub=True)
+    saved = networkx.read_gml(str(tmp_path / "ms.gml"))
+    assert list(saved.nodes()) == [str(n) for n in maker.main_sub.nodes()]
+
+
+# -- partitioning (goldens from the reference legacy tests) ------------------
+
+def test_get_partition_golden(tmp_path):
+    maker = partitioned_maker(tmp_path)
+    # weighted-optimal partition, unweighted modularity reported
+    # (reference test_graph.py:129-132)
+    assert np.isclose(maker.partition.modularity, -0.08024691358024699)
+    assert maker.partition.membership == [1, 0, 1, 0, 0]
+
+
+def test_membership2attribute_golden(tmp_path):
+    maker = partitioned_maker(tmp_path)
+    name2group = maker.membership2attribute()
+    assert name2group == {"0": 1, "1": 0, "2": 1, "3": 0, "4": 0}
+    assert name2group == networkx.get_node_attributes(maker.graph, "Group")
+
+
+def test_membership2attribute_disconnected(tmp_path):
+    maker = partitioned_disconnected_maker(tmp_path)
+    assert maker.membership2attribute() == {
+        0: 1, 1: 1, 2: 0, 3: 1, 4: 0, 5: 0, 6: 0, 7: 2, 8: 2, 9: 2}
+
+
+def test_membership2attribute_ncomms1(tmp_path):
+    maker = partitioned_disconnected_maker(tmp_path, n_comms=1)
+    assert maker.membership2attribute() == {
+        0: 1, 1: 1, 2: 0, 3: 1, 4: 0, 5: 0, 6: 0, 7: 1, 8: 1, 9: 1}
+
+
+def test_membership2attribute_ncomms3_gamma10(tmp_path):
+    # gamma=10 shatters the 7-node component into singletons; ids are
+    # capped at n_comms and the extra component joins the cap group
+    maker = partitioned_disconnected_maker(tmp_path, n_comms=3, gamma=10)
+    assert maker.membership2attribute() == {
+        0: 0, 1: 1, 2: 2, 3: 3, 4: 3, 5: 3, 6: 3, 7: 3, 8: 3, 9: 3}
+
+
+def test_make_gml_csv_files(tmp_path):
+    gml_path = tmp_path / "out.gml"
+    csv_path = tmp_path / "out.csv"
+    maker = Maker(fixture_adj(), gml_path=str(gml_path),
+                  csv_path=str(csv_path), seed=0)
+    maker.make_gml_csv_files()
+    in_graph = networkx.read_gml(str(gml_path))
+    assert list(in_graph.nodes()) == [str(i) for i in range(5)]
+    assert len(networkx.get_node_attributes(in_graph, "Group")) == 5
+    df = pd.read_csv(csv_path, index_col=0)
+    assert np.all(df.index.values == np.arange(5))
+    assert np.all(df["Group"].values == np.array([1, 0, 1, 0, 0]))
+
+
+def test_cli_graph(tmp_path):
+    from seekr_tpu.cli import console_graph
+
+    adj_path = tmp_path / "adj.csv"
+    fixture_adj().to_csv(adj_path)
+    gml_path = tmp_path / "g.gml"
+    csv_path = tmp_path / "g.csv"
+    console_graph([str(adj_path), "-g", str(gml_path), "-c", str(csv_path),
+                   "-s", "0"])
+    df = pd.read_csv(csv_path, index_col=0)
+    assert np.all(df["Group"].values == np.array([1, 0, 1, 0, 0]))
