@@ -106,8 +106,10 @@ def _downstream(args, sim):
     """Host-side stages (tunnel-independent timings)."""
 
     # ---- find_dist second half: triu subset + scipy fit ----
+    from seekr_tpu.utils.adj import triu_values
+
     t0 = time.perf_counter()
-    triu = sim[np.triu_indices(sim.shape[0], k=1)]
+    triu = triu_values(sim)
     np.random.seed(0)
     subset = np.random.choice(triu, size=100_000, replace=False)
     t_triu = time.perf_counter() - t0
@@ -146,7 +148,7 @@ def _downstream(args, sim):
     # 5-dp tolerance, so symmetrize to exercise the triu-correction path
     pmat = np.minimum(1.0, 2 * (1 - 0.5 * (1 + np.abs(sim))))
     pmat = (pmat + pmat.T) / 2
-    pdf_ = pd.DataFrame(pmat, index=labels, columns=labels)
+    pdf_ = pd.DataFrame(pmat, index=labels, columns=labels, copy=False)
     t0 = time.perf_counter()
     adj = adj_pval(pdf_, "fdr_bh")
     t_adj = time.perf_counter() - t0

@@ -25,6 +25,9 @@ import numpy as np
 
 from seekr_tpu.models.counter import KmerCounter
 from seekr_tpu.ops.pearson import pearson_blocked
+# row-slice upper-triangle extraction (see utils/adj.py for why this beats
+# sim[np.triu_indices(m, 1)] at pipeline sizes)
+from seekr_tpu.utils.adj import triu_values as _triu_values
 from seekr_tpu.utils.progress import my_tqdm
 
 COMMON10 = [
@@ -102,7 +105,7 @@ def background_similarity(inputseq, k_mer=4, log2="Log2.post",
         w = ArrayCollector()
         stream_pearson_sharded(mesh, counter.counts, w)
         sim = w.result()
-    return sim[np.triu_indices(sim.shape[0], k=1)]
+    return _triu_values(np.asarray(sim))
 
 
 def _fit_one(name, data, statsmethod):

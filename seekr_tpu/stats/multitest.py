@@ -30,17 +30,32 @@ _METHOD_ALIASES = {
 
 
 def _fdr_correct(p_sorted: np.ndarray, alpha: float, by: bool = False):
-    """Benjamini-Hochberg / Benjamini-Yekutieli on ascending-sorted p."""
+    """Benjamini-Hochberg / Benjamini-Yekutieli on ascending-sorted p.
+
+    Buffer-reusing formulation: at the 10^7.5-element sizes the pipeline
+    feeds in (all-pairs p-value matrices), every fresh temporary pays a
+    first-touch page-fault pass, so the ecdf buffer is built in place and
+    recycled for the rejection threshold, and the accumulate/clip run on
+    reversed views of a single quotient buffer. Arithmetic order matches
+    the statsmodels formulation exactly.
+    """
     n = len(p_sorted)
-    ecdf = np.arange(1, n + 1) / float(n)
+    ecdf = np.arange(1.0, n + 1.0)
+    ecdf /= n
     if by:
-        ecdf = ecdf / np.sum(1.0 / np.arange(1, n + 1))
-    below = p_sorted <= ecdf * alpha
+        harmonic = np.arange(1.0, n + 1.0)
+        np.reciprocal(harmonic, out=harmonic)
+        ecdf /= harmonic.sum()
+        del harmonic
+    corrected = p_sorted / ecdf
+    np.minimum.accumulate(corrected[::-1], out=corrected[::-1])
+    np.clip(corrected, 0, 1, out=corrected)
+    ecdf *= alpha  # ecdf buffer becomes the rejection threshold
+    below = p_sorted <= ecdf
     reject = np.zeros(n, dtype=bool)
     if below.any():
         reject[: below.nonzero()[0].max() + 1] = True
-    corrected = np.minimum.accumulate((p_sorted / ecdf)[::-1])[::-1]
-    return reject, np.clip(corrected, 0, 1)
+    return reject, corrected
 
 
 def _hommel(p_sorted: np.ndarray):
@@ -95,7 +110,7 @@ def multipletests(pvals, alpha: float = 0.05, method: str = "fdr_bh",
         corrected = np.clip(-np.expm1(n * np.log1p(-p_sorted)), 0, 1)
         reject = p_sorted <= alphac_sidak
     elif method == "holm":
-        factors = np.arange(n, 0, -1)  # n, n-1, ..., 1
+        factors = np.arange(n, 0, -1, dtype=np.float64)  # n, n-1, ..., 1
         corrected = np.clip(np.maximum.accumulate(p_sorted * factors), 0, 1)
         notreject = p_sorted > alpha / factors
         reject = np.ones(n, dtype=bool)
@@ -103,7 +118,7 @@ def multipletests(pvals, alpha: float = 0.05, method: str = "fdr_bh",
         if nr.size:
             reject[nr[0]:] = False
     elif method == "holm-sidak":
-        factors = np.arange(n, 0, -1)
+        factors = np.arange(n, 0, -1, dtype=np.float64)
         corrected = np.maximum.accumulate(-np.expm1(factors * np.log1p(-p_sorted)))
         corrected = np.clip(corrected, 0, 1)
         notreject = p_sorted > 1.0 - (1.0 - alpha) ** (1.0 / factors)
@@ -112,7 +127,7 @@ def multipletests(pvals, alpha: float = 0.05, method: str = "fdr_bh",
         if nr.size:
             reject[nr[0]:] = False
     elif method == "simes-hochberg":
-        factors = np.arange(n, 0, -1)
+        factors = np.arange(n, 0, -1, dtype=np.float64)
         corrected = np.clip(np.minimum.accumulate((p_sorted * factors)[::-1])[::-1], 0, 1)
         below = p_sorted <= alpha / factors
         reject = np.zeros(n, dtype=bool)

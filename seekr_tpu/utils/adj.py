@@ -13,6 +13,40 @@ import numpy as np
 import pandas as pd
 
 
+def triu_values(mat: np.ndarray) -> np.ndarray:
+    """Upper-triangle (k=1) values in row-major order.
+
+    Identical output to ``mat[np.triu_indices(m, 1)]`` but via row-slice
+    copies: the index-array route materializes two m(m-1)/2 int64
+    vectors and does one random-access gather per element (~35 s at
+    m=13k on faulted pages); sequential slice copies run in ~0.2 s.
+    """
+    m = mat.shape[0]
+    out = np.empty(m * (m - 1) // 2, dtype=mat.dtype)
+    pos = 0
+    for i in range(m - 1):
+        row = mat[i, i + 1:]
+        out[pos:pos + row.size] = row
+        pos += row.size
+    return out
+
+
+def triu_fill(m: int, flat: np.ndarray, fill=np.nan) -> np.ndarray:
+    """Scatter a row-major upper-triangle vector back into an m x m matrix.
+
+    Inverse of :func:`triu_values`; everything outside the strict upper
+    triangle becomes ``fill``. Row-slice writes for the same reason as
+    the gather.
+    """
+    out = np.full((m, m), fill, dtype=flat.dtype)
+    pos = 0
+    for i in range(m - 1):
+        cnt = m - i - 1
+        out[i, i + 1:] = flat[pos:pos + cnt]
+        pos += cnt
+    return out
+
+
 def get_adj(adj):
     """Coerce an adjacency input (ndarray / DataFrame / path) for graph use.
 

@@ -248,3 +248,79 @@ def test_fit_distributions_invalid_statsmethod_falls_back(capsys):
                                 statsmethod="bogus")
     assert "valid statsmethod" in capsys.readouterr().out
     assert results[0][0] == "norm"
+
+
+def test_is_symmetric_fast_path_matches_pandas_semantics():
+    """The tiled numeric path must decide exactly like rounded.equals(
+    rounded.T) — fuzzed over NaN patterns, rounding-boundary deltas,
+    label mismatches, and asymmetries."""
+    from seekr_tpu.stats.adj_pval import is_symmetric
+
+    def literal(df):
+        masked = df.where(~np.eye(df.shape[0], dtype=bool))
+        rounded = np.round(masked, 5)
+        return rounded.equals(rounded.T)
+
+    rng = np.random.default_rng(42)
+    for trial in range(30):
+        m = int(rng.integers(1, 40))
+        a = rng.random((m, m))
+        mat = (a + a.T) / 2
+        kind = trial % 6
+        if kind == 1 and m > 1:  # single asymmetric cell
+            mat[0, m - 1] += 1e-3
+        elif kind == 2 and m > 1:  # sub-rounding-tolerance asymmetry
+            mat[0, m - 1] += 1e-7
+        elif kind == 3:  # symmetric NaNs + NaN diagonal
+            mat[np.diag_indices(m)] = np.nan
+            if m > 2:
+                mat[0, 1] = mat[1, 0] = np.nan
+        elif kind == 4 and m > 1:  # one-sided NaN
+            mat[0, m - 1] = np.nan
+        labels = [f"s{i}" for i in range(m)]
+        df = pd.DataFrame(mat, index=labels, columns=labels)
+        assert is_symmetric(df) == literal(df), (trial, kind, m)
+    # label mismatch defeats symmetry even with symmetric values
+    sym = pd.DataFrame(np.zeros((3, 3)), index=list("abc"),
+                       columns=list("xyz"))
+    assert is_symmetric(sym) == literal(sym) == False  # noqa: E712
+
+
+def test_is_symmetric_tiled_crosses_tile_boundary():
+    from seekr_tpu.stats.adj_pval import _tiled_symmetric
+
+    rng = np.random.default_rng(3)
+    m = 130
+    a = rng.random((m, m))
+    mat = (a + a.T) / 2
+    assert _tiled_symmetric(mat, tile=64)
+    mat[7, 100] += 1.0  # off-diagonal tile pair
+    assert not _tiled_symmetric(mat, tile=64)
+
+
+def test_triu_values_matches_triu_indices():
+    from seekr_tpu.stats.find_dist import _triu_values
+
+    rng = np.random.default_rng(11)
+    for m in (1, 2, 3, 17, 128):
+        sim = rng.random((m, m)).astype(np.float32)
+        expected = sim[np.triu_indices(m, k=1)]
+        got = _triu_values(sim)
+        assert got.dtype == expected.dtype
+        assert np.array_equal(got, expected)
+
+
+def test_triu_fill_roundtrip_and_nan_fill():
+    from seekr_tpu.utils.adj import triu_fill, triu_values
+
+    rng = np.random.default_rng(12)
+    for m in (1, 2, 3, 17, 64):
+        mat = rng.random((m, m))
+        flat = triu_values(mat)
+        out = triu_fill(m, flat)
+        # matches the index-array scatter the reference-style code used
+        expected = np.full((m, m), np.nan)
+        expected[np.triu_indices(m, k=1)] = flat
+        np.testing.assert_array_equal(out, expected)
+        # strict upper triangle survives the round trip exactly
+        assert np.array_equal(triu_values(out), flat)
