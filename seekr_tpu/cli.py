@@ -158,6 +158,18 @@ Example:
   $ seekr_graph adj.npy -g graph.gml -c communities.csv -t 0.13
 """
 
+DOMAIN_PEARSON_DOC = """
+Sliding-window domain Pearson (legacy seekr 1.x capability,
+reconstructed): correlate whole-query k-mer profiles against windows
+tiled across target sequences; r peaks mark query-like domains. With a
+reference fasta, each r also gets a percentile within that query's
+r-distribution against the reference.
+
+Example:
+  $ seekr_domain_pearson queries.fa targets.fa -r gencode.fa \\
+      -rp r_values.csv -pp percentiles.csv -w 1000 -sl 100 -k 6
+"""
+
 PIPELINE_DOC = """
 One-shot end-to-end analysis (extension): background norm vectors +
 empirical null, query counts, all-pairs Pearson, empirical p-values, and
@@ -338,6 +350,58 @@ def console_graph(argv=None):
     args = _parse_args_or_exit(parser, argv)
     _run_graph(args.adj, args.gml_path, args.csv_path, args.threshold,
                args.gamma, args.n_comms, args.seed)
+
+
+# -- domain_pearson (legacy capability) --------------------------------------
+
+def _run_domain_pearson(query, target, reference, r_values_path,
+                        percentiles_path, mean, std, log2, kmer, window,
+                        slide):
+    from seekr_tpu.models.domain import DomainPearson
+
+    DomainPearson(query_path=query, target_path=target,
+                  reference_path=reference, r_values_path=r_values_path,
+                  percentiles_path=percentiles_path,
+                  mean=mean if mean is not None else True,
+                  std=std if std is not None else True,
+                  log2=log2, k=int(kmer), window=int(window),
+                  slide=int(slide)).run()
+
+
+def console_domain_pearson(argv=None):
+    parser = argparse.ArgumentParser(usage=DOMAIN_PEARSON_DOC,
+                                     formatter_class=_formatter())
+    parser.add_argument("query", help="Fasta of query transcripts "
+                                      "(profiled whole).")
+    parser.add_argument("target", help="Fasta of target sequences "
+                                       "(tiled into windows).")
+    parser.add_argument("-r", "--reference", default=None,
+                        help="Fasta providing the percentile null "
+                             "distribution (optional).")
+    parser.add_argument("-rp", "--r_values_path", default="r_values.csv",
+                        help="CSV path for the window x query r-values.")
+    parser.add_argument("-pp", "--percentiles_path", default=None,
+                        help="CSV path for the window x query percentiles "
+                             "(needs --reference).")
+    parser.add_argument("-m", "--mean", default=None,
+                        help="Path to a .npy mean vector (default: computed "
+                             "from the reference fasta, else the windows).")
+    parser.add_argument("-s", "--std", default=None,
+                        help="Path to a .npy std vector (same default rule).")
+    parser.add_argument("-l", "--log2", default="Log2.post",
+                        choices=["Log2.pre", "Log2.post", "Log2.none"],
+                        help="Log2 transform mode.")
+    parser.add_argument("-k", "--kmer", default=6,
+                        help="Length of kmers to profile.")
+    parser.add_argument("-w", "--window", default=1000,
+                        help="Window width in bases.")
+    parser.add_argument("-sl", "--slide", default=100,
+                        help="Window stride in bases.")
+    args = _parse_args_or_exit(parser, argv)
+    _run_domain_pearson(args.query, args.target, args.reference,
+                        args.r_values_path, args.percentiles_path,
+                        args.mean, args.std, args.log2, args.kmer,
+                        args.window, args.slide)
 
 
 # -- kmer_counts -------------------------------------------------------------
@@ -1023,6 +1087,7 @@ _CMDS2DOC = {
     "seekr_gen_rand_rnas": GEN_RAND_RNAS_DOC,
     "seekr_pwms": PWMS_DOC,
     "seekr_graph": GRAPH_DOC,
+    "seekr_domain_pearson": DOMAIN_PEARSON_DOC,
     "seekr_tpu_pipeline": PIPELINE_DOC,
 }
 
@@ -1070,6 +1135,7 @@ COMMANDS = {
     "gen_rand_rnas": console_gen_rand_rnas,
     "pwms": console_pwms,
     "graph": console_graph,
+    "domain_pearson": console_domain_pearson,
     "pipeline": console_pipeline,
     "help": console_seekr_help,
 }
