@@ -158,6 +158,15 @@ Example:
   $ seekr_graph adj.npy -g graph.gml -c communities.csv -t 0.13
 """
 
+VISUALIZE_DISTRO_DOC = """
+Histogram of a similarity matrix's r-value distribution (legacy seekr
+1.x capability, reconstructed): strict upper triangle for symmetric
+matrices, all finite values otherwise, summary stats in the title.
+
+Example:
+  $ seekr_visualize_distro pearson.npy -o distro -b 100
+"""
+
 DOMAIN_PEARSON_DOC = """
 Sliding-window domain Pearson (legacy seekr 1.x capability,
 reconstructed): correlate whole-query k-mer profiles against windows
@@ -350,6 +359,33 @@ def console_graph(argv=None):
     args = _parse_args_or_exit(parser, argv)
     _run_graph(args.adj, args.gml_path, args.csv_path, args.threshold,
                args.gamma, args.n_comms, args.seed)
+
+
+# -- visualize_distro (legacy capability) ------------------------------------
+
+def _run_visualize_distro(adj, outputname, bins, pformat, pdpi):
+    from seekr_tpu.viz.visualize_distro import visualize_distro
+
+    visualize_distro(adj, outputname=outputname, bins=int(bins),
+                     pformat=pformat, pdpi=int(pdpi))
+
+
+def console_visualize_distro(argv=None):
+    parser = argparse.ArgumentParser(usage=VISUALIZE_DISTRO_DOC,
+                                     formatter_class=_formatter())
+    parser.add_argument("adj", help="Similarity matrix (.npy or labeled "
+                                    "CSV), e.g. a seekr_pearson output.")
+    parser.add_argument("-o", "--outputname", default="distro",
+                        help="Output path without extension.")
+    parser.add_argument("-b", "--bins", default=100,
+                        help="Histogram bin count.")
+    parser.add_argument("-pf", "--pformat", default="pdf",
+                        help="Figure format (matplotlib-supported).")
+    parser.add_argument("-d", "--pdpi", default=300,
+                        help="Figure resolution in dpi.")
+    args = _parse_args_or_exit(parser, argv)
+    _run_visualize_distro(args.adj, args.outputname, args.bins, args.pformat,
+                          args.pdpi)
 
 
 # -- domain_pearson (legacy capability) --------------------------------------
@@ -1088,6 +1124,7 @@ _CMDS2DOC = {
     "seekr_pwms": PWMS_DOC,
     "seekr_graph": GRAPH_DOC,
     "seekr_domain_pearson": DOMAIN_PEARSON_DOC,
+    "seekr_visualize_distro": VISUALIZE_DISTRO_DOC,
     "seekr_tpu_pipeline": PIPELINE_DOC,
 }
 
@@ -1136,6 +1173,7 @@ COMMANDS = {
     "pwms": console_pwms,
     "graph": console_graph,
     "domain_pearson": console_domain_pearson,
+    "visualize_distro": console_visualize_distro,
     "pipeline": console_pipeline,
     "help": console_seekr_help,
 }

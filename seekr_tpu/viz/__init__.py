@@ -11,6 +11,7 @@ from seekr_tpu.viz.kmer_dendrogram import kmer_dendrogram
 from seekr_tpu.viz.kmer_count_barplot import kmer_count_barplot
 from seekr_tpu.viz.kmer_msd_barplot import kmer_msd_barplot
 from seekr_tpu.viz.textplot import kmer_comp_textplot, kmer_indi_textplot
+from seekr_tpu.viz.visualize_distro import visualize_distro
 
 __all__ = [
     "kmer_heatmap",
@@ -19,4 +20,5 @@ __all__ = [
     "kmer_msd_barplot",
     "kmer_comp_textplot",
     "kmer_indi_textplot",
+    "visualize_distro",
 ]

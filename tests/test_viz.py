@@ -139,3 +139,48 @@ def test_textplots(ref_data, tmp_path, monkeypatch):
     kmer_indi_textplot(fa, words=["ATTT"], outputpath=str(tmp_path) + "/")
     pdfs = list(tmp_path.glob("*.pdf"))
     assert len(pdfs) >= 2  # comp + at least one per-sequence plot
+
+
+def test_visualize_distro(tmp_path, monkeypatch, capsys):
+    from seekr_tpu.viz.visualize_distro import distro_values, visualize_distro
+
+    monkeypatch.chdir(tmp_path)
+    rng = np.random.default_rng(0)
+    a = rng.uniform(-1, 1, size=(12, 12))
+    sym = (a + a.T) / 2
+    np.fill_diagonal(sym, 1.0)
+
+    # symmetric -> strict upper triangle (no diagonal r=1 spike)
+    vals = distro_values(sym)
+    assert vals.size == 12 * 11 // 2
+    assert not (vals == 1.0).any()
+    # sub-5dp-roundoff asymmetry still counts as symmetric
+    noisy = sym + rng.uniform(-1e-7, 1e-7, size=sym.shape)
+    assert distro_values(noisy).size == 12 * 11 // 2
+    # NaNs dropped, asymmetric -> all finite cells
+    rect = rng.uniform(-1, 1, size=(5, 7))
+    rect[0, 0] = np.nan
+    assert distro_values(rect).size == 34
+
+    # plot from a .npy path, then a labeled CSV via the CLI
+    np.save("sim.npy", sym)
+    out = visualize_distro("sim.npy", outputname="d1")
+    assert (tmp_path / "d1.pdf").exists()
+    assert out.size == 66
+
+    import pandas as pd
+
+    from seekr_tpu import cli
+
+    labels = [f"s{i}" for i in range(12)]
+    pd.DataFrame(sym, index=labels, columns=labels).to_csv("sim.csv")
+    cli.console_visualize_distro(["sim.csv", "-o", "d2", "-pf", "png"])
+    assert (tmp_path / "d2.png").exists()
+    with pytest.raises(SystemExit):
+        cli.console_visualize_distro([])
+    assert "seekr_visualize_distro" in capsys.readouterr().out
+
+    # empty input -> message, no file
+    assert visualize_distro(np.full((3, 3), np.nan), outputname="d3") is None
+    assert "no finite values" in capsys.readouterr().out
+    assert not (tmp_path / "d3.pdf").exists()
