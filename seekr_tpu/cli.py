@@ -158,6 +158,15 @@ Example:
   $ seekr_graph adj.npy -g graph.gml -c communities.csv -t 0.13
 """
 
+CANONICAL_GENCODE_DOC = """
+Keep only '-001'-named transcripts from an old-style GENCODE fasta
+(legacy seekr 1.x capability, reconstructed). Modern releases dropped
+-001 numbering; use seekr_filter_gencode with a GTF instead.
+
+Example:
+  $ seekr_canonical_gencode v22_lncRNAs.fa v22_canonical.fa -z 2
+"""
+
 VISUALIZE_DISTRO_DOC = """
 Histogram of a similarity matrix's r-value distribution (legacy seekr
 1.x capability, reconstructed): strict upper triangle for symmetric
@@ -359,6 +368,25 @@ def console_graph(argv=None):
     args = _parse_args_or_exit(parser, argv)
     _run_graph(args.adj, args.gml_path, args.csv_path, args.threshold,
                args.gamma, args.n_comms, args.seed)
+
+
+# -- canonical_gencode (legacy capability) -----------------------------------
+
+def _run_canonical_gencode(in_fasta, out_fasta, zeros):
+    from seekr_tpu.data.canonical import canonical_gencode
+
+    canonical_gencode(in_fasta, out_fasta, zeros=int(zeros))
+
+
+def console_canonical_gencode(argv=None):
+    parser = argparse.ArgumentParser(usage=CANONICAL_GENCODE_DOC,
+                                     formatter_class=_formatter())
+    parser.add_argument("in_fasta", help="Old-style GENCODE fasta to filter.")
+    parser.add_argument("out_fasta", help="Path for the filtered fasta.")
+    parser.add_argument("-z", "--zeros", default=2,
+                        help="Zeros in the kept suffix (2 -> '-001').")
+    args = _parse_args_or_exit(parser, argv)
+    _run_canonical_gencode(args.in_fasta, args.out_fasta, args.zeros)
 
 
 # -- visualize_distro (legacy capability) ------------------------------------
@@ -1125,6 +1153,7 @@ _CMDS2DOC = {
     "seekr_graph": GRAPH_DOC,
     "seekr_domain_pearson": DOMAIN_PEARSON_DOC,
     "seekr_visualize_distro": VISUALIZE_DISTRO_DOC,
+    "seekr_canonical_gencode": CANONICAL_GENCODE_DOC,
     "seekr_tpu_pipeline": PIPELINE_DOC,
 }
 
@@ -1174,6 +1203,7 @@ COMMANDS = {
     "graph": console_graph,
     "domain_pearson": console_domain_pearson,
     "visualize_distro": console_visualize_distro,
+    "canonical_gencode": console_canonical_gencode,
     "pipeline": console_pipeline,
     "help": console_seekr_help,
 }

@@ -192,3 +192,50 @@ def test_filter_dedup_only_plain_headers(tmp_path, monkeypatch):
     headers, seqs = filter_gencode(str(fa), rm_dup=True, outputname="out")
     assert headers == ["seq1", "seq3"]
     assert seqs == ["AAAA", "TTTT"]
+
+
+def test_canonical_gencode(tmp_path, capsys):
+    from seekr_tpu.data.canonical import canonical_gencode
+
+    fa = tmp_path / "old.fa"
+    fa.write_text(
+        ">ENST1.1|ENSG1.1|OTTG|OTTT|XIST-001|XIST|100|lncRNA|\nAAAA\n"
+        ">ENST2.1|ENSG1.1|OTTG|OTTT|XIST-002|XIST|90|lncRNA|\nGGGG\n"
+        ">ENST3.1|ENSG2.1|OTTG|OTTT|TUG1-001|TUG1|80|lncRNA|\nTTTT\n"
+        ">PLAIN-001\nCCCC\n"           # headers without '|' fields
+        ">PLAIN-0001\nCCAA\n")
+    out = tmp_path / "canon.fa"
+    kept = canonical_gencode(str(fa), str(out), zeros=2)
+    assert kept == 3
+    text = out.read_text()
+    assert "XIST-001" in text and "TUG1-001" in text and ">PLAIN-001\n" in text
+    assert "XIST-002" not in text and "PLAIN-0001" not in text
+    # record shape preserved: header line then sequence line
+    lines = text.strip().splitlines()
+    assert lines[0].startswith(">") and lines[1] == "AAAA"
+
+    # zeros knob matches -0001 instead
+    kept = canonical_gencode(str(fa), str(out), zeros=3)
+    assert kept == 1
+    assert "PLAIN-0001" in out.read_text()
+
+    # nothing matches -> advisory message
+    empty_in = tmp_path / "new.fa"
+    empty_in.write_text(">ENST9.1|ENSG9.1|O|O|GENE-201|GENE|10|lncRNA|\nAA\n")
+    assert canonical_gencode(str(empty_in), str(out), zeros=2) == 0
+    assert "no longer use -001 numbering" in capsys.readouterr().out
+
+
+def test_cli_canonical_gencode(tmp_path, monkeypatch, capsys):
+    import pytest
+
+    from seekr_tpu import cli
+
+    monkeypatch.chdir(tmp_path)
+    with open("in.fa", "w") as fh:
+        fh.write(">A-001\nAAAA\n>B-002\nGGGG\n")
+    cli.console_canonical_gencode(["in.fa", "out.fa", "-z", "2"])
+    assert ">A-001" in open("out.fa").read()
+    with pytest.raises(SystemExit):
+        cli.console_canonical_gencode([])
+    assert "seekr_canonical_gencode" in capsys.readouterr().out
