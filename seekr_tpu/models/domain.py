@@ -16,9 +16,9 @@ with the design choices documented here:
     every (query, window) pair gets a Pearson r — peaks along a target
     mark domains with query-like k-mer composition.
   * a target shorter than ``window`` contributes one window (the whole
-    sequence); otherwise only full-length windows are tiled (trailing
-    bases past the last full window are covered by earlier overlapping
-    windows when ``slide < window``).
+    sequence); otherwise only full-length windows are tiled, so up to
+    ``slide - 1`` trailing bases past the last full window fall outside
+    every window.
   * with a ``reference_path``, each r additionally gets a percentile
     (mean-rank semantics, = scipy ``percentileofscore(kind='mean')``)
     within that query's r-distribution against the reference sequences;
@@ -126,29 +126,20 @@ class DomainPearson:
 
     # -- internals ---------------------------------------------------------
 
-    def _counts_for(self, seqs: Sequence[str], mean, std) -> np.ndarray:
-        """Normalized k-mer profiles of in-memory sequences."""
-        counter = KmerCounter(k=self.k, mean=mean, std=std, log2=self.log2,
-                              silent=True)
+    def _raw_for(self, seqs: Sequence[str]) -> np.ndarray:
+        """Raw counts-per-kb profiles of in-memory sequences (one device
+        pass; normalization is applied separately so no set is counted
+        twice)."""
+        counter = KmerCounter(k=self.k, mean=False, std=False,
+                              log2="Log2.none", silent=True)
         counter.seqs = list(seqs)
-        return counter.get_counts()
+        return counter._raw_counts()
 
-    def _norm_frame(self, ref_seqs, window_seqs):
-        """Resolve the shared (mean, std) normalization vectors."""
-        mean, std = self.mean, self.std
-        if mean is True or std is True:
-            basis = ref_seqs if ref_seqs is not None else window_seqs
-            counter = KmerCounter(k=self.k, mean=True, std=True,
-                                  log2=self.log2, silent=True)
-            counter.seqs = list(basis)
-            raw = counter._raw_counts()
-            _, basis_mean, basis_std = normalize_counts(
-                raw, log2_mode=self.log2, mean=True, std=True)
-            if mean is True:
-                mean = np.asarray(basis_mean)
-            if std is True:
-                std = np.asarray(basis_std)
-        return mean, std
+    def _normalized(self, raw: np.ndarray, mean, std) -> np.ndarray:
+        """Apply the shared normalization frame to a raw count matrix."""
+        out, _, _ = normalize_counts(raw, log2_mode=self.log2,
+                                     mean=mean, std=std)
+        return np.asarray(out)
 
     @staticmethod
     def _short_name(header: str) -> str:
@@ -188,13 +179,37 @@ class DomainPearson:
         window_seqs = self.split_targets()
         ref_seqs = (Reader(self.reference_path).get_seqs()
                     if self.reference_path else None)
-
-        mean, std = self._norm_frame(ref_seqs, window_seqs)
+        if self.percentiles_path and ref_seqs is None:
+            print("WARNING: --percentiles_path was given without "
+                  "--reference; percentiles need a reference null "
+                  "distribution, so no percentiles file will be written.")
 
         with stage_timer("domain_pearson", items=len(window_seqs),
                          unit="windows"):
-            query_counts = self._counts_for(query_seqs, mean, std)
-            window_counts = self._counts_for(window_seqs, mean, std)
+            # one device count pass per set; the normalization frame is
+            # derived from the basis raw counts, never by re-counting
+            query_raw = self._raw_for(query_seqs)
+            window_raw = self._raw_for(window_seqs)
+            ref_raw = (self._raw_for(ref_seqs)
+                       if ref_seqs is not None else None)
+
+            mean, std = self.mean, self.std
+            if mean is True or std is True:
+                basis = ref_raw if ref_raw is not None else window_raw
+                if std is True and basis.shape[0] == 1:
+                    raise ValueError(
+                        "You cannot standardize a single sequence. "
+                        "Please pass the path to an std. dev. array, "
+                        "or use raw counts by setting std=False.")
+                _, bmean, bstd = normalize_counts(
+                    basis, log2_mode=self.log2, mean=mean, std=std)
+                if mean is True:
+                    mean = np.asarray(bmean)
+                if std is True:
+                    std = np.asarray(bstd)
+
+            query_counts = self._normalized(query_raw, mean, std)
+            window_counts = self._normalized(window_raw, mean, std)
             # [n_windows, n_queries]: windows batch through the device
             # counter once; one blocked GEMM covers every pair
             r = pearson(window_counts, query_counts)
@@ -205,7 +220,7 @@ class DomainPearson:
             self.r_values.to_csv(self.r_values_path)
 
         if ref_seqs is not None:
-            ref_counts = self._counts_for(ref_seqs, mean, std)
+            ref_counts = self._normalized(ref_raw, mean, std)
             null = pearson(query_counts, ref_counts)  # [q, n_ref]
             pct = np.empty_like(r)
             for j in range(r.shape[1]):

@@ -27,6 +27,7 @@ from seekr_tpu.models.pearson import pearson
 from seekr_tpu.ops.ecdf import empirical_pvals
 from seekr_tpu.ops.pearson import pearson_blocked
 from seekr_tpu.stats.adj_pval import adj_pval
+from seekr_tpu.utils.adj import triu_values
 from seekr_tpu.utils.logging import stage_timer
 
 
@@ -109,7 +110,7 @@ def run_workflow(seq1file, seq2file=None, background=None, k=6,
                                   silent=True)
         bkg_counted.get_counts()
         sim_bkg = big_pearson(bkg_counted.counts, bkg_counted.counts)
-        null_sample = sim_bkg[np.triu_indices(sim_bkg.shape[0], k=1)]
+        null_sample = triu_values(sim_bkg)
         if len(null_sample) > subset_size:
             rng = np.random.default_rng(seed)
             null_sample = rng.choice(null_sample, size=subset_size,

@@ -137,6 +137,69 @@ def test_run_without_reference_skips_percentiles(tmp_path):
     assert np.isfinite(rdf.to_numpy()).all()
 
 
+def test_single_window_basis_with_std_raises(tmp_path):
+    """A one-window normalization basis cannot be standardized.
+
+    Mirrors KmerCounter's single-sequence guard: without a reference,
+    one short target yields one window, population std over one row is
+    all zeros, and the run must fail loudly instead of emitting NaNs."""
+    rng = np.random.default_rng(7)
+    qp, tp = tmp_path / "q.fa", tmp_path / "t.fa"
+    write_fasta(qp, [rand_seq(rng, 200)], "Q")
+    write_fasta(tp, [rand_seq(rng, 300)], "T")  # < window+slide -> 1 window
+    dp = DomainPearson(query_path=str(qp), target_path=str(tp), k=2,
+                       window=1000, slide=100)
+    with pytest.raises(ValueError, match="standardize a single"):
+        dp.run()
+    # raw counts (mean=False, std=False) make the same inputs legal
+    # (mean=True would center the lone window by itself -> zero-variance
+    # profile -> NaN r, so raw counts are the meaningful fallback)
+    dp = DomainPearson(query_path=str(qp), target_path=str(tp), k=2,
+                       window=1000, slide=100, mean=False, std=False)
+    assert np.isfinite(dp.run().to_numpy()).all()
+
+
+def test_percentiles_path_without_reference_warns(tmp_path, capsys):
+    rng = np.random.default_rng(8)
+    qp, tp = tmp_path / "q.fa", tmp_path / "t.fa"
+    write_fasta(qp, [rand_seq(rng, 200), rand_seq(rng, 200)], "Q")
+    write_fasta(tp, [rand_seq(rng, 500)], "T")
+    pct = tmp_path / "pct.csv"
+    dp = DomainPearson(query_path=str(qp), target_path=str(tp), k=2,
+                       window=100, slide=50, percentiles_path=str(pct))
+    dp.run()
+    assert "without" in capsys.readouterr().out
+    assert dp.percentiles is None and not pct.exists()
+
+
+def test_each_set_counted_exactly_once(tmp_path, monkeypatch):
+    """run() does one device count pass per sequence set (the module's
+    'ONE device count pass' contract): queries, windows, and the
+    optional reference are each counted once, including when the
+    normalization frame is derived from them."""
+    from seekr_tpu.models import counter as counter_mod
+
+    rng = np.random.default_rng(9)
+    qp, tp, rp = (tmp_path / n for n in ("q.fa", "t.fa", "r.fa"))
+    write_fasta(qp, [rand_seq(rng, 200)], "Q")
+    write_fasta(tp, [rand_seq(rng, 500)], "T")
+    write_fasta(rp, [rand_seq(rng, 250) for _ in range(4)], "R")
+
+    calls = []
+    orig = counter_mod.KmerCounter._raw_counts
+    monkeypatch.setattr(counter_mod.KmerCounter, "_raw_counts",
+                        lambda self: calls.append(len(self.seqs)) or orig(self))
+
+    DomainPearson(query_path=str(qp), target_path=str(tp),
+                  reference_path=str(rp), k=2, window=100, slide=50).run()
+    assert calls == [1, 9, 4]  # queries, windows, reference — once each
+
+    calls.clear()
+    DomainPearson(query_path=str(qp), target_path=str(tp), k=2,
+                  window=100, slide=50).run()
+    assert calls == [1, 9]  # frame derived from windows without a re-count
+
+
 def test_explicit_norm_vectors_and_artifacts(tmp_path):
     rng = np.random.default_rng(3)
     qp, tp = tmp_path / "q.fa", tmp_path / "t.fa"
