@@ -164,6 +164,133 @@ def test_reader_fuzz_vs_reference(ref_pkg, tmp_path, seed):
         list(ref.get_data(tuples_only=True))
 
 
+@pytest.mark.parametrize("seed", range(30, 34))
+def test_find_pval_fuzz_vs_reference(ref_pkg, tmp_path, seed, capsys):
+    """find_pval parity on random corpora/params: fitted branch (random
+    best-fit draw) and empirical branch (random null array), labels and
+    values (reference per-cell loops, seekr/find_pval.py:126-164)."""
+    sys.path.insert(0, REFERENCE)
+    try:
+        from seekr.find_pval import find_pval as ref_find_pval
+    finally:
+        sys.path.remove(REFERENCE)
+    from seekr_tpu.stats.find_pval import find_pval
+
+    RefCounter = ref_pkg[0]
+    rng = np.random.default_rng(seed)
+    k = int(rng.integers(2, 5))
+    fa1, fa2, bkg = (tmp_path / n for n in ("p1.fa", "p2.fa", "bkg.fa"))
+    _write_fasta(fa1, rng, int(rng.integers(2, 8)), k)
+    _write_fasta(fa2, rng, int(rng.integers(2, 8)), k)
+    _write_fasta(bkg, rng, int(rng.integers(4, 12)), k)
+    b = RefCounter(str(bkg), k=k, log2="Log2.none", silent=True)
+    b.get_counts()
+    mp, sp = tmp_path / "m.npy", tmp_path / "s.npy"
+    np.save(mp, b.mean)
+    np.save(sp, np.where(b.std == 0, 1.0, b.std))
+    log2 = ["Log2.none", "Log2.pre", "Log2.post"][int(rng.integers(0, 3))]
+    if rng.random() < 0.5:  # fitted branch
+        fitres = [("norm", 0.1, (float(rng.normal()),
+                                 float(rng.random()) + 0.1)),
+                  ("gamma", 0.2, (float(rng.random()) + 0.5, 0.0,
+                                  float(rng.random()) + 0.5))]
+        bestfit = int(rng.integers(1, 3))
+    else:  # empirical branch
+        fitres = rng.normal(size=int(rng.integers(5, 400))).astype(
+            [np.float32, np.float64][int(rng.integers(0, 2))])
+        bestfit = 1
+    ours = find_pval(str(fa1), str(fa2), str(mp), str(sp), k, fitres=fitres,
+                     log2=log2, bestfit=bestfit, progress_bar=False)
+    theirs = ref_find_pval(str(fa1), str(fa2), str(mp), str(sp), k,
+                           fitres=fitres, log2=log2, bestfit=bestfit,
+                           progress_bar=False)
+    capsys.readouterr()
+    assert (ours is None) == (theirs is None)
+    if ours is not None:
+        assert list(ours.index) == list(theirs.index)
+        assert list(ours.columns) == list(theirs.columns)
+        np.testing.assert_allclose(ours.to_numpy(), theirs.to_numpy(),
+                                   rtol=1e-4, atol=1e-4, equal_nan=True)
+
+
+def _write_gencode_style(rng, fa_path, gtf_path):
+    """GENCODE-shaped fasta + gtf with deliberate mismatches: missing GTF
+    lines, non-transcript features, ghost transcripts, shuffled attrs."""
+    n = int(rng.integers(2, 15))
+    tids, lines = [], []
+    seq_pool = ["".join(rng.choice(list(BASES), size=60)) for _ in range(4)]
+    for i in range(n):
+        tid = f"ENSMUST{i:08d}.{int(rng.integers(1, 4))}"
+        tids.append(tid)
+        length = int(rng.integers(10, 2000))
+        lines.append(f">{tid}|GENE{i}|OTT|OTT|GENE-20{int(rng.integers(1, 4))}"
+                     f"|lncRNA|{length}|")
+        lines.append(seq_pool[int(rng.integers(0, 4))] if rng.random() < 0.4
+                     else "".join(rng.choice(list(BASES), size=60)))
+    fa_path.write_text("\n".join(lines) + "\n")
+    glines = ["## comment"]
+    for i, tid in enumerate(tids):
+        if rng.random() < 0.2:
+            continue
+        feat = "transcript" if rng.random() < 0.8 else "exon"
+        attrs = [f'gene_id "G{i}"', f'transcript_id "{tid}"']
+        if rng.random() < 0.5:
+            attrs.append('tag "Ensembl_canonical"')
+        if rng.random() < 0.8:
+            attrs.append(
+                f'transcript_name "GENE{i}-20{int(rng.integers(1, 4))}"')
+        rng.shuffle(attrs)
+        glines.append("\t".join(["chr1", "HAVANA", feat, "1", "100", ".",
+                                 "+", ".", "; ".join(attrs) + ";"]))
+    for j in range(int(rng.integers(0, 4))):
+        glines.append("\t".join([
+            "chr1", "HAVANA", "transcript", "1", "100", ".", "+", ".",
+            f'transcript_id "GHOST{j}"; tag "Ensembl_canonical";']))
+    gtf_path.write_text("\n".join(glines) + "\n")
+
+
+@pytest.mark.parametrize("seed", range(40, 46))
+def test_filter_gencode_fuzz_vs_reference(ref_pkg, tmp_path, seed, capsys,
+                                          monkeypatch):
+    """filter_gencode parity on mismatched fasta/gtf pairs.  The combined
+    canonical+isoform case is excluded: there the reference zips a
+    per-GTF-line list against a per-fasta-record mask (misaligned lists,
+    seekr/filter_gencode.py:171) and we deliberately implement the
+    intended filter — documented deviation in PARITY.md and covered by
+    tests in test_data_acquisition.py."""
+    sys.path.insert(0, REFERENCE)
+    try:
+        from seekr.filter_gencode import filter_gencode as ref_filter
+    finally:
+        sys.path.remove(REFERENCE)
+    from seekr_tpu.data.filter_gencode import filter_gencode
+
+    monkeypatch.chdir(tmp_path)
+    rng = np.random.default_rng(seed)
+    fa, gtf = tmp_path / "g.fa", tmp_path / "g.gtf"
+    _write_gencode_style(rng, fa, gtf)
+    canonical = bool(rng.integers(0, 2))
+    isoform = ("0" if canonical
+               else ["0", "201", "202", "20[12]"][int(rng.integers(0, 4))])
+    len_threshold = int(rng.integers(0, 1500))
+    rm_dup = bool(rng.integers(0, 2))
+    res_o = filter_gencode(str(fa), gtf_path=str(gtf),
+                           len_threshold=len_threshold, canonical=canonical,
+                           isoform=isoform, rm_dup=rm_dup,
+                           outputname=str(tmp_path / "ours"))
+    res_r = ref_filter(str(fa), gtf_path=str(gtf),
+                       len_threshold=len_threshold, canonical=canonical,
+                       isoform=isoform, rm_dup=rm_dup,
+                       outputname=str(tmp_path / "ref"))
+    capsys.readouterr()
+    assert (res_o is None) == (res_r is None)
+    if res_o is not None:
+        assert res_o[0] == res_r[0]
+        assert res_o[1] == res_r[1]
+        assert (tmp_path / "ours.fa").read_text() == \
+            (tmp_path / "ref.fa").read_text()
+
+
 @pytest.mark.parametrize("seed", range(18, 22))
 def test_pearson_fuzz_vs_reference(ref_pkg, seed):
     """All-pairs Pearson on random count-like matrices, incl. rows with
