@@ -68,24 +68,26 @@ def _relabel_by_size(membership: np.ndarray) -> np.ndarray:
 
 
 def _unweighted_modularity(n_nodes: int, edges, membership) -> float:
-    """Standard Newman modularity treating every edge as weight 1."""
+    """Standard Newman modularity treating every edge as weight 1.
+
+    Fully vectorized: per-community degree and internal-edge sums come
+    from ``np.bincount`` (a per-community Python scan would be
+    O(n_nodes * n_communities) at the 13k-node scale this package
+    targets).
+    """
     m = len(edges)
     if m == 0:
         return 0.0
-    deg = np.zeros(n_nodes, dtype=np.int64)
-    internal = {}
-    for u, v in edges:
-        deg[u] += 1
-        deg[v] += 1
-        if membership[u] == membership[v]:
-            internal[membership[u]] = internal.get(membership[u], 0) + 1
-    q = 0.0
-    for c in set(membership):
-        l_c = internal.get(c, 0)
-        d_c = int(deg[[i for i in range(n_nodes)
-                       if membership[i] == c]].sum())
-        q += l_c / m - (d_c / (2 * m)) ** 2
-    return q
+    mem = np.asarray(membership, dtype=np.int64)
+    e = np.asarray(edges, dtype=np.int64)
+    deg = (np.bincount(e[:, 0], minlength=n_nodes)
+           + np.bincount(e[:, 1], minlength=n_nodes))
+    n_comms = int(mem.max()) + 1
+    same = mem[e[:, 0]] == mem[e[:, 1]]
+    internal = np.bincount(mem[e[:, 0]][same], minlength=n_comms)
+    d_c = np.bincount(mem, weights=deg.astype(np.float64),
+                      minlength=n_comms)
+    return float(np.sum(internal / m - (d_c / (2.0 * m)) ** 2))
 
 
 class Maker:
@@ -118,6 +120,7 @@ class Maker:
         self.graph = None
         self.main_sub = None
         self.partition: Optional[Partition] = None
+        self._partition_nodes = None  # node list of the partitioned GML
 
     # -- graph construction --------------------------------------------------
 
@@ -198,6 +201,7 @@ class Maker:
 
         graph = networkx.read_gml(self.gml_path)
         nodes = list(graph.nodes())
+        self._partition_nodes = nodes
         index = {n: i for i, n in enumerate(nodes)}
         edges = [(index[u], index[v]) for u, v in graph.edges()]
         if edges:
@@ -220,23 +224,50 @@ class Maker:
     def membership2attribute(self) -> dict:
         """Map every graph node to a group id capped at ``n_comms``.
 
-        Nodes of ``main_sub`` take their partition community (by GML
-        node order); each remaining connected component takes the next
-        id. All ids are capped at ``n_comms``. Groups are also set as
-        the ``"Group"`` node attribute on ``self.graph``.
+        Partitioned nodes (the node set of the GML ``get_partition``
+        read — ``main_sub`` in the standard pipeline) take their
+        partition community BY NAME; each remaining connected component
+        takes the next id. All ids are capped at ``n_comms``. Groups are
+        also set as the ``"Group"`` node attribute on ``self.graph``.
         """
         import networkx
 
         if self.partition is None:
             self.get_partition()
+        part_nodes = getattr(self, "_partition_nodes", None)
+        if part_nodes is None:
+            part_nodes = list(self.main_sub.nodes())
+        if len(part_nodes) != len(self.partition.membership):
+            raise ValueError(
+                f"partition size ({len(self.partition.membership)}) does not "
+                f"match its node list ({len(part_nodes)})")
+        # mapping by name (not position against main_sub) keeps group
+        # assignments correct when the partitioned GML was the full graph
+        # or a stale file — a positional zip would silently pair the wrong
+        # nodes with the wrong communities.  GML stringifies node names
+        # (save() uses stringizer=str), so non-string nodes of a
+        # hand-assigned graph are resolved through their str() form.
+        by_str = {str(n): n for n in self.graph}
+        resolved, unknown = [], []
+        for n in part_nodes:
+            if n in self.graph:
+                resolved.append(n)
+            elif n in by_str:
+                resolved.append(by_str[n])
+            else:
+                unknown.append(n)
+        if unknown:
+            raise ValueError(
+                f"partition was computed from {self.gml_path!r}, whose nodes "
+                f"(e.g. {unknown[0]!r}) are not in the built graph — the GML "
+                f"file is stale; call save() before get_partition()")
         name2group = {}
-        main_nodes = list(self.main_sub.nodes())
-        for node, community in zip(main_nodes, self.partition.membership):
+        for node, community in zip(resolved, self.partition.membership):
             name2group[node] = min(community, self.n_comms)
         next_id = len(set(self.partition.membership))
-        main_set = set(main_nodes)
+        covered = set(resolved)
         for component in networkx.connected_components(self.graph):
-            if component <= main_set:
+            if component <= covered:
                 continue
             group = min(next_id, self.n_comms)
             for node in component:

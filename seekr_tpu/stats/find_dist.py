@@ -48,13 +48,31 @@ def _all_scipy_distributions():
     return [d for d in names if d not in _EXCLUDED]
 
 
+def _drop_unfittable(names, announce):
+    """Remove distributions without a ``.fit`` method (every scipy discrete
+    distribution).  The reference filters these too (find_dist.py:139-146)
+    but its exclusion message compares names against distribution OBJECTS,
+    so it lists every requested name; this prints the intended (actually
+    excluded) subset — documented deviation."""
+    from scipy import stats
+
+    fittable = [d for d in names if hasattr(getattr(stats, d), "fit")]
+    if announce and len(fittable) < len(names):
+        print(f"Excluding distributions do not have a 'fit' method: "
+              f"{[d for d in names if d not in fittable]}")
+    return fittable
+
+
 def resolve_models(models):
     """'common10' | 'all' | list of scipy.stats names -> list of names."""
     if isinstance(models, str) and models == "common10":
         return list(COMMON10)
     available = _all_scipy_distributions()
     if isinstance(models, str) and models == "all":
-        return available
+        # 'all' includes the discrete families, none of which can be MLE
+        # fitted; dropped silently like the reference ('all' skips the
+        # exclusion message, find_dist.py:142)
+        return _drop_unfittable(available, announce=False)
     if isinstance(models, str):
         # a bare name like 'norm' — list(models) would split it into
         # characters and silently reject everything
@@ -69,7 +87,7 @@ def resolve_models(models):
         )
         print(f"Excluding invalid distributions for fitting: "
               f"{[d for d in requested if d not in valid]}")
-    return valid
+    return _drop_unfittable(valid, announce=True)
 
 
 def background_similarity(inputseq, k_mer=4, log2="Log2.post",
@@ -118,29 +136,25 @@ def _fit_one(name, data, statsmethod):
 
     distribution = getattr(stats, name)
     if not hasattr(distribution, "fit"):
+        # unreachable through find_dist (resolve_models drops no-fit
+        # distributions with a message); kept as a guard for direct
+        # fit_distributions callers
         return None
     with warnings.catch_warnings():
         warnings.filterwarnings("ignore")
         try:
             # plain-float params: keeps the CSV artifact format identical
             # to the reference (numpy-2 scalar reprs would leak otherwise)
+            # (continuous-only forms: no scipy discrete distribution has a
+            # .fit method, so none reaches this point)
             params = tuple(float(p) for p in distribution.fit(data))
             if statsmethod == "ks":
                 D, _ = kstest(data, name, args=params)
             elif statsmethod == "mse":
-                if isinstance(distribution, stats.rv_continuous):
-                    synthetic = distribution.rvs(*params, size=len(data))
-                else:
-                    synthetic = distribution.rvs(
-                        *params[:-2], loc=params[-2], scale=params[-1],
-                        size=len(data))
+                synthetic = distribution.rvs(*params, size=len(data))
                 D = float(np.mean((data - synthetic) ** 2))
             else:  # aic / bic
-                if isinstance(distribution, stats.rv_continuous):
-                    ll = np.sum(distribution.logpdf(data, *params))
-                else:
-                    ll = np.sum(distribution.logpmf(
-                        data, *params[:-2], loc=params[-2], scale=params[-1]))
+                ll = np.sum(distribution.logpdf(data, *params))
                 n_params, n = len(params), len(data)
                 D = 2 * n_params - 2 * ll if statsmethod == "aic" \
                     else np.log(n) * n_params - 2 * ll

@@ -22,7 +22,6 @@ from __future__ import annotations
 
 import numpy as np
 
-from seekr_tpu.io.fasta import Reader
 from seekr_tpu.models.counter import KmerCounter
 from seekr_tpu.models.pearson import pearson
 from seekr_tpu.ops.ecdf import empirical_pvals
@@ -85,8 +84,10 @@ def find_pval(seq1file, seq2file, mean_path, std_path, k_mer, fitres,
     t2.make_count_file()
     sim = pearson(t1.counts, t2.counts)
 
-    header1 = [h[1:] for h in Reader(seq1file).get_headers()]
-    header2 = [h[1:] for h in Reader(seq2file).get_headers()]
+    # counters already read and parsed both fastas; re-Reader-ing them
+    # would re-parse multi-hundred-MB files at background scale
+    header1 = [h[1:] for h in t1.headers]
+    header2 = [h[1:] for h in t2.headers]
     if len(header1) != len(set(header1)):
         print("The headers of seq1file is not unique.")
         print("Be carefule during further analysis as there are potential "
@@ -103,6 +104,15 @@ def find_pval(seq1file, seq2file, mean_path, std_path, k_mer, fitres,
                   "number, tuple of numbers) corresponds to (distribution "
                   "name, deviance, parameters)")
             print("fitres should be the output of find_dist.")
+            print("No p value is calculated. The output is None.")
+            return None
+        if not 1 <= int(bestfit) <= len(fitres):
+            # deliberate hardening over the reference, which indexes
+            # fitres[bestfit-1] unchecked: an empty/short list raises
+            # IndexError and bestfit=0 silently selects fitres[-1] — the
+            # WORST-fitting distribution (documented in PARITY.md)
+            print(f"bestfit must be between 1 and the number of fitted "
+                  f"distributions in fitres ({len(fitres)}), got {bestfit}.")
             print("No p value is calculated. The output is None.")
             return None
         from scipy import stats

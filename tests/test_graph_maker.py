@@ -190,6 +190,44 @@ def test_membership2attribute_ncomms3_gamma10(tmp_path):
         0: 0, 1: 1, 2: 2, 3: 3, 4: 3, 5: 3, 6: 3, 7: 3, 8: 3, 9: 3}
 
 
+def test_membership2attribute_full_graph_gml(tmp_path):
+    """Partitioning a FULL-graph GML (save(main_sub=False)) must map each
+    node to its own community by name — a positional zip against
+    main_sub's shorter node list would silently assign wrong groups."""
+    maker = Maker(gml_path=str(tmp_path / "full.gml"))
+    maker.graph = disconnected_graph()
+    maker.find_main_sub()
+    maker.save()  # FULL graph, not main_sub
+    maker.get_partition()
+    n2g = maker.membership2attribute()
+    # all nodes covered by the partition; no synthetic next-id components
+    assert set(n2g) == set(maker.graph.nodes())
+    # nodes 7,8,9 (the non-main component) share one partition community
+    assert n2g[7] == n2g[8] == n2g[9]
+    # main-component nodes keep a consistent community structure: node 2's
+    # direct hub neighbors 4,5,6 cluster with it, like the main_sub golden
+    assert n2g[4] == n2g[5] == n2g[6]
+
+
+def test_membership2attribute_stale_gml_raises(tmp_path):
+    """A GML whose nodes do not match the built graph must raise instead
+    of silently producing wrong group assignments."""
+    other = Maker(gml_path=str(tmp_path / "stale.gml"))
+    g = networkx.Graph()
+    g.add_weighted_edges_from([("x", "y", 1.0), ("y", "z", 1.0)])
+    other.graph = g
+    other.find_main_sub()
+    other.save(True)
+
+    maker = Maker(gml_path=str(tmp_path / "stale.gml"))
+    maker.graph = disconnected_graph()
+    maker.find_main_sub()
+    # do NOT save: get_partition reads the stale file written above
+    maker.get_partition()
+    with pytest.raises(ValueError, match="stale"):
+        maker.membership2attribute()
+
+
 def test_make_gml_csv_files(tmp_path):
     gml_path = tmp_path / "out.gml"
     csv_path = tmp_path / "out.csv"

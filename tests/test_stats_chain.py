@@ -134,6 +134,45 @@ def test_find_pval_invalid_fitres_returns_none(ref_data, example_fa, tmp_path,
                      "bkg_std_2mers.npy", 3, fitres=np.zeros(5)) is None
 
 
+def test_find_pval_bestfit_out_of_range_returns_none(ref_data, example_fa,
+                                                     tmp_path, monkeypatch,
+                                                     capsys):
+    """bestfit outside [1, len(fitres)] returns None with an advisory
+    instead of IndexError (empty/short list) or silently selecting the
+    WORST fit (bestfit=0 -> fitres[-1] in the reference)."""
+    monkeypatch.chdir(tmp_path)
+    find_dist(inputseq=example_fa, k_mer=2, fit_model=False, subsetting=False)
+    fitres = [("norm", 0.1, (0.0, 1.0))]
+    args = (example_fa, example_fa, "bkg_mean_2mers.npy",
+            "bkg_std_2mers.npy", 2)
+    assert find_pval(*args, fitres=fitres, bestfit=0) is None
+    assert find_pval(*args, fitres=fitres, bestfit=2) is None
+    assert find_pval(*args, fitres=[], bestfit=1) is None
+    out = capsys.readouterr().out
+    assert "bestfit must be between 1 and" in out
+    # in-range still works
+    assert find_pval(*args, fitres=fitres, bestfit=1) is not None
+
+
+def test_resolve_models_drops_unfittable_with_message(capsys):
+    """Distributions without a .fit method (all scipy discrete families)
+    are excluded with the INTENDED message: the reference prints the
+    whole requested list because it compares names against distribution
+    objects (seekr/find_dist.py:141-146); ours names just the dropped
+    ones (documented deviation)."""
+    got = resolve_models(["bernoulli", "poisson", "norm"])
+    assert got == ["norm"]
+    out = capsys.readouterr().out
+    assert "do not have a 'fit' method" in out
+    assert "bernoulli" in out and "poisson" in out
+    # the surviving name is not listed as excluded
+    assert "'norm'" not in out.split("fit' method:")[-1]
+    # 'all' drops them silently like the reference
+    all_names = resolve_models("all")
+    assert "norm" in all_names and "bernoulli" not in all_names
+    assert "fit' method" not in capsys.readouterr().out
+
+
 def test_empirical_pvals_nan_background_counts_as_not_greater():
     # reference semantics: mean(bkg > r) — NaN comparisons are False, while
     # naive searchsorted would count NaNs (sorted past the end) as greater
