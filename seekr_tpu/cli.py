@@ -1,10 +1,14 @@
-"""Console entry points — the 16 seekr_* commands, TPU-backed.
+"""Console entry points — 23 commands, TPU-backed.
 
-Flag-for-flag parity with the reference CLI (seekr/console_scripts.py:
-534-1399, command registry setup.py:59-78).  Each command has a testable
-``_run_*`` shim, bare invocation prints help (console_scripts.py:520-525),
-and the same file contracts hold (counts CSV/npy, mean/std npy, pearson
-npy/csv, pval CSV, plot files).
+Covers the reference's full 16-command v2 surface (incl. the ``seekr``
+help command) with flag-for-flag parity (seekr/console_scripts.py:
+534-1399, command registry setup.py:59-78), six restored legacy 1.x
+commands (seekr_domain_pearson, seekr_pwms, seekr_graph,
+seekr_visualize_distro, seekr_canonical_gencode, seekr_gen_rand_rnas —
+see docs/USAGE.md), and the seekr_tpu_pipeline extension.  Each command
+has a testable ``_run_*`` shim, bare invocation prints help
+(console_scripts.py:520-525), and the same file contracts hold (counts
+CSV/npy, mean/std npy, pearson npy/csv, pval CSV, plot files).
 
 Also usable without installation:  ``python -m seekr_tpu.cli <command> ...``
 where <command> is the entry-point name without the ``seekr_`` prefix
@@ -520,8 +524,9 @@ def console_kmer_counts(argv=None):
 # -- pearson -----------------------------------------------------------------
 
 # outputs beyond this many cells are streamed in row blocks instead of
-# materializing the full matrix + a pandas frame on host
-_STREAM_CELLS = 64_000_000
+# materializing the full matrix + a pandas frame on host — one policy
+# shared with models.pearson's internal blocking decision (jax-free import)
+from seekr_tpu.io.stream import STREAM_CELL_THRESHOLD as _STREAM_CELLS
 
 
 def _run_pearson(counts1, counts2, outfile, binary_input, binary_output):

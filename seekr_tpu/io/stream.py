@@ -16,6 +16,12 @@ from __future__ import annotations
 
 import numpy as np
 
+# Above this many output cells, row blocks are streamed instead of
+# materializing the full matrix on host.  One policy shared by
+# models.pearson (internal blocking) and cli (stream-vs-materialize);
+# lives here so the CLI can read it without importing jax.
+STREAM_CELL_THRESHOLD = 64_000_000
+
 
 class StreamingNpyWriter:
     """Row-block appender producing a valid .npy for a known final shape."""
@@ -71,6 +77,15 @@ class StreamingCsvWriter:
     Labels are quoted with csv's minimal quoting so names containing commas
     (legal in FASTA headers) round-trip exactly like the pandas ``to_csv``
     path used for sub-threshold matrices.
+
+    float32 blocks go through the multithreaded native formatter
+    (native/src/csvio.cpp, the same pandas-byte-exact mode 0 / '%1.6f'
+    mode 1 the one-shot artifact writers use) in append mode — per-cell
+    Python ``%`` interpolation at streaming scale (>64M cells, the only
+    regime this writer runs in) would cost minutes where the native path
+    costs seconds.  One parity nicety: native mode 0 writes NaN as an
+    empty cell exactly like pandas ``to_csv``, where ``'%s' % nan`` in
+    the fallback writes ``nan``.
     """
 
     def __init__(self, path: str, columns=None, row_labels=None,
@@ -81,26 +96,50 @@ class StreamingCsvWriter:
         self.fmt = fmt
         self.row_labels = list(row_labels) if row_labels is not None else None
         self.labeled = columns is not None
-        self._fh = open(path, "w")
         self._quote = _quote
-        if self.labeled:
-            self._fh.write(
-                "," + ",".join(_quote(c) for c in columns) + "\n")
+        # '%s' on float32 equals pandas shortest-repr bytes (mode 0)
+        # except NaN; '%1.6f' is mode 1 — other fmts take the fallback
+        self._native_mode = {"%s": 0, "%1.6f": 1}.get(fmt)
+        with open(path, "w") as fh:
+            if self.labeled:
+                fh.write("," + ",".join(_quote(c) for c in columns) + "\n")
         self._row = 0
+
+    def _native_append(self, block: np.ndarray) -> bool:
+        if self._native_mode is None or block.dtype != np.float32:
+            return False
+        try:
+            from seekr_tpu import native
+        except ImportError:
+            return False
+        if not native.native_available():
+            return False
+        labels = None
+        if self.labeled:
+            labels = [self._quote(l) for l in
+                      self.row_labels[self._row:self._row + block.shape[0]]]
+        native.write_csv_f32(self.path, np.ascontiguousarray(block),
+                             header_line=None, row_label_cells=labels,
+                             mode=self._native_mode, append=True)
+        return True
 
     def append(self, block: np.ndarray):
         block = np.asarray(block)
-        for row in block:
-            cells = ",".join(self.fmt % v for v in row)
-            if self.labeled:
-                label = self._quote(self.row_labels[self._row])
-                self._fh.write(f"{label},{cells}\n")
-            else:
-                self._fh.write(cells + "\n")
-            self._row += 1
+        if self._native_append(block):
+            self._row += block.shape[0]
+            return
+        with open(self.path, "a") as fh:
+            for row in block:
+                cells = ",".join(self.fmt % v for v in row)
+                if self.labeled:
+                    label = self._quote(self.row_labels[self._row])
+                    fh.write(f"{label},{cells}\n")
+                else:
+                    fh.write(cells + "\n")
+                self._row += 1
 
     def close(self):
-        self._fh.close()
+        pass  # every append leaves the file closed and flushed
 
     def __enter__(self):
         return self

@@ -170,7 +170,10 @@ class KmerCounter:
                 max_rows_per_bucket=_MAX_ROWS_PER_BUCKET,
                 include_ids=include_ids,
             )
-        except OSError:
+        except (OSError, IndexError, ValueError):
+            # IndexError/ValueError: include_ids (construction-time row
+            # ids) indexed into a file that shrank since — bucket assembly
+            # faults before the record-length guard below can run
             return None
         if encoded.n_seqs != len(self.seqs) or not np.array_equal(
                 np.asarray(encoded.lengths),

@@ -10,9 +10,9 @@ from __future__ import annotations
 import numpy as np
 
 from seekr_tpu.ops.pearson import pearson_device, pearson_blocked
-
-# Above this output size (elements), stream row blocks instead of one GEMM.
-_BLOCK_THRESHOLD = 64_000_000
+# Above this output size (elements), stream row blocks instead of one GEMM
+# (shared with the CLI's stream-vs-materialize decision).
+from seekr_tpu.io.stream import STREAM_CELL_THRESHOLD as _BLOCK_THRESHOLD
 
 
 def pearson(counts1, counts2, row_standardize: bool = True, outfile: str | None = None) -> np.ndarray:

@@ -122,6 +122,16 @@ class CountsWeighter:
         """
         if self.counts is None:
             raise ValueError("counts are required to run the weighting")
+        # a counts artifact built with a different k would score 0 for
+        # every column (weight lookups miss the defaultdict silently) —
+        # fail loudly instead of writing a structurally-valid all-zero CSV
+        kmer_set = set(self.kmers)
+        unknown = [c for c in self.counts.columns if c not in kmer_set]
+        if unknown:
+            raise ValueError(
+                f"counts columns do not match k={self.k} k-mers (e.g. "
+                f"{unknown[0]!r}); pass the k the counts artifact was "
+                f"built with")
         data = {}
         for path, pwm in self.gen_pwm_dicts():
             kmer2weight = self.build_weights_dict(pwm)

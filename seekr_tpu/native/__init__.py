@@ -87,6 +87,7 @@ def _load():
         ctypes.c_char_p, ctypes.POINTER(ctypes.c_float),
         ctypes.c_int64, ctypes.c_int64,
         ctypes.c_char_p, ctypes.POINTER(ctypes.c_char_p), ctypes.c_int32,
+        ctypes.c_int32,
     ]
     lib.seekr_csv_open.restype = ctypes.c_void_p
     lib.seekr_csv_open.argtypes = [ctypes.c_char_p]
@@ -269,12 +270,14 @@ def encode_string(seq: str) -> np.ndarray:
 
 
 def write_csv_f32(path: str, matrix: np.ndarray, header_line: str = None,
-                  row_label_cells=None, mode: int = 0) -> None:
+                  row_label_cells=None, mode: int = 0,
+                  append: bool = False) -> None:
     """Write a float32 matrix as CSV via the multithreaded C++ formatter.
 
     ``header_line`` is written verbatim (include the trailing newline);
     ``row_label_cells`` are pre-quoted label strings prepended per row.
     mode 0 = pandas-float32-repr bytes, mode 1 = np.savetxt '%1.6f'.
+    ``append`` opens the file in append mode (streamed row blocks).
     Callers are responsible for CSV-quoting labels (see io.fast_csv).
     """
     lib = _load()
@@ -294,7 +297,7 @@ def write_csv_f32(path: str, matrix: np.ndarray, header_line: str = None,
         str(path).encode(), m.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         rows, cols,
         header_line.encode("utf-8") if header_line else None,
-        labels_arr, int(mode))
+        labels_arr, int(mode), int(bool(append)))
     if rc != 0:
         raise IOError(f"seekr_write_csv_f32 failed for {path!r}")
 

@@ -122,15 +122,16 @@ extern "C" {
 
 // Writes ``header_line`` (verbatim, may be NULL) then one line per row:
 // optional pre-quoted label cell + comma-joined formatted values.
+// ``append`` != 0 opens the file in append mode (streamed row blocks).
 // Returns 0 on success, -1 on invalid arguments or IO failure.
 int64_t seekr_write_csv_f32(const char* path, const float* data,
                             int64_t rows, int64_t cols,
                             const char* header_line,
                             const char* const* row_label_cells,
-                            int32_t mode) {
+                            int32_t mode, int32_t append) {
   if (!path || (!data && rows * cols > 0) || rows < 0 || cols < 0) return -1;
   if (mode != 0 && mode != 1) return -1;
-  std::FILE* f = std::fopen(path, "wb");
+  std::FILE* f = std::fopen(path, append ? "ab" : "wb");
   if (!f) return -1;
   bool ok = true;
   if (header_line && *header_line)

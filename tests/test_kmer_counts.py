@@ -265,6 +265,31 @@ def test_counts_reflect_init_seqs_not_changed_file(tmp_path):
     np.testing.assert_allclose(c2.counts, count_kmers_host(["AAAA"], 1))
 
 
+def test_counts_survive_file_shrink_with_long_seqs(tmp_path):
+    # the include_ids fast path re-reads the file with construction-time
+    # row ids; a file that SHRANK used to fault inside bucket assembly
+    # (IndexError) before the length guard could trigger the documented
+    # fallback to counting self.seqs
+    from seekr_tpu import KmerCounter
+    from seekr_tpu.models import counter as counter_mod
+    from seekr_tpu.ops.count import count_kmers_host
+
+    long_seq = "AGTC" * 60
+    fa = tmp_path / "shrink.fa"
+    fa.write_text(f">long\n{long_seq}\n>s1\nAAAATTTT\n>s2\nGGGGCCCC\n")
+    orig = counter_mod._LONG_SEQ_THRESHOLD
+    counter_mod._LONG_SEQ_THRESHOLD = 100
+    try:
+        c = KmerCounter(str(fa), k=2, mean=False, std=False,
+                        log2="Log2.none", silent=True)
+        fa.write_text(">only\nAA\n")  # shrink AFTER construction
+        c.get_counts()
+    finally:
+        counter_mod._LONG_SEQ_THRESHOLD = orig
+    expected = count_kmers_host([long_seq, "AAAATTTT", "GGGGCCCC"], 2)
+    np.testing.assert_allclose(c.counts, expected, rtol=1e-5, atol=1e-4)
+
+
 def test_long_plus_short_mixed_file(tmp_path):
     from seekr_tpu import KmerCounter
     from seekr_tpu.models import counter as counter_mod

@@ -147,6 +147,22 @@ def test_run_requires_counts():
         CountsWeighter(str(REF_PWM_DIR), k=2).run()
 
 
+@pytest.mark.skipif(not REF_COUNTS.exists(), reason="reference not mounted")
+def test_run_rejects_mismatched_counts_k(tmp_path):
+    """A labeled counts CSV built with a different k must fail loudly:
+    every column lookup would miss the weights defaultdict and the run
+    would silently write an all-zero score table.  (The .npy path already
+    raises via the pandas shape check.)"""
+    from itertools import product
+
+    csv_path = tmp_path / "counts2.csv"
+    kmers2 = ["".join(p) for p in product("AGTC", repeat=2)]
+    pd.DataFrame(np.load(REF_COUNTS), columns=kmers2).to_csv(csv_path)
+    cw = CountsWeighter(str(REF_PWM_DIR), str(csv_path), k=5)
+    with pytest.raises(ValueError, match="do not match k=5"):
+        cw.run()
+
+
 def test_gen_pwm_dicts_requires_dir():
     with pytest.raises(ValueError):
         next(CountsWeighter(k=2).gen_pwm_dicts())

@@ -49,6 +49,39 @@ def test_streaming_csv_raw_savetxt_format(tmp_path):
     assert open(path).read() == open(ref_path).read()
 
 
+def test_streaming_csv_bytes_match_pandas_to_csv(tmp_path):
+    """Streamed '%s' blocks are byte-identical to the pandas to_csv
+    artifact the sub-threshold CLI path writes — including NaN as an
+    empty cell (the native block formatter; '%s' % nan would write
+    'nan')."""
+    rng = np.random.default_rng(3)
+    data = (rng.normal(size=(7, 5)) * 10.0 ** rng.integers(-9, 9, size=(7, 5))
+            ).astype(np.float32)
+    data[2, 3] = np.nan
+    data[5, 0] = np.inf
+    rows = [f"r{i}" for i in range(7)]
+    cols = ["a", "b,c", 'd"e', "f", "g"]
+    path = str(tmp_path / "stream.csv")
+    with StreamingCsvWriter(path, columns=cols, row_labels=rows,
+                            fmt="%s") as w:
+        w.append(data[:3])
+        w.append(data[3:])
+    ref = str(tmp_path / "ref.csv")
+    pd.DataFrame(data, index=rows, columns=cols).to_csv(ref)
+    assert open(path).read() == open(ref).read()
+
+
+def test_streaming_csv_float64_fallback_roundtrips(tmp_path):
+    """Non-float32 blocks take the Python fallback and still parse back."""
+    data = np.array([[0.5, 1.25], [2.5, -3.75]], dtype=np.float64)
+    path = str(tmp_path / "f64.csv")
+    with StreamingCsvWriter(path, columns=["x", "y"], row_labels=["a", "b"],
+                            fmt="%s") as w:
+        w.append(data)
+    got = pd.read_csv(path, index_col=0)
+    np.testing.assert_allclose(got.values, data)
+
+
 def test_stream_pearson_matches_dense(tmp_path):
     rng = np.random.default_rng(1)
     c1 = rng.normal(size=(37, 16)).astype(np.float32)
