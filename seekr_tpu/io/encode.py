@@ -52,7 +52,7 @@ def base_lut(alphabet: str = ALPHABET_AGTC) -> np.ndarray:
 
 def encode_seq(seq: str, alphabet: str = ALPHABET_AGTC) -> np.ndarray:
     """Encode one sequence to int8 digits (INVALID where not in alphabet)."""
-    raw = np.frombuffer(seq.encode("ascii"), dtype=np.uint8)
+    raw = np.frombuffer(seq.encode("ascii", errors="replace"), dtype=np.uint8)
     return base_lut(alphabet)[raw]
 
 
@@ -156,7 +156,7 @@ def encode_seqs(
     def encode_chunk(ids, lpad):
         out = np.full((len(ids), lpad), INVALID, dtype=np.int8)
         for r, i in enumerate(ids):
-            raw = np.frombuffer(seqs[i].encode("ascii"), dtype=np.uint8)
+            raw = np.frombuffer(seqs[i].encode("ascii", errors="replace"), dtype=np.uint8)
             out[r, : raw.size] = lut[raw]
         return out
 
@@ -264,7 +264,7 @@ def encode_fasta(
     def encode_chunk(ids, lpad):  # same shape as encode_seqs' closure
         out = np.full((len(ids), lpad), INVALID, dtype=np.int8)
         for r, i in enumerate(ids):
-            raw = np.frombuffer(seqs[i].encode("ascii"), dtype=np.uint8)
+            raw = np.frombuffer(seqs[i].encode("ascii", errors="replace"), dtype=np.uint8)
             out[r, : raw.size] = lut[raw]
         return out
 

@@ -161,11 +161,14 @@ def stream_pearson(counts1, counts2, writer, block_rows: int = 4096,
     from seekr_tpu.ops.pearson import _row_standardize
     from seekr_tpu.ops.precision import pearson_precision
 
+    # self-similarity (the workflow/find_dist background case) reuses the
+    # standardized left operand: one standardize pass, one device copy
+    same = counts2 is counts1
     c1 = jnp.asarray(counts1, dtype=jnp.float32)
-    c2 = jnp.asarray(counts2, dtype=jnp.float32)
+    c2 = c1 if same else jnp.asarray(counts2, dtype=jnp.float32)
     if row_standardize:
         c1 = _row_standardize(c1)
-        c2 = _row_standardize(c2)
+        c2 = c1 if same else _row_standardize(c2)
     n = c1.shape[1]
 
     @jax.jit

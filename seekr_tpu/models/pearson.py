@@ -20,7 +20,10 @@ def pearson(counts1, counts2, row_standardize: bool = True, outfile: str | None 
     from seekr_tpu.utils.logging import stage_timer
 
     c1 = np.asarray(counts1, dtype=np.float32)
-    c2 = np.asarray(counts2, dtype=np.float32)
+    # np.asarray is a no-copy pass-through, so identical inputs (the
+    # self-similarity case) stay the SAME object and the blocked path's
+    # stream_pearson standardizes once and holds one device copy
+    c2 = c1 if counts2 is counts1 else np.asarray(counts2, dtype=np.float32)
     with stage_timer("pearson", items=c1.shape[0] * c2.shape[0], unit="cells"):
         if c1.shape[0] * c2.shape[0] > _BLOCK_THRESHOLD:
             dist = pearson_blocked(c1, c2, row_standardize=row_standardize)

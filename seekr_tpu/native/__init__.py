@@ -262,7 +262,7 @@ def encode_string(seq: str) -> np.ndarray:
     lib = _load()
     if lib is None:
         raise RuntimeError(f"native library unavailable: {_load_error}")
-    raw = seq.encode("ascii")
+    raw = seq.encode("ascii", errors="replace")
     out = np.empty(len(raw), dtype=np.int8)
     lib.seekr_encode_string(raw, len(raw),
                             out.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)))

@@ -170,7 +170,10 @@ def split_long_digits(digits: np.ndarray, k: int, n_chunks: int):
     """
     L = digits.shape[0]
     n_windows = L - k + 1
-    chunk = -(-L // n_chunks)
+    # chunk >= 1 keeps the kernel's window width >= 1 even for an empty
+    # digit vector (all-INVALID chunks count nothing; callers scale by
+    # n_windows <= 0 -> zeros)
+    chunk = max(1, -(-L // n_chunks))
     padded = np.full(chunk * n_chunks + k - 1, 4, dtype=np.int8)
     padded[:L] = digits
     chunks = np.stack([padded[i * chunk: i * chunk + chunk + k - 1]
@@ -224,7 +227,7 @@ def count_kmers_host(seqs: Sequence[str], k: int, alphabet: str = "AGTC") -> np.
         w = n - k + 1
         if w < 1:
             continue
-        digits = lut[np.frombuffer(seq.encode("ascii"), dtype=np.uint8)]
+        digits = lut[np.frombuffer(seq.encode("ascii", errors="replace"), dtype=np.uint8)]
         windows = np.lib.stride_tricks.sliding_window_view(digits, k)
         valid = (windows >= 0).all(axis=1)
         codes = (windows * powers).sum(axis=1)[valid]

@@ -143,9 +143,12 @@ def count_kmers_pallas(bases: jax.Array, lengths: jax.Array, k: int,
     n_lo = 1 << sl
     n_hi = 1 << (bits - sl)
     tm = _row_tile(k)
-    cw = _CW
-
     w = lpad - k + 1
+    # chunk width: at most _CW, but never wider than the (lane-aligned)
+    # window count — a 256-base bucket otherwise builds 2048-lane one-hots
+    # and contracts 2048 lanes for ~251 real windows (8x wasted MXU work
+    # and VMEM traffic on short-transcript buckets)
+    cw = min(_CW, -(-w // 128) * 128)
     n_chunks = max(1, -(-w // cw))
     # lane-align the padded width to 128 (fp32/i32 tile constraint)
     lpad_need = -(-(n_chunks * cw + k - 1) // 128) * 128

@@ -35,8 +35,7 @@ def pearson_graph(c: jax.Array) -> jax.Array:
     The shared building block for the fused pipeline and the sharded
     distributed pipeline; equivalent to ``pearson_device(c, c)``.
     """
-    c = c - jnp.mean(c, axis=1, keepdims=True)
-    c = c / jnp.std(c, axis=1, keepdims=True)
+    c = _row_standardize(c)  # one standardize recipe package-wide
     sim = jax.lax.dot_general(
         c, c,
         dimension_numbers=(((1,), (1,)), ((), ())),

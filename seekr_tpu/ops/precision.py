@@ -16,8 +16,23 @@ from __future__ import annotations
 import os
 
 
+_warned_invalid = False
+
+
 def pearson_precision():
     import jax
 
     name = os.environ.get("SEEKR_TPU_MATMUL_PRECISION", "high").upper()
-    return getattr(jax.lax.Precision, name, jax.lax.Precision.HIGH)
+    if name not in ("DEFAULT", "HIGH", "HIGHEST"):
+        # a typo'd override silently running at HIGH would make the knob
+        # appear dead while the user debugs parity — say so, once
+        global _warned_invalid
+        if not _warned_invalid:
+            _warned_invalid = True
+            import warnings
+
+            warnings.warn(
+                f"SEEKR_TPU_MATMUL_PRECISION={name!r} is not one of "
+                f"default|high|highest; using 'high'")
+        name = "HIGH"
+    return getattr(jax.lax.Precision, name)

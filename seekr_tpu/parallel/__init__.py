@@ -1,4 +1,5 @@
-from seekr_tpu.parallel.mesh import make_mesh, data_sharding, replicated
+from seekr_tpu.parallel.mesh import (make_mesh, data_sharding,
+                                     row_col_sharding, replicated)
 from seekr_tpu.parallel.dist import (
     distributed_pipeline,
     distributed_norm_stats,
@@ -9,6 +10,7 @@ from seekr_tpu.parallel.dist import (
 __all__ = [
     "make_mesh",
     "data_sharding",
+    "row_col_sharding",
     "replicated",
     "distributed_pipeline",
     "distributed_norm_stats",

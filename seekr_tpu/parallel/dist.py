@@ -166,14 +166,16 @@ def count_long_sequence(mesh: Mesh, k: int):
     Returns a jitted fn (chunks [n_dev, chunk+k-1] int8, n_windows scalar)
     -> [4^k] float32 counts-per-kb.
     """
-    n_dev = mesh.devices.size
     axes = (DATA_AXIS, KMER_AXIS)
 
     def per_device(chunk, n_windows):
         # chunk: [1, chunk_len + k - 1] on each device (halo included)
         raw = _count_impl(chunk, jnp.array([chunk.shape[1]], jnp.int32), k, scaled=False)[0]
         total = jax.lax.psum(raw, axes)
-        return total * (1000.0 / n_windows)
+        # a transcript shorter than k has no windows: zeros, not 0 * inf
+        # = NaN (same guard as the single-device count_kmers_long)
+        scale = jnp.where(n_windows > 0, 1000.0 / n_windows, 0.0)
+        return total * scale
 
     # check_vma=False: _count_impl's scan carry starts from a fresh zeros
     # array (unvarying) while the accumulation makes it device-varying; the
@@ -220,9 +222,9 @@ def stream_pearson_sharded(mesh: Mesh, counts, writer, block_rows: int = 4096,
     @functools.partial(jax.jit, static_argnames=("m_pad",),
                        out_shardings=data_shard)
     def prep(c, m_pad):
-        c = jnp.asarray(c, dtype=jnp.float32)
-        c = c - jnp.mean(c, axis=1, keepdims=True)
-        c = c / jnp.std(c, axis=1, keepdims=True)
+        from seekr_tpu.ops.pearson import _row_standardize
+
+        c = _row_standardize(jnp.asarray(c))  # one standardize recipe
         if m_pad != c.shape[0]:  # pad AFTER standardizing: rows stay finite
             c = jnp.pad(c, ((0, m_pad - c.shape[0]), (0, 0)))
         return c

@@ -13,22 +13,30 @@ from __future__ import annotations
 import contextlib
 import logging
 import os
+import threading
 import time
 
 _CONFIGURED = False
+_CONFIGURE_LOCK = threading.Lock()
 
 
 def get_logger(name: str = "seekr_tpu") -> logging.Logger:
     global _CONFIGURED
     if not _CONFIGURED:
-        level = os.environ.get("SEEKR_TPU_LOG", "warning").upper()
-        handler = logging.StreamHandler()
-        handler.setFormatter(logging.Formatter(
-            "%(asctime)s %(name)s %(levelname)s %(message)s", "%H:%M:%S"))
-        root = logging.getLogger("seekr_tpu")
-        root.addHandler(handler)
-        root.setLevel(getattr(logging, level, logging.WARNING))
-        _CONFIGURED = True
+        # double-checked under a lock: concurrent first calls (e.g. a
+        # worker thread and the main pipeline) must not attach two
+        # handlers, which would double every log line for the process
+        with _CONFIGURE_LOCK:
+            if not _CONFIGURED:
+                level = os.environ.get("SEEKR_TPU_LOG", "warning").upper()
+                handler = logging.StreamHandler()
+                handler.setFormatter(logging.Formatter(
+                    "%(asctime)s %(name)s %(levelname)s %(message)s",
+                    "%H:%M:%S"))
+                root = logging.getLogger("seekr_tpu")
+                root.addHandler(handler)
+                root.setLevel(getattr(logging, level, logging.WARNING))
+                _CONFIGURED = True
     return logging.getLogger(name)
 
 

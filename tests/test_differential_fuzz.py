@@ -51,6 +51,11 @@ def _random_seq(rng, length):
         b = min(length, a + int(rng.integers(1, 6)))
         for i in range(a, b):
             chars[i] = "N"
+    # an occasional non-ASCII byte: the reference's dict counter skips the
+    # window; the encoders must too (ascii errors='replace') rather than
+    # raising UnicodeEncodeError
+    if length > 6 and rng.random() < 0.2:
+        chars[int(rng.integers(0, length))] = "Ñ"
     return "".join(chars)
 
 

@@ -165,3 +165,52 @@ def test_init_distributed_single_process_noop():
     # must not raise or attempt a rendezvous
     init_distributed()
     init_distributed(num_processes=1)
+
+
+def test_sharding_helpers_place_arrays():
+    from seekr_tpu.parallel.mesh import (data_sharding, replicated,
+                                         row_col_sharding)
+
+    mesh = make_mesh(kmer_parallel=2)  # 4 x 2 over the 8 virtual devices
+    x = jax.device_put(np.zeros((8, 16), np.float32), data_sharding(mesh))
+    # rows split over the 4-way data axis, columns replicated
+    assert x.addressable_shards[0].data.shape == (2, 16)
+    y = jax.device_put(np.zeros((8, 16), np.float32), row_col_sharding(mesh))
+    assert y.addressable_shards[0].data.shape == (2, 8)
+    z = jax.device_put(np.zeros((8,), np.float32), replicated(mesh))
+    assert z.addressable_shards[0].data.shape == (8,)
+    v = jax.device_put(np.zeros((8,), np.float32), data_sharding(mesh, ndim=1))
+    assert v.addressable_shards[0].data.shape == (2,)
+
+
+def test_ecdf_sf_matches_host_empirical():
+    from seekr_tpu.ops.ecdf import ecdf_sf, empirical_pvals
+
+    rng = np.random.default_rng(0)
+    bkg = rng.normal(size=257).astype(np.float32)
+    bkg[10:20] = bkg[0]  # ties
+    r = np.concatenate([rng.normal(size=40), bkg[:5],
+                        [bkg.min() - 1, bkg.max() + 1]]).astype(np.float32)
+    got = np.asarray(ecdf_sf(jax.numpy.sort(jax.numpy.asarray(bkg)),
+                             jax.numpy.asarray(r)))
+    expected = empirical_pvals(bkg, r)
+    np.testing.assert_allclose(got, expected, rtol=1e-6, atol=0)
+
+
+def test_count_long_sequence_shorter_than_k_is_zeros():
+    from seekr_tpu.ops.count import split_long_digits
+    from seekr_tpu.parallel.dist import (count_long_sequence,
+                                         shard_long_sequence)
+
+    mesh = make_mesh()
+    n_dev = mesh.devices.size
+    fn = None
+    for digits in (np.array([], np.int8), np.array([0, 1], np.int8)):
+        chunks, n_windows = shard_long_sequence(digits, 3, n_dev)
+        assert n_windows <= 0
+        fn = count_long_sequence(mesh, 3)
+        out = np.asarray(fn(chunks, np.int32(n_windows)))
+        assert out.shape == (64,) and (out == 0).all() and np.isfinite(out).all()
+    # split_long_digits keeps chunk width >= 1 even for empty input
+    chunks, _ = split_long_digits(np.array([], np.int8), 3, 4)
+    assert chunks.shape[1] >= 3
