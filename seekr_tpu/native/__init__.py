@@ -106,6 +106,39 @@ def _load():
     lib.seekr_csv_data.restype = ctypes.c_int64
     lib.seekr_csv_data.argtypes = [ctypes.c_void_p,
                                    ctypes.POINTER(ctypes.c_float)]
+    lib.seekr_argsort_f64.restype = ctypes.c_int64
+    lib.seekr_argsort_f64.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_double),
+    ]
+    lib.seekr_scatter_f64_u8.restype = ctypes.c_int64
+    lib.seekr_scatter_f64_u8.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_uint8),
+    ]
+    lib.seekr_fdr_sorted_f64.restype = ctypes.c_int64
+    lib.seekr_fdr_sorted_f64.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int64, ctypes.c_double,
+        ctypes.c_double, ctypes.POINTER(ctypes.c_double),
+    ]
+    lib.seekr_fdr_f64.restype = ctypes.c_int64
+    lib.seekr_fdr_f64.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int64, ctypes.c_double,
+        ctypes.c_double, ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_uint8),
+    ]
+    lib.seekr_sym_round5_f64.restype = ctypes.c_int64
+    lib.seekr_sym_round5_f64.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int64]
+    lib.seekr_triu_values_f64.restype = ctypes.c_int64
+    lib.seekr_triu_values_f64.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_double)]
+    lib.seekr_triu_fill_f64.restype = ctypes.c_int64
+    lib.seekr_triu_fill_f64.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int64, ctypes.c_double,
+        ctypes.POINTER(ctypes.c_double)]
     _lib = lib
     return _lib
 
@@ -300,6 +333,186 @@ def write_csv_f32(path: str, matrix: np.ndarray, header_line: str = None,
         labels_arr, int(mode), int(bool(append)))
     if rc != 0:
         raise IOError(f"seekr_write_csv_f32 failed for {path!r}")
+
+
+def argsort_f64(keys: np.ndarray):
+    """Stable ascending argsort of a float64 vector, multithreaded.
+
+    Returns ``(order int64[n], sorted_values float64[n])`` — the native
+    LSD radix sort carries the values through, so the usual
+    ``keys[order]`` random gather is free.  Matches
+    ``np.argsort(keys, kind="stable")`` except that -0.0 sorts strictly
+    before +0.0 (numpy ties them); NaNs sort to the end in stable order
+    but with canonicalised payloads in the values output, so callers that
+    care fall back to numpy when NaNs are present.  Raises RuntimeError
+    when the native library is unavailable (callers fall back to numpy).
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native library unavailable: {_load_error}")
+    k = np.ascontiguousarray(keys, dtype=np.float64)
+    if k.ndim != 1:
+        raise ValueError("keys must be 1-D")
+    n = len(k)
+    order = np.empty(n, dtype=np.int64)
+    sorted_vals = np.empty(n, dtype=np.float64)
+    rc = lib.seekr_argsort_f64(
+        k.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), n,
+        order.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        sorted_vals.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+    if rc != 0:
+        raise ValueError(f"seekr_argsort_f64 failed (rc={rc})")
+    return order, sorted_vals
+
+
+def scatter_by_order(values: np.ndarray, order: np.ndarray,
+                     flags: Optional[np.ndarray] = None):
+    """Inverse-permutation scatter ``out[order] = values``, multithreaded.
+
+    ``flags`` (bool/uint8), when given, is scattered through the same
+    permutation in the same pass; returns ``(out_values, out_flags)``
+    with ``out_flags`` None when ``flags`` is None.
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native library unavailable: {_load_error}")
+    v = np.ascontiguousarray(values, dtype=np.float64)
+    o = np.ascontiguousarray(order, dtype=np.int64)
+    if v.ndim != 1 or o.shape != v.shape:
+        raise ValueError("values/order must be equal-length 1-D arrays")
+    n = len(v)
+    out_vals = np.empty(n, dtype=np.float64)
+    f_ptr = ctypes.POINTER(ctypes.c_uint8)()
+    of_ptr = ctypes.POINTER(ctypes.c_uint8)()
+    out_flags = None
+    if flags is not None:
+        f = np.ascontiguousarray(flags, dtype=np.uint8)
+        if f.shape != v.shape:
+            raise ValueError("flags must match the values length")
+        out_flags = np.empty(n, dtype=np.uint8)
+        f_ptr = f.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+        of_ptr = out_flags.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    rc = lib.seekr_scatter_f64_u8(
+        v.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), f_ptr,
+        o.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), n,
+        out_vals.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), of_ptr)
+    if rc != 0:
+        raise ValueError(f"seekr_scatter_f64_u8 failed (rc={rc}; "
+                         "out-of-range index?)")
+    return out_vals, out_flags
+
+
+def fdr_sorted(p_sorted: np.ndarray, alpha: float,
+               harmonic_sum: float = 0.0):
+    """BH/BY correction of an ascending-sorted p-value vector.
+
+    Returns ``(corrected float64[n], n_reject int)`` — bitwise identical
+    to multitest._fdr_correct's numpy math (``harmonic_sum`` selects BY;
+    pass numpy's own pairwise ``sum(1/i)`` for bitwise parity there).
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native library unavailable: {_load_error}")
+    p = np.ascontiguousarray(p_sorted, dtype=np.float64)
+    if p.ndim != 1:
+        raise ValueError("p_sorted must be 1-D")
+    corrected = np.empty(len(p), dtype=np.float64)
+    rc = lib.seekr_fdr_sorted_f64(
+        p.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), len(p),
+        float(alpha), float(harmonic_sum),
+        corrected.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+    if rc < 0:
+        raise ValueError(f"seekr_fdr_sorted_f64 failed (rc={rc})")
+    return corrected, int(rc)
+
+
+def fdr_adjust(pvals: np.ndarray, alpha: float, harmonic_sum: float = 0.0):
+    """Fused BH/BY correction of an UNSORTED p-value vector.
+
+    One native call runs the stable radix argsort, the suffix-min
+    correction, and the unsort scatter with no Python temporaries.
+    Returns ``(corrected float64[n], reject bool[n], n_reject int)`` in
+    the ORIGINAL element order.  Raises ValueError with ``rc=-3`` text
+    when NaNs are present — callers fall back to the numpy path, which
+    propagates NaN exactly like statsmodels.
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native library unavailable: {_load_error}")
+    p = np.ascontiguousarray(pvals, dtype=np.float64)
+    if p.ndim != 1:
+        raise ValueError("pvals must be 1-D")
+    corrected = np.empty(len(p), dtype=np.float64)
+    reject = np.empty(len(p), dtype=np.uint8)
+    rc = lib.seekr_fdr_f64(
+        p.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), len(p),
+        float(alpha), float(harmonic_sum),
+        corrected.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        reject.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    if rc < 0:
+        raise ValueError(f"seekr_fdr_f64 failed (rc={rc})")
+    return corrected, reject.view(bool), int(rc)
+
+
+def sym_round5(mat: np.ndarray) -> bool:
+    """5-decimal-rounded transpose equality (NaN == NaN) of a square
+    float64 matrix — adj_pval's symmetric-input test, tiled and
+    multithreaded with early exit.  The input must already be contiguous
+    float64 (callers check the dtype; converting here would change the
+    rounding semantics the test is defined on)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native library unavailable: {_load_error}")
+    if (not isinstance(mat, np.ndarray) or mat.dtype != np.float64
+            or mat.ndim != 2 or mat.shape[0] != mat.shape[1]
+            or not mat.flags.c_contiguous):
+        raise ValueError("sym_round5 needs a square C-contiguous float64 "
+                         "matrix")
+    rc = lib.seekr_sym_round5_f64(
+        mat.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), mat.shape[0])
+    if rc < 0:
+        raise ValueError(f"seekr_sym_round5_f64 failed (rc={rc})")
+    return bool(rc)
+
+
+def triu_values_f64(mat: np.ndarray) -> np.ndarray:
+    """Strict-upper-triangle values of a square C-contiguous float64
+    matrix in row-major order, gathered in parallel."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native library unavailable: {_load_error}")
+    if (not isinstance(mat, np.ndarray) or mat.dtype != np.float64
+            or mat.ndim != 2 or mat.shape[0] != mat.shape[1]
+            or not mat.flags.c_contiguous):
+        raise ValueError("triu_values_f64 needs a square C-contiguous "
+                         "float64 matrix")
+    m = mat.shape[0]
+    out = np.empty(m * (m - 1) // 2, dtype=np.float64)
+    rc = lib.seekr_triu_values_f64(
+        mat.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), m,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+    if rc != 0:
+        raise ValueError(f"seekr_triu_values_f64 failed (rc={rc})")
+    return out
+
+
+def triu_fill_f64(m: int, flat: np.ndarray, fill: float = np.nan):
+    """Scatter a row-major strict-upper-triangle vector back into an
+    m x m float64 matrix (everything else = ``fill``), one parallel
+    write pass over the output."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native library unavailable: {_load_error}")
+    f = np.ascontiguousarray(flat, dtype=np.float64)
+    if f.ndim != 1 or len(f) != m * (m - 1) // 2:
+        raise ValueError("flat must be 1-D with m*(m-1)/2 entries")
+    out = np.empty((m, m), dtype=np.float64)
+    rc = lib.seekr_triu_fill_f64(
+        f.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), m, float(fill),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+    if rc != 0:
+        raise ValueError(f"seekr_triu_fill_f64 failed (rc={rc})")
+    return out
 
 
 def read_csv_f32(path: str):

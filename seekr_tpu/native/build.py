@@ -16,7 +16,8 @@ import threading
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC_DIR = os.path.join(_HERE, "src")
 _BUILD_DIR = os.path.join(_HERE, "_build")
-_SOURCES = ("leiden.cpp", "fastio.cpp", "csvio.cpp")
+_SOURCES = ("leiden.cpp", "fastio.cpp", "csvio.cpp", "sortops.cpp",
+            "statops.cpp")
 _FLAGS = ["-O3", "-std=c++17", "-fPIC", "-shared", "-pthread"]
 _LOCK = threading.Lock()
 

@@ -24,8 +24,18 @@ def _tiled_symmetric(values: np.ndarray, tile: int = 1024) -> bool:
     both operands cache-resident (~0.1 s) and exits on the first
     asymmetric tile.
     """
+    m = values.shape[0]
+    if (m >= 2048 and values.dtype == np.float64
+            and values.flags.c_contiguous):
+        from seekr_tpu import native
+        if native.native_available():
+            try:
+                # native path rounds per-tile instead of materialising a
+                # full rounded copy; bit-identical np.round(x, 5) ops
+                return native.sym_round5(values)
+            except (RuntimeError, ValueError):
+                pass
     r = np.round(values, 5)
-    m = r.shape[0]
     for i0 in range(0, m, tile):
         a_row = r[i0:i0 + tile]
         for j0 in range(i0, m, tile):

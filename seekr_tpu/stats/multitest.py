@@ -13,7 +13,28 @@ Benjamini-Yekutieli 2001, Benjamini-Krieger-Yekutieli 2006 two-stage).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
+
+# Above this length the sort and the final unsort scatter go through the
+# native multithreaded radix engine (native/src/sortops.cpp) — at GENCODE
+# scale (84.5M upper-triangle p-values) they dominate the correction's
+# wall time.  SEEKR_TPU_HOST_SORT=numpy forces the pure-numpy path.
+_NATIVE_SORT_MIN = 1 << 16
+
+
+def _use_native(n: int) -> bool:
+    forced = os.environ.get("SEEKR_TPU_HOST_SORT", "").lower()
+    if forced == "numpy":
+        return False
+    if forced == "native":
+        from seekr_tpu.native import native_available
+        return native_available()
+    if n < _NATIVE_SORT_MIN:
+        return False
+    from seekr_tpu.native import native_available
+    return native_available()
 
 _METHOD_ALIASES = {
     "b": "bonferroni", "bonf": "bonferroni", "bonferroni": "bonferroni",
@@ -29,6 +50,14 @@ _METHOD_ALIASES = {
 }
 
 
+def _harmonic_sum(n: int) -> float:
+    """numpy's own pairwise ``sum(1/i)`` so BY stays bitwise identical
+    between the native and numpy paths."""
+    harmonic = np.arange(1.0, n + 1.0)
+    np.reciprocal(harmonic, out=harmonic)
+    return float(harmonic.sum())
+
+
 def _fdr_correct(p_sorted: np.ndarray, alpha: float, by: bool = False):
     """Benjamini-Hochberg / Benjamini-Yekutieli on ascending-sorted p.
 
@@ -37,9 +66,22 @@ def _fdr_correct(p_sorted: np.ndarray, alpha: float, by: bool = False):
     first-touch page-fault pass, so the ecdf buffer is built in place and
     recycled for the rejection threshold, and the accumulate/clip run on
     reversed views of a single quotient buffer. Arithmetic order matches
-    the statsmodels formulation exactly.
+    the statsmodels formulation exactly.  Large vectors route through the
+    native multithreaded suffix-min kernel (bitwise identical; NaNs are
+    at the tail of a sorted vector, and poison the numpy accumulate, so
+    their presence is an O(1) check that forces the numpy path).
     """
     n = len(p_sorted)
+    if n and _use_native(n) and not np.isnan(p_sorted[-1]):
+        from seekr_tpu import native
+        try:
+            corrected, n_reject = native.fdr_sorted(
+                p_sorted, alpha, _harmonic_sum(n) if by else 0.0)
+            reject = np.zeros(n, dtype=bool)
+            reject[:n_reject] = True
+            return reject, corrected
+        except (RuntimeError, ValueError):
+            pass
     ecdf = np.arange(1.0, n + 1.0)
     ecdf /= n
     if by:
@@ -96,12 +138,40 @@ def multipletests(pvals, alpha: float = 0.05, method: str = "fdr_bh",
     alphac_sidak = 1.0 - (1.0 - alpha) ** (1.0 / n)
     alphac_bonf = alpha / n
 
+    # Fused fast path for the FDR pair on unsorted input: one native call
+    # runs sort + correction + unsort with no Python temporaries (NaNs are
+    # detected inside and reported back, so no pre-scan pass is needed).
+    if (method in ("fdr_bh", "fdr_by") and not is_sorted
+            and not returnsorted and _use_native(n)):
+        from seekr_tpu import native
+        try:
+            corrected_full, reject_full, _ = native.fdr_adjust(
+                pvals, alpha,
+                _harmonic_sum(n) if method == "fdr_by" else 0.0)
+            return (reject_full.reshape(shape),
+                    corrected_full.reshape(shape),
+                    alphac_sidak, alphac_bonf)
+        except (RuntimeError, ValueError):
+            pass  # NaNs present or native unavailable: numpy path below
+
     if is_sorted:
         order = np.arange(n)
         p_sorted = pvals
     else:
-        order = np.argsort(pvals)
-        p_sorted = pvals[order]
+        # stable sort in both paths: ties keep input order (statsmodels'
+        # unstable introsort can permute ties, but every correction method
+        # assigns tied p-values identical corrected values, so only the
+        # tie-boundary `reject` bits — unused by adj_pval — could differ)
+        order = None
+        if _use_native(n) and not np.isnan(pvals).any():
+            from seekr_tpu import native
+            try:
+                order, p_sorted = native.argsort_f64(pvals)
+            except (RuntimeError, ValueError):
+                order = None
+        if order is None:
+            order = np.argsort(pvals, kind="stable")
+            p_sorted = pvals[order]
 
     if method == "bonferroni":
         corrected = np.clip(p_sorted * n, 0, 1)
@@ -158,10 +228,22 @@ def multipletests(pvals, alpha: float = 0.05, method: str = "fdr_bh",
     if returnsorted:
         return reject, corrected, alphac_sidak, alphac_bonf
 
-    corrected_full = np.empty_like(corrected)
-    corrected_full[order] = corrected
-    reject_full = np.empty_like(reject)
-    reject_full[order] = reject
+    if _use_native(n):
+        from seekr_tpu import native
+        try:
+            corrected_full, reject_u8 = native.scatter_by_order(
+                corrected, order, flags=reject)
+            reject_full = reject_u8.view(bool)
+        except (RuntimeError, ValueError):
+            corrected_full = np.empty_like(corrected)
+            corrected_full[order] = corrected
+            reject_full = np.empty_like(reject)
+            reject_full[order] = reject
+    else:
+        corrected_full = np.empty_like(corrected)
+        corrected_full[order] = corrected
+        reject_full = np.empty_like(reject)
+        reject_full[order] = reject
     return (
         reject_full.reshape(shape),
         corrected_full.reshape(shape),

@@ -12,6 +12,17 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
+# below this edge size the numpy row-slice loops win on launch overhead
+_NATIVE_MIN_M = 2048
+
+
+def _native_ok(mat: np.ndarray, m: int) -> bool:
+    if (m < _NATIVE_MIN_M or not isinstance(mat, np.ndarray)
+            or mat.dtype != np.float64 or not mat.flags.c_contiguous):
+        return False
+    from seekr_tpu import native
+    return native.native_available()
+
 
 def triu_values(mat: np.ndarray) -> np.ndarray:
     """Upper-triangle (k=1) values in row-major order.
@@ -22,6 +33,12 @@ def triu_values(mat: np.ndarray) -> np.ndarray:
     m=13k on faulted pages); sequential slice copies run in ~0.2 s.
     """
     m = mat.shape[0]
+    if _native_ok(mat, m):
+        from seekr_tpu import native
+        try:
+            return native.triu_values_f64(mat)
+        except (RuntimeError, ValueError):
+            pass
     out = np.empty(m * (m - 1) // 2, dtype=mat.dtype)
     pos = 0
     for i in range(m - 1):
@@ -38,6 +55,14 @@ def triu_fill(m: int, flat: np.ndarray, fill=np.nan) -> np.ndarray:
     triangle becomes ``fill``. Row-slice writes for the same reason as
     the gather.
     """
+    if (m >= _NATIVE_MIN_M and isinstance(flat, np.ndarray)
+            and flat.dtype == np.float64):
+        from seekr_tpu import native
+        if native.native_available():
+            try:
+                return native.triu_fill_f64(m, flat, fill=fill)
+            except (RuntimeError, ValueError, TypeError):
+                pass
     out = np.full((m, m), fill, dtype=flat.dtype)
     pos = 0
     for i in range(m - 1):

@@ -100,3 +100,37 @@ def test_shape_preserved():
 def test_unknown_method_raises():
     with pytest.raises(ValueError):
         multipletests(P, method="nope")
+
+
+@pytest.mark.parametrize("method", ALL_METHODS)
+def test_native_path_bitwise_equals_numpy_path(method, monkeypatch):
+    native_mod = pytest.importorskip("seekr_tpu.native")
+    if not native_mod.native_available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(11)
+    if method == "hommel":
+        p = rng.random(300)  # hommel is O(n^2); keep it small
+    else:
+        p = np.round(rng.random(70001), 3)  # ties like empirical p-values
+        p[:30] = 0.0
+        p[30:60] = 1.0
+    monkeypatch.setenv("SEEKR_TPU_HOST_SORT", "numpy")
+    ref = multipletests(p, method=method)
+    monkeypatch.setenv("SEEKR_TPU_HOST_SORT", "native")
+    got = multipletests(p, method=method)
+    assert ref[1].tobytes() == got[1].tobytes()
+    assert np.array_equal(ref[0], got[0])
+
+
+def test_native_path_nan_falls_back(monkeypatch):
+    native_mod = pytest.importorskip("seekr_tpu.native")
+    if not native_mod.native_available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(12)
+    p = rng.random(70001)
+    p[123] = np.nan
+    monkeypatch.setenv("SEEKR_TPU_HOST_SORT", "native")
+    got = multipletests(p, method="fdr_bh")
+    monkeypatch.setenv("SEEKR_TPU_HOST_SORT", "numpy")
+    ref = multipletests(p, method="fdr_bh")
+    assert np.array_equal(ref[1], got[1], equal_nan=True)

@@ -334,3 +334,125 @@ def test_encode_fasta_cr_file_matches_python_path(tmp_path):
     enc = encode_fasta(str(fa), k=1)
     ref = encode_seqs(["ACGT", "AAAA"], k=1)
     assert list(enc.lengths) == list(ref.lengths)
+
+
+# ---------------------------------------------------------------------------
+# sortops: stable radix argsort + scatter + fused FDR (native/src/sortops.cpp)
+
+
+@pytest.mark.parametrize("n", [0, 1, 2, 255, 256, 1000, 70000])
+def test_argsort_matches_numpy_stable(n):
+    rng = np.random.default_rng(n)
+    x = rng.random(n)
+    if n >= 1000:
+        x[::7] = 0.5            # heavy ties exercise stability
+        x[1], x[2] = 0.0, 1.0
+        x[3], x[4] = -1.5, 2.5  # out-of-[0,1] values
+        x[5], x[6] = np.inf, -np.inf
+    order, sorted_vals = native.argsort_f64(x)
+    ref = np.argsort(x, kind="stable")
+    assert np.array_equal(order, ref)
+    assert np.array_equal(sorted_vals, x[ref])
+
+
+def test_argsort_constant_and_integer_keys():
+    # constant input: every radix pass is skipped
+    x = np.full(100000, 0.25)
+    order, sorted_vals = native.argsort_f64(x)
+    assert np.array_equal(order, np.arange(100000))
+    assert np.array_equal(sorted_vals, x)
+    # small-integer doubles: most digit positions constant -> passes skipped
+    rng = np.random.default_rng(0)
+    x = rng.integers(0, 50, 200000).astype(np.float64)
+    assert np.array_equal(native.argsort_f64(x)[0],
+                          np.argsort(x, kind="stable"))
+
+
+def test_argsort_nan_tail_stable_order():
+    x = np.array([0.3, np.nan, 0.1, np.nan, 0.2])
+    order, _ = native.argsort_f64(x)
+    assert np.array_equal(order, np.argsort(x, kind="stable"))
+
+
+def test_argsort_negative_zero_is_valid_stable_sort():
+    # documented divergence: -0.0 orders before +0.0 (numpy ties them);
+    # still a permutation whose gathered values are ==-equal to numpy's
+    rng = np.random.default_rng(1)
+    x = rng.random(1000)
+    x[10], x[20], x[30] = 0.0, -0.0, 0.0
+    order, sorted_vals = native.argsort_f64(x)
+    assert np.array_equal(np.sort(order), np.arange(1000))
+    assert np.all(np.diff(sorted_vals) >= 0)
+    assert np.array_equal(sorted_vals, x[order])
+    assert (sorted_vals == x[np.argsort(x, kind="stable")]).all()
+
+
+def test_scatter_by_order_matches_fancy_index():
+    rng = np.random.default_rng(2)
+    n = 70000
+    order = rng.permutation(n).astype(np.int64)
+    vals = rng.random(n)
+    flags = vals > 0.5
+    out_vals, out_flags = native.scatter_by_order(vals, order, flags=flags)
+    exp = np.empty(n)
+    exp[order] = vals
+    expf = np.empty(n, bool)
+    expf[order] = flags
+    assert np.array_equal(out_vals, exp)
+    assert np.array_equal(out_flags.view(bool), expf)
+    only_vals, none_flags = native.scatter_by_order(vals, order)
+    assert np.array_equal(only_vals, exp) and none_flags is None
+
+
+def test_scatter_by_order_rejects_bad_index():
+    order = np.array([0, 1, 7], dtype=np.int64)  # 7 out of range
+    with pytest.raises(ValueError):
+        native.scatter_by_order(np.zeros(3), order)
+
+
+@pytest.mark.parametrize("by", [False, True])
+def test_fused_fdr_bitwise_vs_numpy_math(by):
+    rng = np.random.default_rng(3)
+    n = 200001
+    p = np.round(rng.random(n), 3)  # ecdf-like tie structure
+    p[:50] = 0.0
+    p[50:90] = 1.0
+    H = float(np.sum(1.0 / np.arange(1.0, n + 1.0))) if by else 0.0
+    # numpy reference math, exactly as multitest._fdr_correct writes it
+    order = np.argsort(p, kind="stable")
+    ps = p[order]
+    ecdf = np.arange(1.0, n + 1.0)
+    ecdf /= n
+    if by:
+        harmonic = np.arange(1.0, n + 1.0)
+        np.reciprocal(harmonic, out=harmonic)
+        ecdf /= harmonic.sum()
+    corr = ps / ecdf
+    np.minimum.accumulate(corr[::-1], out=corr[::-1])
+    np.clip(corr, 0, 1, out=corr)
+    ecdf *= 0.05
+    below = ps <= ecdf
+    cf = np.empty_like(corr)
+    cf[order] = corr
+    rej_sorted = np.zeros(n, bool)
+    if below.any():
+        rej_sorted[: below.nonzero()[0].max() + 1] = True
+    rej = np.zeros(n, bool)
+    rej[order] = rej_sorted
+    if by:
+        harmonic = np.arange(1.0, n + 1.0)
+        np.reciprocal(harmonic, out=harmonic)
+        H = float(harmonic.sum())
+    c2, r2, n_rej = native.fdr_adjust(p, 0.05, harmonic_sum=H)
+    assert cf.tobytes() == c2.tobytes()
+    assert np.array_equal(rej, r2)
+    assert n_rej == int(rej_sorted.sum())
+    # sorted-domain entry agrees with the fused one
+    c3, n_rej3 = native.fdr_sorted(ps, 0.05, harmonic_sum=H)
+    assert c3.tobytes() == corr.tobytes() and n_rej3 == n_rej
+
+
+def test_fused_fdr_rejects_nan():
+    p = np.array([0.1, np.nan, 0.3])
+    with pytest.raises(ValueError):
+        native.fdr_adjust(p, 0.05)
