@@ -319,3 +319,93 @@ def test_pearson_fuzz_vs_reference(ref_pkg, seed):
         theirs = ref_pearson(c1.copy(), c2.copy())
     np.testing.assert_allclose(ours, theirs, rtol=1e-3, atol=1e-4,
                                equal_nan=True)
+
+
+@pytest.mark.parametrize("seed", range(46, 51))
+def test_find_dist_fuzz_vs_reference(ref_pkg, tmp_path, seed, capsys,
+                                     monkeypatch):
+    """find_dist parity on random corpora/params: background counts +
+    Pearson + triu + (seeded) subsetting + scipy MLE fits + ranking
+    (seekr/find_dist.py:82-247).  Both sides write bkg_{mean,std} npy
+    side-effect files into CWD; each side's copies are stashed and
+    compared.  Subsetting draws from the global legacy np.random stream;
+    seeding both sides identically makes the chosen INDICES equal (the
+    permutation depends only on the pool length), so values stay
+    elementwise comparable."""
+    sys.path.insert(0, REFERENCE)
+    try:
+        from seekr.find_dist import find_dist as ref_find_dist
+    finally:
+        sys.path.remove(REFERENCE)
+    from seekr_tpu.stats.find_dist import find_dist
+
+    monkeypatch.chdir(tmp_path)
+    rng = np.random.default_rng(seed)
+    k = int(rng.integers(2, 5))
+    fa = tmp_path / "bkg.fa"
+    _write_fasta_long(fa, rng, int(rng.integers(6, 14)), k)
+    log2 = ["Log2.none", "Log2.pre", "Log2.post"][int(rng.integers(0, 3))]
+    models = ["common10",
+              ["norm", "expon", "gumbel_r", "logistic"],
+              ["norm", "lognorm", "nosuchmodel"]][int(rng.integers(0, 3))]
+    statsmethod = ["ks", "mse", "aic", "bic"][int(rng.integers(0, 4))]
+    fit_model = bool(rng.integers(0, 2))
+    subsetting = bool(rng.integers(0, 2))
+    subset_size = int(rng.integers(10, 40))
+    kwargs = dict(inputseq=str(fa), k_mer=k, log2=log2, models=models,
+                  subsetting=subsetting, subset_size=subset_size,
+                  fit_model=fit_model, statsmethod=statsmethod,
+                  progress_bar=False, plotfit=None, outputname=None)
+
+    np.random.seed(seed)
+    res_r = ref_find_dist(**kwargs)
+    side_r = [np.load(tmp_path / f"bkg_{w}_{k}mers.npy")
+              for w in ("mean", "std")]
+    np.random.seed(seed)
+    res_o = find_dist(**kwargs)
+    side_o = [np.load(tmp_path / f"bkg_{w}_{k}mers.npy")
+              for w in ("mean", "std")]
+    capsys.readouterr()
+
+    for ours, theirs in zip(side_o, side_r):
+        np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-5)
+    if not fit_model:
+        np.testing.assert_allclose(np.asarray(res_o), np.asarray(res_r),
+                                   rtol=1e-3, atol=1e-4)
+        return
+    names_o = [t[0] for t in res_o]
+    names_r = [t[0] for t in res_r]
+    assert set(names_o) == set(names_r)
+    stats_r = {t[0]: t[1] for t in res_r}
+    params_r = {t[0]: t[2] for t in res_r}
+    from scipy import stats as scipy_stats
+    grid = np.linspace(-1.0, 1.0, 41)  # r-values live in [-1, 1]
+    for name, stat, params in res_o:
+        np.testing.assert_allclose(stat, stats_r[name], rtol=2e-2,
+                                   atol=1e-6, err_msg=name)
+        # raw MLE params can be ill-conditioned (e.g. lognorm with shape
+        # ~1e-3 trades loc against scale); compare the fitted
+        # DISTRIBUTIONS via their CDFs over the r-value range instead
+        dist = getattr(scipy_stats, name)
+        cdf_o = dist.cdf(grid, *params)
+        cdf_r = dist.cdf(grid, *params_r[name])
+        np.testing.assert_allclose(cdf_o, cdf_r, atol=5e-3, err_msg=name)
+    # ranking agrees wherever adjacent stats are not near-ties
+    for i in range(len(names_o) - 1):
+        a, b = names_o[i], names_o[i + 1]
+        if abs(stats_r[a] - stats_r[b]) > 1e-3 * max(
+                abs(stats_r[a]), abs(stats_r[b]), 1e-12):
+            assert names_r.index(a) < names_r.index(b), (a, b)
+
+
+def _write_fasta_long(path, rng, n_seqs, k):
+    """Like _write_fasta but with >=50-base sequences so scipy MLE fits
+    see enough r-values to behave (tiny corpora make fits degenerate and
+    tolerance comparison meaningless)."""
+    lines = []
+    for i in range(n_seqs):
+        lines.append(f">seq{i}")
+        length = int(rng.integers(50, 400))
+        seq = "".join(rng.choice(list(BASES), size=length))
+        lines.append(seq)
+    path.write_text("\n".join(lines) + "\n")
