@@ -147,6 +147,25 @@ def native_available() -> bool:
     return _load() is not None
 
 
+def host_stats_native_ok(size: int, min_size: int) -> bool:
+    """Single gate for every host-stats native kernel (sortops/statops).
+
+    ``SEEKR_TPU_HOST_SORT=numpy`` disables them all (argsort, scatter,
+    fused FDR, symmetric test, triu gather/fill) so a platform problem in
+    the native engine has one kill switch and env-flip A/B parity tests
+    cover every path; ``=native`` forces them regardless of ``size``.
+    Otherwise the kernel runs natively when ``size >= min_size`` (callers
+    pass their own threshold: element count for the sort paths, edge
+    length for the matrix helpers) and the library built.
+    """
+    forced = os.environ.get("SEEKR_TPU_HOST_SORT", "").lower()
+    if forced == "numpy":
+        return False
+    if forced != "native" and size < min_size:
+        return False
+    return native_available()
+
+
 def leiden(sources, targets, weights, n_nodes: int,
            algo: str = "RBERVertexPartition", resolution: float = 1.0,
            seed: Optional[int] = None) -> np.ndarray:
@@ -369,9 +388,13 @@ def scatter_by_order(values: np.ndarray, order: np.ndarray,
                      flags: Optional[np.ndarray] = None):
     """Inverse-permutation scatter ``out[order] = values``, multithreaded.
 
-    ``flags`` (bool/uint8), when given, is scattered through the same
-    permutation in the same pass; returns ``(out_values, out_flags)``
-    with ``out_flags`` None when ``flags`` is None.
+    ``order`` MUST be a permutation of 0..n-1 (like an argsort result):
+    out-of-range indices raise, but duplicate indices are NOT detected —
+    two threads would race the same output slot, unlike numpy's
+    deterministic last-write-wins fancy indexing.  ``flags`` (bool/uint8),
+    when given, is scattered through the same permutation in the same
+    pass; returns ``(out_values, out_flags)`` with ``out_flags`` None
+    when ``flags`` is None.
     """
     lib = _load()
     if lib is None:

@@ -18,6 +18,8 @@ _SRC_DIR = os.path.join(_HERE, "src")
 _BUILD_DIR = os.path.join(_HERE, "_build")
 _SOURCES = ("leiden.cpp", "fastio.cpp", "csvio.cpp", "sortops.cpp",
             "statops.cpp")
+# headers are hashed (cache invalidation) but not passed to g++ directly
+_HEADERS = ("host_parallel.h",)
 _FLAGS = ["-O3", "-std=c++17", "-fPIC", "-shared", "-pthread"]
 _LOCK = threading.Lock()
 
@@ -29,7 +31,7 @@ class NativeBuildError(RuntimeError):
 def _source_hash() -> str:
     h = hashlib.sha256()
     h.update(" ".join(_FLAGS).encode())
-    for name in _SOURCES:
+    for name in _SOURCES + _HEADERS:
         with open(os.path.join(_SRC_DIR, name), "rb") as f:
             h.update(f.read())
     return h.hexdigest()[:16]

@@ -37,10 +37,16 @@
 #include <cstdint>
 #include <cstring>
 #include <functional>
+#include <limits>
 #include <thread>
 #include <vector>
 
+#include "host_parallel.h"
+
 namespace {
+
+using seekr_host::pick_threads;
+using seekr_host::run_parallel;
 
 struct Item {
   uint64_t key;
@@ -65,20 +71,6 @@ inline double key_untransform(uint64_t key) {
   return v;
 }
 
-inline int64_t pick_threads(int64_t n, int64_t per_thread_floor) {
-  int64_t hw = std::max<int64_t>(1, std::thread::hardware_concurrency());
-  return std::max<int64_t>(
-      1, std::min(hw, n / std::max<int64_t>(1, per_thread_floor)));
-}
-
-void run_blocks(int64_t n_threads, const std::function<void(int64_t)>& fn) {
-  std::vector<std::thread> ts;
-  ts.reserve(static_cast<size_t>(n_threads - 1));
-  for (int64_t t = 1; t < n_threads; ++t) ts.emplace_back(fn, t);
-  fn(0);
-  for (auto& th : ts) th.join();
-}
-
 constexpr int kDigitBits = 8;
 constexpr int64_t kRadix = int64_t{1} << kDigitBits;
 constexpr int kPasses = 8;
@@ -101,7 +93,7 @@ Item* sort_items(const double* keys, int64_t n, int64_t n_threads,
       static_cast<size_t>(n_threads),
       std::vector<uint64_t>(kPasses * kRadix, 0));
   std::atomic<int> saw_nan{0};
-  run_blocks(n_threads, [&](int64_t t) {
+  run_parallel(n_threads, [&](int64_t t) {
     const int64_t lo = t * block, hi = std::min(n, lo + block);
     uint64_t* h = bhist[static_cast<size_t>(t)].data();
     for (int64_t i = lo; i < hi; ++i) {
@@ -165,7 +157,7 @@ Item* sort_items(const double* keys, int64_t n, int64_t n_threads,
         run += hist[static_cast<size_t>(t)][d];
       }
 
-    run_blocks(n_threads, [&](int64_t t) {
+    run_parallel(n_threads, [&](int64_t t) {
       const int64_t lo = t * block, hi = std::min(n, lo + block);
       uint64_t* off = offsets.data() + t * kRadix;
       uint64_t* nh = nexthist[static_cast<size_t>(t)].data();
@@ -231,7 +223,7 @@ int64_t fdr_from_sorted(const std::function<double(int64_t)>& p, int64_t n,
   // per-block last index with p_i <= e_i*alpha
   std::vector<double> block_min(static_cast<size_t>(n_threads));
   std::vector<int64_t> block_last(static_cast<size_t>(n_threads));
-  run_blocks(n_threads, [&](int64_t t) {
+  run_parallel(n_threads, [&](int64_t t) {
     const int64_t lo = t * block, hi = std::min(n, lo + block);
     double bm = std::numeric_limits<double>::infinity();
     int64_t last = -1;
@@ -263,7 +255,7 @@ int64_t fdr_from_sorted(const std::function<double(int64_t)>& p, int64_t n,
     }
 
   // phase C: backward walk per block with the numpy accumulate tie rule
-  run_blocks(n_threads, [&](int64_t t) {
+  run_parallel(n_threads, [&](int64_t t) {
     const int64_t lo = t * block, hi = std::min(n, lo + block);
     double run = suffix[static_cast<size_t>(t)];
     for (int64_t i = hi - 1; i >= lo; --i) {
@@ -290,7 +282,7 @@ int64_t seekr_argsort_f64(const double* keys, int64_t n, int64_t* order,
   const int64_t block = (n + n_threads - 1) / n_threads;
   std::vector<Item> a, b;
   Item* src = sort_items(keys, n, n_threads, block, a, b, false);
-  run_blocks(n_threads, [&](int64_t t) {
+  run_parallel(n_threads, [&](int64_t t) {
     const int64_t lo = t * block, hi = std::min(n, lo + block);
     for (int64_t i = lo; i < hi; ++i) {
       order[i] = static_cast<int64_t>(src[i].idx);
@@ -303,7 +295,10 @@ int64_t seekr_argsort_f64(const double* keys, int64_t n, int64_t* order,
 // Inverse-permutation scatter: out_vals[order[i]] = vals[i], and (when the
 // flag pointers are non-null) out_flags[order[i]] = flags[i].  This is the
 // pair of fancy-index assignments at the tail of multipletests fused into
-// one pass over the permutation.
+// one pass over the permutation.  PRECONDITION: order is a permutation —
+// out-of-range indices return -2, but duplicates are not detected and
+// would race the same output slot across threads (numpy fancy indexing
+// is deterministic last-write-wins; this is not).
 int64_t seekr_scatter_f64_u8(const double* vals, const uint8_t* flags,
                              const int64_t* order, int64_t n,
                              double* out_vals, uint8_t* out_flags) {
@@ -312,7 +307,7 @@ int64_t seekr_scatter_f64_u8(const double* vals, const uint8_t* flags,
   const int64_t n_threads = pick_threads(n, 1 << 16);
   const int64_t block = (n + n_threads - 1) / n_threads;
   std::atomic<int64_t> bad{0};
-  run_blocks(n_threads, [&](int64_t t) {
+  run_parallel(n_threads, [&](int64_t t) {
     const int64_t lo = t * block, hi = std::min(n, lo + block);
     for (int64_t i = lo; i < hi; ++i) {
       const int64_t j = order[i];
@@ -369,7 +364,7 @@ int64_t seekr_fdr_f64(const double* pvals, int64_t n, double alpha,
       [src](int64_t i) { return key_untransform(src[i].key); }, n, alpha,
       harmonic_sum, n_threads, block, corrected_sorted.data());
 
-  run_blocks(n_threads, [&](int64_t t) {
+  run_parallel(n_threads, [&](int64_t t) {
     const int64_t lo = t * block, hi = std::min(n, lo + block);
     for (int64_t i = lo; i < hi; ++i) {
       const int64_t j = static_cast<int64_t>(src[i].idx);

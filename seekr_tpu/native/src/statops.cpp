@@ -18,21 +18,12 @@
 #include <thread>
 #include <vector>
 
+#include "host_parallel.h"
+
 namespace {
 
-inline int64_t pick_threads(int64_t work, int64_t per_thread_floor) {
-  int64_t hw = std::max<int64_t>(1, std::thread::hardware_concurrency());
-  return std::max<int64_t>(
-      1, std::min(hw, work / std::max<int64_t>(1, per_thread_floor)));
-}
-
-void run_parallel(int64_t n_threads, const std::function<void(int64_t)>& fn) {
-  std::vector<std::thread> ts;
-  ts.reserve(static_cast<size_t>(n_threads - 1));
-  for (int64_t t = 1; t < n_threads; ++t) ts.emplace_back(fn, t);
-  fn(0);
-  for (auto& th : ts) th.join();
-}
+using seekr_host::pick_threads;
+using seekr_host::run_parallel;
 
 inline double round5(double v) {
   return std::rint(v * 100000.0) / 100000.0;

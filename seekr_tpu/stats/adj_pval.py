@@ -25,10 +25,10 @@ def _tiled_symmetric(values: np.ndarray, tile: int = 1024) -> bool:
     asymmetric tile.
     """
     m = values.shape[0]
-    if (m >= 2048 and values.dtype == np.float64
-            and values.flags.c_contiguous):
+    if values.dtype == np.float64 and values.flags.c_contiguous:
         from seekr_tpu import native
-        if native.native_available():
+        from seekr_tpu.utils.adj import _NATIVE_MIN_M
+        if native.host_stats_native_ok(m, _NATIVE_MIN_M):
             try:
                 # native path rounds per-tile instead of materialising a
                 # full rounded copy; bit-identical np.round(x, 5) ops

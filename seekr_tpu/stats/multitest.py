@@ -13,28 +13,19 @@ Benjamini-Yekutieli 2001, Benjamini-Krieger-Yekutieli 2006 two-stage).
 
 from __future__ import annotations
 
-import os
-
 import numpy as np
 
 # Above this length the sort and the final unsort scatter go through the
 # native multithreaded radix engine (native/src/sortops.cpp) — at GENCODE
 # scale (84.5M upper-triangle p-values) they dominate the correction's
-# wall time.  SEEKR_TPU_HOST_SORT=numpy forces the pure-numpy path.
+# wall time.  SEEKR_TPU_HOST_SORT=numpy forces the pure-numpy path
+# everywhere (shared gate: native.host_stats_native_ok).
 _NATIVE_SORT_MIN = 1 << 16
 
 
 def _use_native(n: int) -> bool:
-    forced = os.environ.get("SEEKR_TPU_HOST_SORT", "").lower()
-    if forced == "numpy":
-        return False
-    if forced == "native":
-        from seekr_tpu.native import native_available
-        return native_available()
-    if n < _NATIVE_SORT_MIN:
-        return False
-    from seekr_tpu.native import native_available
-    return native_available()
+    from seekr_tpu.native import host_stats_native_ok
+    return host_stats_native_ok(n, _NATIVE_SORT_MIN)
 
 _METHOD_ALIASES = {
     "b": "bonferroni", "bonf": "bonferroni", "bonferroni": "bonferroni",
@@ -228,6 +219,7 @@ def multipletests(pvals, alpha: float = 0.05, method: str = "fdr_bh",
     if returnsorted:
         return reject, corrected, alphac_sidak, alphac_bonf
 
+    corrected_full = reject_full = None
     if _use_native(n):
         from seekr_tpu import native
         try:
@@ -235,11 +227,8 @@ def multipletests(pvals, alpha: float = 0.05, method: str = "fdr_bh",
                 corrected, order, flags=reject)
             reject_full = reject_u8.view(bool)
         except (RuntimeError, ValueError):
-            corrected_full = np.empty_like(corrected)
-            corrected_full[order] = corrected
-            reject_full = np.empty_like(reject)
-            reject_full[order] = reject
-    else:
+            pass  # native unavailable mid-flight: shared numpy fallback
+    if corrected_full is None:
         corrected_full = np.empty_like(corrected)
         corrected_full[order] = corrected
         reject_full = np.empty_like(reject)

@@ -12,16 +12,17 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-# below this edge size the numpy row-slice loops win on launch overhead
+# below this edge size the numpy row-slice loops win on launch overhead;
+# SEEKR_TPU_HOST_SORT={numpy,native} overrides via the shared gate
 _NATIVE_MIN_M = 2048
 
 
 def _native_ok(mat: np.ndarray, m: int) -> bool:
-    if (m < _NATIVE_MIN_M or not isinstance(mat, np.ndarray)
-            or mat.dtype != np.float64 or not mat.flags.c_contiguous):
+    if (not isinstance(mat, np.ndarray) or mat.dtype != np.float64
+            or not mat.flags.c_contiguous):
         return False
-    from seekr_tpu import native
-    return native.native_available()
+    from seekr_tpu.native import host_stats_native_ok
+    return host_stats_native_ok(m, _NATIVE_MIN_M)
 
 
 def triu_values(mat: np.ndarray) -> np.ndarray:
@@ -55,10 +56,9 @@ def triu_fill(m: int, flat: np.ndarray, fill=np.nan) -> np.ndarray:
     triangle becomes ``fill``. Row-slice writes for the same reason as
     the gather.
     """
-    if (m >= _NATIVE_MIN_M and isinstance(flat, np.ndarray)
-            and flat.dtype == np.float64):
+    if isinstance(flat, np.ndarray) and flat.dtype == np.float64:
         from seekr_tpu import native
-        if native.native_available():
+        if native.host_stats_native_ok(m, _NATIVE_MIN_M):
             try:
                 return native.triu_fill_f64(m, flat, fill=fill)
             except (RuntimeError, ValueError, TypeError):

@@ -417,7 +417,6 @@ def test_fused_fdr_bitwise_vs_numpy_math(by):
     p = np.round(rng.random(n), 3)  # ecdf-like tie structure
     p[:50] = 0.0
     p[50:90] = 1.0
-    H = float(np.sum(1.0 / np.arange(1.0, n + 1.0))) if by else 0.0
     # numpy reference math, exactly as multitest._fdr_correct writes it
     order = np.argsort(p, kind="stable")
     ps = p[order]
@@ -439,6 +438,7 @@ def test_fused_fdr_bitwise_vs_numpy_math(by):
         rej_sorted[: below.nonzero()[0].max() + 1] = True
     rej = np.zeros(n, bool)
     rej[order] = rej_sorted
+    H = 0.0
     if by:
         harmonic = np.arange(1.0, n + 1.0)
         np.reciprocal(harmonic, out=harmonic)
@@ -456,3 +456,82 @@ def test_fused_fdr_rejects_nan():
     p = np.array([0.1, np.nan, 0.3])
     with pytest.raises(ValueError):
         native.fdr_adjust(p, 0.05)
+
+
+# ---------------------------------------------------------------------------
+# statops: symmetric test + triu gather/fill at production scale (m >= 2048,
+# above the native gate, directly against the numpy formulations)
+
+
+def _sym_matrix(rng, m):
+    a = rng.random((m, m))
+    return np.round((a + a.T) / 2, 6)
+
+
+def test_statops_sym_round5_scale_and_edges():
+    rng = np.random.default_rng(0)
+    m = 2100
+    s = _sym_matrix(rng, m)
+    assert native.sym_round5(s)
+    # sub-rounding-noise asymmetry stays symmetric under round-to-5dp
+    s2 = s.copy()
+    s2[7, m - 3] += 1e-9
+    assert native.sym_round5(s2)
+    # above-rounding asymmetry detected (early-exit path), in a far tile
+    s3 = s.copy()
+    s3[m - 5, 2] += 1e-3
+    assert not native.sym_round5(s3)
+    # NaN == NaN mirror pair is symmetric; single-sided NaN is not
+    s4 = s.copy()
+    s4[100, 200] = s4[200, 100] = np.nan
+    assert native.sym_round5(s4)
+    s5 = s.copy()
+    s5[100, 200] = np.nan
+    assert not native.sym_round5(s5)
+    # round-half-even boundary behaves exactly like np.round
+    s6 = s.copy()
+    s6[0, 1], s6[1, 0] = 0.000015, 0.000025  # both round to 2e-05
+    assert native.sym_round5(s6) == bool(
+        (np.round(s6, 5) == np.round(s6, 5).T).all())
+
+
+def test_statops_triu_roundtrip_at_scale():
+    rng = np.random.default_rng(1)
+    m = 2100
+    mat = rng.random((m, m))
+    tv = native.triu_values_f64(mat)
+    assert np.array_equal(tv, mat[np.triu_indices(m, 1)])
+    filled = native.triu_fill_f64(m, tv)
+    ref = np.full((m, m), np.nan)
+    ref[np.triu_indices(m, 1)] = tv
+    assert np.array_equal(filled, ref, equal_nan=True)
+    # non-NaN fill value
+    filled0 = native.triu_fill_f64(m, tv, fill=-1.0)
+    ref0 = np.full((m, m), -1.0)
+    ref0[np.triu_indices(m, 1)] = tv
+    assert np.array_equal(filled0, ref0)
+
+
+def test_host_sort_env_gates_statops_paths(monkeypatch):
+    """SEEKR_TPU_HOST_SORT=numpy must disable EVERY host-stats native
+    kernel; the public wrappers must give identical results either way."""
+    import pandas as pd
+    from seekr_tpu.stats.adj_pval import adj_pval, is_symmetric
+    from seekr_tpu.utils import adj as adj_utils
+
+    rng = np.random.default_rng(2)
+    m = 2100
+    s = _sym_matrix(rng, m)
+    np.fill_diagonal(s, 0.0)
+    df = pd.DataFrame(s)
+
+    monkeypatch.setenv("SEEKR_TPU_HOST_SORT", "numpy")
+    assert is_symmetric(df)
+    ref = adj_pval(df, method="fdr_bh")
+    tv_ref = adj_utils.triu_values(s)
+    monkeypatch.setenv("SEEKR_TPU_HOST_SORT", "native")
+    assert is_symmetric(df)
+    got = adj_pval(df, method="fdr_bh")
+    tv_got = adj_utils.triu_values(s)
+    assert np.array_equal(tv_ref, tv_got)
+    assert np.array_equal(ref.to_numpy(), got.to_numpy(), equal_nan=True)
