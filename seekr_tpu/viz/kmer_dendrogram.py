@@ -17,14 +17,16 @@ def kmer_dendrogram(df, dendro_direct="row", distmetric="correlation",
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
     from scipy.cluster.hierarchy import dendrogram, linkage
-    from scipy.spatial.distance import pdist
+
+    from seekr_tpu.ops.dist import pdist_auto
 
     if dendro_direct == "row":
-        link = linkage(pdist(df, distmetric), linkmethod)
+        link = linkage(pdist_auto(df, metric=distmetric), linkmethod)
         labels = df.index
         n_leaves = df.shape[0]
     elif dendro_direct == "column":
-        link = linkage(pdist(df.T.values, distmetric), linkmethod)
+        link = linkage(pdist_auto(df.T.values, metric=distmetric),
+                       linkmethod)
         labels = df.columns
         n_leaves = df.shape[1]
     else:

@@ -41,12 +41,18 @@ def make_cmap(color_range, thresh_value, datamin, datamax):
 
 
 def _linkage_or_explain(data, distmetric, linkmethod):
-    """linkage(pdist(...)) with the reference's advisory error messages."""
+    """linkage(pdist(...)) with the reference's advisory error messages.
+
+    Large inputs route the pdist through the device GEMM formulation
+    (ops/dist.py) — O(rows^2 cols) is hours on a CPU core at GENCODE
+    scale and milliseconds on the MXU; small inputs keep exact scipy."""
     from scipy.cluster.hierarchy import linkage
-    from scipy.spatial.distance import pdist
+
+    from seekr_tpu.ops.dist import pdist_auto
 
     try:
-        return linkage(pdist(data, metric=distmetric), method=linkmethod)
+        return linkage(pdist_auto(data, metric=distmetric),
+                       method=linkmethod)
     except ValueError as e:
         if "Unknown Distance Metric" in str(e):
             print(f"The specified distance metric '{distmetric}' is not "

@@ -1,0 +1,98 @@
+"""Device pdist (ops/dist.py) vs scipy, and the viz routing around it.
+
+The reference clusters via scipy pdist (seekr/kmer_heatmap.py:195,212);
+the device GEMM formulation must match it within float32 tolerance for
+every supported metric, fall back for unsupported ones, and honor the
+SEEKR_TPU_PDIST routing override.
+"""
+
+import numpy as np
+import pytest
+from scipy.spatial.distance import pdist
+
+from seekr_tpu.ops.dist import (DEVICE_METRICS, pdist_auto, pdist_device,
+                                use_device_pdist)
+
+
+@pytest.mark.parametrize("metric", DEVICE_METRICS)
+def test_pdist_device_matches_scipy(metric):
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(60, 40)).astype(np.float64)
+    ours = pdist_device(x, metric=metric)
+    ref = pdist(x, metric=metric)
+    assert ours.shape == ref.shape and ours.dtype == np.float64
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_pdist_device_similarity_matrix_input():
+    # the production input shape: a square similarity matrix
+    rng = np.random.default_rng(1)
+    a = rng.random((50, 50))
+    sim = (a + a.T) / 2
+    np.testing.assert_allclose(pdist_device(sim, "correlation"),
+                               pdist(sim, "correlation"),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_pdist_device_zero_variance_row_nan_parity():
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(10, 16))
+    x[3] = 1.25  # constant row: correlation/cosine-after-centering is NaN
+    with np.errstate(invalid="ignore", divide="ignore"):
+        ref = pdist(x, "correlation")
+    ours = pdist_device(x, "correlation")
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5,
+                               equal_nan=True)
+
+
+def test_pdist_device_rejects_unknown_metric():
+    with pytest.raises(ValueError):
+        pdist_device(np.zeros((3, 3)), metric="cityblock")
+
+
+def test_use_device_pdist_routing(monkeypatch):
+    assert not use_device_pdist(100, 100, "correlation")  # tiny: scipy
+    assert use_device_pdist(13000, 13000, "correlation")  # GENCODE scale
+    assert not use_device_pdist(13000, 13000, "cityblock")  # no GEMM form
+    monkeypatch.setenv("SEEKR_TPU_PDIST", "device")
+    assert use_device_pdist(10, 10, "correlation")
+    assert not use_device_pdist(10, 10, "cityblock")
+    monkeypatch.setenv("SEEKR_TPU_PDIST", "scipy")
+    assert not use_device_pdist(13000, 13000, "correlation")
+
+
+def test_pdist_auto_forced_device_matches_scipy(monkeypatch):
+    monkeypatch.setenv("SEEKR_TPU_PDIST", "device")
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(30, 20))
+    np.testing.assert_allclose(pdist_auto(x, metric="correlation"),
+                               pdist(x, metric="correlation"),
+                               rtol=1e-4, atol=1e-5)
+    # unsupported metric silently stays scipy-exact
+    np.testing.assert_allclose(pdist_auto(x, metric="cityblock"),
+                               pdist(x, metric="cityblock"))
+
+
+def test_heatmap_and_dendrogram_cluster_through_device(monkeypatch,
+                                                       tmp_path):
+    """The viz clustering paths produce the same leaf orders with the
+    device pdist as with scipy."""
+    import pandas as pd
+    from scipy.cluster.hierarchy import leaves_list, linkage
+
+    from seekr_tpu.viz.kmer_dendrogram import kmer_dendrogram
+    from seekr_tpu.viz.kmer_heatmap import _linkage_or_explain
+
+    rng = np.random.default_rng(4)
+    a = rng.random((24, 24))
+    sim = (a + a.T) / 2
+    df = pd.DataFrame(sim, index=[f"s{i}" for i in range(24)],
+                      columns=[f"s{i}" for i in range(24)])
+    ref_order = leaves_list(linkage(pdist(df, "correlation"), "complete"))
+    monkeypatch.setenv("SEEKR_TPU_PDIST", "device")
+    got = _linkage_or_explain(df, "correlation", "complete")
+    assert np.array_equal(leaves_list(got), ref_order)
+    out = tmp_path / "dendro"
+    kmer_dendrogram(df, dendro_direct="row", outputname=str(out),
+                    pformat="png")
+    assert (tmp_path / "dendro.png").exists()
