@@ -197,10 +197,13 @@ One-shot end-to-end analysis (extension): background norm vectors +
 empirical null, query counts, all-pairs Pearson, empirical p-values, and
 multiple-test correction — all in-memory, artifacts written once.
 Equivalent to the chain seekr_norm_vectors -> seekr_kmer_counts ->
-seekr_pearson -> seekr_find_dist -> seekr_find_pval -> seekr_adj_pval.
+seekr_pearson -> seekr_find_dist -> seekr_find_pval -> seekr_adj_pval;
+--leiden appends community detection on the self-similarity graph
+(seekr_kmer_leiden's role), writing communities.csv.
 
 Example:
   $ seekr_tpu_pipeline queries.fa -b gencode_lncRNA.fa -k 6 -o results/
+  $ seekr_tpu_pipeline rnas.fa -b bkg.fa --leiden -lc 0.1 -o results/
 """
 
 
@@ -1106,6 +1109,18 @@ def console_pipeline(argv=None):
                         help="seed for null subsampling.")
     parser.add_argument("-o", "--outdir", default="seekr_out",
                         help="artifact output directory.")
+    parser.add_argument("--leiden", action="store_true",
+                        help="append Leiden community detection on the "
+                             "query self-similarity graph (native engine); "
+                             "writes communities.csv.")
+    parser.add_argument("-lc", "--leiden_cutoff", default=0.0,
+                        help="edge threshold: r below this becomes 0 "
+                             "(kmer_leiden pearsoncutoff semantics).")
+    parser.add_argument("-la", "--leiden_algo",
+                        default="RBERVertexPartition",
+                        help="leidenalg partition algorithm name.")
+    parser.add_argument("-lr", "--leiden_resolution", default=1.0,
+                        help="resolution for RBConfig/RBER/CPM partitions.")
     parser.add_argument("-dp", "--data_parallel", default=None, type=int,
                         help="devices on the mesh 'data' axis; >1 routes "
                              "the O(m^2) Pearson stages through the "
@@ -1128,6 +1143,10 @@ def console_pipeline(argv=None):
                  alpha=float(args.alpha), outdir=args.outdir,
                  subset_size=int(args.subset_size),
                  seed=None if args.seed is None else int(args.seed),
+                 leiden=args.leiden,
+                 leiden_cutoff=float(args.leiden_cutoff),
+                 leiden_algo=args.leiden_algo,
+                 leiden_resolution=float(args.leiden_resolution),
                  data_parallel=args.data_parallel,
                  kmer_parallel=args.kmer_parallel,
                  coordinator=args.coordinator,

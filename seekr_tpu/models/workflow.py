@@ -45,6 +45,8 @@ def _build_mesh(data_parallel, kmer_parallel, coordinator, num_processes,
 def run_workflow(seq1file, seq2file=None, background=None, k=6,
                  log2="Log2.post", adj_method="fdr_bh", alpha=0.05,
                  outdir="seekr_out", subset_size=100_000, seed=None,
+                 leiden=False, leiden_algo="RBERVertexPartition",
+                 leiden_cutoff=0.0, leiden_resolution=1.0,
                  data_parallel=None, kmer_parallel=1, coordinator=None,
                  num_processes=None, process_id=None):
     """Full analysis in one call; returns a dict of results.
@@ -53,6 +55,13 @@ def run_workflow(seq1file, seq2file=None, background=None, k=6,
     the normalization vectors and the empirical null distribution (required).
     Artifacts written to ``outdir``: mean/std .npy, counts CSVs, pearson CSV,
     pvals CSV, adjusted pvals CSV.
+
+    ``leiden=True`` appends the community-detection stage of the reference
+    chain (seekr_kmer_leiden) on the query self-similarity graph — edges
+    where r > ``leiden_cutoff``, native C++ engine, deterministic seed —
+    writing ``communities.csv`` (header, community) and returning the
+    membership.  Requires a self comparison (seq2file None/equal): the
+    rectangular cross-similarity of two different fastas is not a graph.
 
     Multi-device extension (the reference is strictly single-process):
     ``data_parallel``/``kmer_parallel`` build a device mesh and route the
@@ -140,6 +149,27 @@ def run_workflow(seq1file, seq2file=None, background=None, k=6,
         pval_df = pd.DataFrame(pvals, index=headers1, columns=headers2)
         adj_df = adj_pval(pval_df, method=adj_method, alpha=alpha)
 
+    membership = None
+    if leiden:
+        if c2 is not c1:
+            print("leiden stage skipped: community detection needs a self "
+                  "comparison (omit seq2file), not a cross-similarity of "
+                  "two fastas.")
+        else:
+            with stage_timer("workflow/leiden", items=len(headers1),
+                             unit="nodes"):
+                gmat = np.asarray(sim, dtype=np.float64).copy()
+                # same threshold semantics as kmer_leiden (r < cutoff -> 0,
+                # diagonal -> 0; edges are the remaining r > 0 cells)
+                gmat[gmat < leiden_cutoff] = 0.0
+                np.fill_diagonal(gmat, 0.0)
+                gdf = pd.DataFrame(gmat, index=headers1, columns=headers1)
+                from seekr_tpu.graph.kmer_leiden import leiden_membership
+
+                membership = leiden_membership(gdf, algo=leiden_algo,
+                                               rs=leiden_resolution,
+                                               setseed=True)
+
     with stage_timer("workflow/artifacts"):
         if is_writer:
             from seekr_tpu.io.fast_csv import write_labeled_csv
@@ -154,9 +184,15 @@ def run_workflow(seq1file, seq2file=None, background=None, k=6,
             pval_df.to_csv(os.path.join(outdir, "pvals.csv"))
             if adj_df is not None:
                 adj_df.to_csv(os.path.join(outdir, "pvals_adjusted.csv"))
+            if membership is not None:
+                # pandas handles CSV quoting of comma/quote-bearing headers
+                pd.DataFrame({"Id": headers1,
+                              "Community": membership}).to_csv(
+                    os.path.join(outdir, "communities.csv"), index=False)
 
     return {
         "mean": mean, "std": std, "null_sample": null_sample,
         "counts1": c1.counts, "counts2": c2.counts, "pearson": sim,
         "pvals": pval_df, "pvals_adjusted": adj_df,
+        "communities": membership,
     }

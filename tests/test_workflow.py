@@ -110,3 +110,52 @@ def test_workflow_two_different_fastas(corpora, tmp_path):
                        seed=1)
     assert res["pearson"].shape == (21, 111)
     assert (tmp_path / "x" / "counts2.csv").exists()
+
+
+def test_workflow_leiden_stage(corpora, tmp_path):
+    """--leiden appends community detection equal to running the graph
+    module directly on the workflow's similarity matrix."""
+    queries, background = corpora
+    out = tmp_path / "out_leiden"
+    res = run_workflow(queries, background=background, k=2,
+                       outdir=str(out), subset_size=10 ** 9,
+                       leiden=True, leiden_cutoff=0.1)
+    memb = res["communities"]
+    assert memb is not None and len(memb) == len(res["pvals"].index)
+
+    # oracle: same thresholding + native engine on the returned sim
+    from seekr_tpu.graph.kmer_leiden import leiden_membership
+    gmat = np.asarray(res["pearson"], dtype=np.float64).copy()
+    gmat[gmat < 0.1] = 0.0
+    np.fill_diagonal(gmat, 0.0)
+    gdf = pd.DataFrame(gmat, index=res["pvals"].index,
+                       columns=res["pvals"].index)
+    expected = leiden_membership(gdf, algo="RBERVertexPartition", rs=1.0,
+                                 setseed=True)
+    assert np.array_equal(memb, expected)
+
+    # artifact: labeled communities.csv round-trips
+    df = pd.read_csv(out / "communities.csv")
+    assert list(df.columns) == ["Id", "Community"]
+    assert df.shape[0] == len(memb)
+    assert np.array_equal(df["Community"].to_numpy(), memb)
+
+
+def test_workflow_leiden_skipped_for_cross_comparison(corpora, tmp_path,
+                                                      capsys):
+    queries, background = corpora
+    res = run_workflow(queries, seq2file=background,
+                       background=background, k=2,
+                       outdir=str(tmp_path / "out_cross"),
+                       subset_size=10 ** 9, leiden=True)
+    assert res["communities"] is None
+    assert "leiden stage skipped" in capsys.readouterr().out
+    assert not (tmp_path / "out_cross" / "communities.csv").exists()
+
+
+def test_workflow_leiden_cli_flags(corpora, tmp_path, monkeypatch):
+    queries, background = corpora
+    monkeypatch.chdir(tmp_path)
+    main(["pipeline", queries, "-b", background, "-k", "2",
+          "--leiden", "-lc", "0.1", "-o", "cli_leiden"])
+    assert (tmp_path / "cli_leiden" / "communities.csv").exists()
