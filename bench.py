@@ -136,6 +136,11 @@ def main():
     baseline_tps = bench_reference_cpu(bases, lengths)
     if baseline_tps is None:
         baseline_tps = RECORDED_CPU_BASELINE_TPS
+    else:
+        # conservative ratio: a noisy-neighbor-slowed live CPU run must
+        # not inflate the speedup, so never report against a baseline
+        # slower than the recorded quiet-host median (BASELINE.md)
+        baseline_tps = max(baseline_tps, RECORDED_CPU_BASELINE_TPS)
     vs_baseline = (tps / baseline_tps) if baseline_tps else None
     print(json.dumps({
         "metric": "k6_count_normalize_pearson_throughput",

@@ -225,7 +225,12 @@ class KmerCounter:
         if not self.silent:
             buckets = my_tqdm()(buckets, desc="Kmers", leave=self.leave)
         for bases, lengths, row_ids in buckets:
-            res = np.asarray(count_kmers_device(bases, lengths, self.k))
+            # flat=False skips the device-side flatten relayout; the host
+            # reshape of the fetched row-major bytes is a free view and
+            # yields the identical [rows, 4^k] matrix (ops.count_graph)
+            res = np.asarray(
+                count_kmers_device(bases, lengths, self.k, flat=False))
+            res = res.reshape(res.shape[0], -1)
             dest = row_ids if id_map is None else id_map[row_ids]
             out[dest] = res[: len(row_ids)]
         return out

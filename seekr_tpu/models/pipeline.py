@@ -33,6 +33,13 @@ def _normalize_graph(counts, mean, std, log2_mode):
     counts = counts.astype(jnp.float32)
     if log2_mode == LOG2_PRE:
         counts = accurate_log2(counts + 1.0)
+    # provided norm vectors are flat [4^k]; reshape to the count tensor's
+    # trailing dims (free — row-major bytes are the flat order) so the
+    # unflattened 3-D path broadcasts correctly
+    if mean is not None:
+        mean = jnp.asarray(mean).reshape(counts.shape[1:])
+    if std is not None:
+        std = jnp.asarray(std).reshape(counts.shape[1:])
     mean = jnp.mean(counts, axis=0) if mean is None else mean
     counts = counts - mean
     std = jnp.std(counts, axis=0) if std is None else std
@@ -58,16 +65,28 @@ class SeekrPipeline:
         self.k = k
         self.log2 = log2
 
-    def counts(self, bases, lengths, mean=None, std=None):
-        raw = count_graph(bases, lengths, self.k)
+    def counts(self, bases, lengths, mean=None, std=None, flat=True):
+        """Normalized counts (+ the mean/std used).
+
+        ``flat=False`` keeps the count tensor in its unflattened
+        [m, n_hi, n_lo] device layout (ops.count_graph): the flatten is a
+        relayout copy on TPU, and the Pearson contraction consumes the
+        3-D form directly.  The returned mean/std stay flat [4^k] either
+        way (they are tiny; reshaping them is free).
+        """
+        raw = count_graph(bases, lengths, self.k, flat=flat)
         normalized, mean, std = _normalize_graph(raw, mean, std, self.log2)
+        if mean.ndim > 1:
+            mean = mean.reshape(-1)
+            std = std.reshape(-1)
         return normalized, mean, std
 
     def forward(self, bases, lengths, mean=None, std=None) -> jax.Array:
         """Full pipeline: encoded sequences -> [m, m] Pearson r matrix."""
         from seekr_tpu.ops.pearson import pearson_graph
 
-        normalized, _, _ = self.counts(bases, lengths, mean, std)
+        normalized, _, _ = self.counts(bases, lengths, mean, std,
+                                       flat=False)
         return pearson_graph(normalized)
 
     def jit_forward(self):

@@ -41,8 +41,9 @@ import jax.numpy as jnp
 _POS_CHUNK = 512
 
 
-@functools.partial(jax.jit, static_argnames=("k", "scaled"))
-def _count_impl(bases: jax.Array, lengths: jax.Array, k: int, scaled: bool = True) -> jax.Array:
+@functools.partial(jax.jit, static_argnames=("k", "scaled", "flat"))
+def _count_impl(bases: jax.Array, lengths: jax.Array, k: int,
+                scaled: bool = True, flat: bool = True) -> jax.Array:
     """bases [m, Lpad] int8 digits (>=4 invalid/pad); lengths [m] int32.
 
     Returns [m, 4**k] float32 counts: per-kb of windows when ``scaled``
@@ -101,6 +102,16 @@ def _count_impl(bases: jax.Array, lengths: jax.Array, k: int, scaled: bool = Tru
 
     acc0 = jnp.zeros((m, n_hi, n_lo), dtype=jnp.float32)
     acc, _ = jax.lax.scan(step, acc0, (hi, lo, valid))
+    # flat=False skips the [m, n_hi, n_lo] -> [m, 4^k] device relayout;
+    # hi*n_lo + lo is the k-mer code, so a host np.reshape of the fetched
+    # bytes yields the identical flat matrix (see count_kmers_pallas)
+    if not flat:
+        if not scaled:
+            return acc
+        scale = jnp.where(
+            n_windows > 0,
+            1000.0 / jnp.maximum(n_windows, 1).astype(jnp.float32), 0.0)
+        return acc * scale[:, None, None]
     counts = acc.reshape(m, n_hi * n_lo)
 
     if not scaled:
@@ -133,8 +144,14 @@ def _impl_choice(k: int) -> str:
 
 
 def count_graph(bases: jax.Array, lengths: jax.Array, k: int,
-                scaled: bool = True) -> jax.Array:
+                scaled: bool = True, flat: bool = True) -> jax.Array:
     """Jit-composable k-mer count: dispatches to the best single-device impl.
+
+    ``flat=False`` returns the un-flattened [m, n_hi, n_lo] accumulator
+    (implementation-defined split; row-major bytes ARE the flat counts) —
+    for host-facing callers that fetch the result anyway, skipping the
+    device-side relayout copy of the flatten (profiled at 10-34% of the
+    call depending on k; see count_kmers_pallas).
 
     Note: inside GSPMD-sharded jits (seekr_tpu.parallel.dist) the XLA path
     is used directly — XLA can partition the einsum across the mesh, while a
@@ -151,13 +168,13 @@ def count_graph(bases: jax.Array, lengths: jax.Array, k: int,
             # non-TPU backends only support the kernel in interpreter mode
             interpret = jax.default_backend() != "tpu"
             return count_kmers_pallas(bases, lengths, k, scaled=scaled,
-                                      interpret=interpret)
-    return _count_impl(bases, lengths, k, scaled=scaled)
+                                      interpret=interpret, flat=flat)
+    return _count_impl(bases, lengths, k, scaled=scaled, flat=flat)
 
 
-def count_kmers_device(bases, lengths, k: int) -> jax.Array:
+def count_kmers_device(bases, lengths, k: int, flat: bool = True) -> jax.Array:
     """Count k-mers for padded 2-bit encoded sequences on the default device."""
-    return count_graph(jnp.asarray(bases), jnp.asarray(lengths), k)
+    return count_graph(jnp.asarray(bases), jnp.asarray(lengths), k, flat=flat)
 
 
 def split_long_digits(digits: np.ndarray, k: int, n_chunks: int):

@@ -122,16 +122,27 @@ def _kernel(lengths_ref, bases_ref, out_ref, acc_ref, *,
             out_ref[...] = acc_ref[...]
 
 
-@functools.partial(jax.jit, static_argnames=("k", "scaled", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("k", "scaled", "interpret", "flat"))
 def count_kmers_pallas(bases: jax.Array, lengths: jax.Array, k: int,
-                       scaled: bool = True,
-                       interpret: bool = False) -> jax.Array:
+                       scaled: bool = True, interpret: bool = False,
+                       flat: bool = True) -> jax.Array:
     """[m, Lpad] int8 digits + [m] lengths -> [m, 4^k] counts (f32).
 
     Same contract as ops.count._count_impl: counts/kb of windows when
     ``scaled`` (the reference's unit, kmer_counts.py:144-147), raw integer
     window counts otherwise.  m is padded to a multiple of the row tile and
-    Lpad to chunk boundaries internally.  Supports 2 <= k <= 8 (above that
+    Lpad to chunk boundaries internally.
+
+    ``flat=False`` skips the device-side [m, n_hi, n_lo] -> [m, 4^k]
+    reshape and returns the 3-D tensor.  The reshape is a genuine tiled-
+    layout relayout copy on TPU (profiled at 34% of the k=7 invocation,
+    running at HBM roofline), but the row-major BYTES are already in flat
+    order — hi*n_lo + lo IS the k-mer code — so host-side consumers get
+    the identical flat matrix from a free ``np.reshape`` after the fetch.
+    The trailing 3-D dims are an implementation detail (the kernel's
+    hi/lo split); callers must only ever flatten them, never index them.
+    Supports 2 <= k <= 8 (above that
     the accumulator no longer fits VMEM; ops.count dispatches to the XLA
     path).
     """
@@ -189,4 +200,6 @@ def count_kmers_pallas(bases: jax.Array, lengths: jax.Array, k: int,
         ),
         interpret=interpret,
     )(lengths, bases)
+    if not flat:
+        return out[:m]
     return out.reshape(m_pad, n_hi * n_lo)[:m]

@@ -24,9 +24,13 @@ from seekr_tpu.ops.precision import pearson_precision
 
 @jax.jit
 def _row_standardize(c):
+    # axis 0 = rows (sequences); every trailing axis is feature data — a
+    # 3-D [m, n_hi, n_lo] unflattened count tensor standardizes exactly
+    # like its flattened [m, 4^k] view (see ops.count_graph flat=False)
+    feat = tuple(range(1, c.ndim))
     c = c.astype(jnp.float32)
-    c = c - jnp.mean(c, axis=1, keepdims=True)
-    return c / jnp.std(c, axis=1, keepdims=True)
+    c = c - jnp.mean(c, axis=feat, keepdims=True)
+    return c / jnp.std(c, axis=feat, keepdims=True)
 
 
 def pearson_graph(c: jax.Array) -> jax.Array:
@@ -34,15 +38,22 @@ def pearson_graph(c: jax.Array) -> jax.Array:
 
     The shared building block for the fused pipeline and the sharded
     distributed pipeline; equivalent to ``pearson_device(c, c)``.
+    Accepts the unflattened 3-D count tensor too — contracting over both
+    trailing axes skips the [m, n_hi, n_lo] -> [m, 4^k] relayout copy the
+    flatten would cost on TPU (the GEMM is identical either way).
     """
     c = _row_standardize(c)  # one standardize recipe package-wide
+    feat = tuple(range(1, c.ndim))
     sim = jax.lax.dot_general(
         c, c,
-        dimension_numbers=(((1,), (1,)), ((), ())),
+        dimension_numbers=((feat, feat), ((), ())),
         preferred_element_type=jnp.float32,
         precision=pearson_precision(),
     )
-    return sim / c.shape[1]
+    n_cols = 1
+    for d in feat:
+        n_cols *= c.shape[d]
+    return sim / n_cols
 
 
 @functools.partial(jax.jit, static_argnames=("row_standardize",))
