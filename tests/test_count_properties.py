@@ -138,3 +138,38 @@ def test_counter_long_sequence_path():
     got = counter.get_counts()
     oracle = count_kmers_host(seqs, 3)
     np.testing.assert_allclose(got, oracle, rtol=1e-4, atol=1e-3)
+
+
+@pytest.mark.parametrize("k", [2, 4, 6, 7, 8])
+def test_flat_false_bytes_are_flat_counts(k):
+    """count_graph(flat=False) returns a 3-D tensor whose row-major host
+    reshape equals the flat [m, 4^k] output exactly — the contract the
+    KmerCounter fetch path and the fused pipeline rely on to skip the
+    device-side relayout copy (BASELINE.md flatten-relayout discovery)."""
+    import jax
+
+    from seekr_tpu.ops.count import _count_impl, count_kmers_device
+    from seekr_tpu.ops.count_pallas import count_kmers_pallas
+
+    rng = np.random.default_rng(k)
+    m, L = 70, 260
+    bases = rng.integers(0, 5, size=(m, L)).astype(np.int8)
+    lengths = rng.integers(1, L, size=m).astype(np.int32)
+
+    flat = np.asarray(_count_impl(jnp.asarray(bases), jnp.asarray(lengths),
+                                  k))
+    three = np.asarray(_count_impl(jnp.asarray(bases),
+                                   jnp.asarray(lengths), k, flat=False))
+    assert three.ndim == 3
+    assert np.array_equal(three.reshape(m, -1), flat)
+
+    p3 = np.asarray(count_kmers_pallas(
+        jnp.asarray(bases), jnp.asarray(lengths), k,
+        interpret=jax.default_backend() != "tpu", flat=False))
+    pf = np.asarray(count_kmers_pallas(
+        jnp.asarray(bases), jnp.asarray(lengths), k,
+        interpret=jax.default_backend() != "tpu"))
+    assert np.array_equal(p3.reshape(p3.shape[0], -1)[:m], pf)
+
+    disp = np.asarray(count_kmers_device(bases, lengths, k, flat=False))
+    assert np.array_equal(disp.reshape(m, -1), flat)
