@@ -115,12 +115,21 @@ def find_pval(seq1file, seq2file, mean_path, std_path, k_mer, fitres,
                   f"distributions in fitres ({len(fitres)}), got {bestfit}.")
             print("No p value is calculated. The output is None.")
             return None
-        from scipy import stats
-
         distname, _, params = fitres[bestfit - 1]
-        distribution = getattr(stats, distname)(*params)
+        # bitwise-identical fast path for the common10 distributions:
+        # rv_continuous.cdf's wrapper machinery costs 7-126 s on a
+        # GENCODE-scale matrix; stats.fast_cdf runs the same arithmetic
+        # through threaded scipy.special ufuncs (None -> scipy fallback)
+        from seekr_tpu.stats.fast_cdf import fast_cdf
+
+        cdf_vals = fast_cdf(distname, params, sim)
+        if cdf_vals is None:
+            from scipy import stats
+
+            distribution = getattr(stats, distname)(*params)
+            cdf_vals = distribution.cdf(sim)
         # float32 like the reference's np.zeros_like(sim) accumulator
-        p_values = (1.0 - distribution.cdf(sim)).astype(sim.dtype)
+        p_values = (1.0 - cdf_vals).astype(sim.dtype)
         return _emit(p_values, header1, header2, outputname)
 
     if isinstance(fitres, np.ndarray):
