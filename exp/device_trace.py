@@ -43,32 +43,33 @@ def device_op_breakdown(thunk, iters: int = 5, plane_substr: str = "TPU"):
     import jax
     from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
     d = tempfile.mkdtemp(prefix="seekr_trace_")
     try:
         with jax.profiler.trace(d):
             for _ in range(iters):
-                out = thunk()
-        del out
+                thunk()
         paths = glob.glob(f"{d}/**/*.xplane.pb", recursive=True)
         if not paths:
             raise RuntimeError("profiler produced no xplane file")
-        xs = xplane_pb2.XSpace()
-        with open(paths[0], "rb") as f:
-            xs.ParseFromString(f.read())
-        rows = []
-        for p in xs.planes:
-            if plane_substr not in p.name:
-                continue
-            meta = {m.id: m.name for m in p.event_metadata.values()}
-            agg = {}
-            for line in p.lines:
-                for ev in line.events:
-                    nm = meta.get(ev.metadata_id, "?")
-                    a = agg.setdefault(nm, [0, 0])
-                    a[0] += ev.duration_ps
-                    a[1] += 1
-            rows.extend((dur / iters / 1e9, cnt, nm)
-                        for nm, (dur, cnt) in agg.items())
+        agg = {}
+        for path in paths:  # multi-host/chip captures shard across files
+            xs = xplane_pb2.XSpace()
+            with open(path, "rb") as f:
+                xs.ParseFromString(f.read())
+            for p in xs.planes:
+                if plane_substr not in p.name:
+                    continue
+                meta = {m.id: m.name for m in p.event_metadata.values()}
+                for line in p.lines:
+                    for ev in line.events:
+                        nm = meta.get(ev.metadata_id, "?")
+                        a = agg.setdefault(nm, [0, 0])
+                        a[0] += ev.duration_ps
+                        a[1] += 1
+        rows = [(dur / iters / 1e9, cnt, nm)
+                for nm, (dur, cnt) in agg.items()]
         return sorted(rows, reverse=True)
     finally:
         shutil.rmtree(d, ignore_errors=True)

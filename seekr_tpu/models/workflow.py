@@ -78,6 +78,21 @@ def run_workflow(seq1file, seq2file=None, background=None, k=6,
         raise ValueError("a background fasta is required (norm vectors + "
                          "empirical null)")
     seq2file = seq2file or seq1file
+    # realpath: './q.fa' vs 'q.fa' (or a symlink) is still a self
+    # comparison — string inequality would both recount the same fasta
+    # and wrongly skip a requested leiden stage
+    if os.path.realpath(seq2file) == os.path.realpath(seq1file):
+        seq2file = seq1file
+    if leiden:
+        # validate BEFORE the expensive stages: a typo'd algorithm name
+        # must not surface after hours of counting/Pearson with every
+        # artifact unwritten
+        from seekr_tpu import native
+
+        if leiden_algo not in native.ALGORITHMS:
+            raise ValueError(
+                f"leiden_algo must be one of {list(native.ALGORITHMS)}, "
+                f"got {leiden_algo!r}")
     mesh = _build_mesh(data_parallel, kmer_parallel, coordinator,
                        num_processes, process_id)
     # in a multi-host run every process computes (collectives require it)
@@ -158,7 +173,7 @@ def run_workflow(seq1file, seq2file=None, background=None, k=6,
         else:
             with stage_timer("workflow/leiden", items=len(headers1),
                              unit="nodes"):
-                gmat = np.asarray(sim, dtype=np.float64).copy()
+                gmat = np.array(sim, dtype=np.float64)  # one copy, writable
                 # same threshold semantics as kmer_leiden (r < cutoff -> 0,
                 # diagonal -> 0; edges are the remaining r > 0 cells)
                 gmat[gmat < leiden_cutoff] = 0.0

@@ -105,19 +105,11 @@ def _count_impl(bases: jax.Array, lengths: jax.Array, k: int,
     # flat=False skips the [m, n_hi, n_lo] -> [m, 4^k] device relayout;
     # hi*n_lo + lo is the k-mer code, so a host np.reshape of the fetched
     # bytes yields the identical flat matrix (see count_kmers_pallas)
-    if not flat:
-        if not scaled:
-            return acc
-        scale = jnp.where(
-            n_windows > 0,
-            1000.0 / jnp.maximum(n_windows, 1).astype(jnp.float32), 0.0)
-        return acc * scale[:, None, None]
-    counts = acc.reshape(m, n_hi * n_lo)
-
+    counts = acc if not flat else acc.reshape(m, n_hi * n_lo)
     if not scaled:
         return counts
     scale = jnp.where(n_windows > 0, 1000.0 / jnp.maximum(n_windows, 1).astype(jnp.float32), 0.0)
-    return counts * scale[:, None]
+    return counts * scale.reshape((-1,) + (1,) * (counts.ndim - 1))
 
 
 def _impl_choice(k: int) -> str:

@@ -101,7 +101,12 @@ def pdist_auto(data, metric: str = "correlation") -> np.ndarray:
                                           metric):
         try:
             return pdist_device(arr, metric=metric)
-        except Exception:  # no device / compile failure: scipy still works
-            pass
+        except Exception as e:  # no device / compile failure
+            # scipy still works, but at this size it is O(rows^2 cols)
+            # on one core — hours, not seconds.  Never downgrade silently.
+            print(f"seekr_tpu: device pdist unavailable "
+                  f"({type(e).__name__}: {str(e)[:120]}); falling back to "
+                  f"single-core scipy pdist — this may take a long time "
+                  f"at {arr.shape[0]} x {arr.shape[1]}.")
     from scipy.spatial.distance import pdist
     return pdist(arr, metric=metric)

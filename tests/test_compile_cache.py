@@ -12,8 +12,11 @@ from seekr_tpu.utils import compile_cache
 def fresh_cache_module(monkeypatch):
     monkeypatch.setattr(compile_cache, "_DONE", False)
     before = jax.config.jax_compilation_cache_dir
+    before_min = jax.config.jax_persistent_cache_min_compile_time_secs
     yield
     jax.config.update("jax_compilation_cache_dir", before)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                      before_min)
 
 
 def test_cache_dir_from_env(tmp_path, monkeypatch, fresh_cache_module):

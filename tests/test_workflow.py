@@ -159,3 +159,29 @@ def test_workflow_leiden_cli_flags(corpora, tmp_path, monkeypatch):
     main(["pipeline", queries, "-b", background, "-k", "2",
           "--leiden", "-lc", "0.1", "-o", "cli_leiden"])
     assert (tmp_path / "cli_leiden" / "communities.csv").exists()
+
+
+def test_workflow_leiden_bad_algo_raises_before_any_work(corpora, tmp_path):
+    queries, background = corpora
+    with pytest.raises(ValueError, match="leiden_algo must be one of"):
+        run_workflow(queries, background=background, k=2,
+                     outdir=str(tmp_path / "never"),
+                     leiden=True, leiden_algo="RBERVertexPartion")  # typo
+    # validation fired before any stage: nothing was written
+    assert not (tmp_path / "never").exists()
+
+
+def test_workflow_leiden_realpath_self_comparison(corpora, tmp_path):
+    """'./q.fa' vs 'q.fa' is still a self comparison: leiden runs and the
+    second counter is not rebuilt."""
+    import os
+
+    queries, background = corpora
+    alt_spelling = os.path.join(os.path.dirname(queries), ".",
+                                os.path.basename(queries))
+    res = run_workflow(queries, seq2file=alt_spelling,
+                       background=background, k=2,
+                       outdir=str(tmp_path / "out_alt"),
+                       subset_size=10 ** 9, leiden=True, leiden_cutoff=0.1)
+    assert res["communities"] is not None
+    assert res["counts2"] is res["counts1"]
