@@ -232,3 +232,49 @@ def test_comp_textplot_placements_match_reference(ref_data, tmp_path,
     canon = lambda rs: sorted((round(x, 9), round(y, 9), s, c)
                               for x, y, s, c in rs)
     assert canon(ours) == canon(records)
+
+
+def test_indi_textplot_placements_match_reference(ref_data, tmp_path,
+                                                  monkeypatch, capsys):
+    """Per-sequence individual textplots place identical glyph/color sets
+    at identical coordinates (one figure per sequence; files land in the
+    given outputpath)."""
+    import importlib
+
+    from matplotlib.axes import Axes
+
+    sys.path.insert(0, REFERENCE)
+    try:
+        ref_mod = importlib.import_module("seekr.kmer_indi_textplot")
+    finally:
+        sys.path.remove(REFERENCE)
+    from seekr_tpu.viz.textplot import kmer_indi_textplot
+
+    records = []
+    orig_text = Axes.text
+
+    def recorder(self, x, y, s, *args, **kwargs):
+        records.append((float(x), float(y), str(s),
+                        str(kwargs.get("color", ""))))
+        return orig_text(self, x, y, s, *args, **kwargs)
+
+    monkeypatch.setattr(Axes, "text", recorder)
+    fa = str(ref_data / "example.fa")
+    words = ["ATTA", "GGGG"]
+    out_o = tmp_path / "ours"
+    out_r = tmp_path / "ref"
+    out_o.mkdir()
+    out_r.mkdir()
+    kmer_indi_textplot(fa, words, outputpath=str(out_o) + "/",
+                       plotformat="png")
+    ours = records[:]
+    records.clear()
+    ref_mod.kmer_indi_textplot(fa, words, outputpath=str(out_r) + "/",
+                               plotformat="png")
+    capsys.readouterr()
+    assert len(ours) == len(records)
+    canon = lambda rs: sorted((round(x, 9), round(y, 9), s, c)
+                              for x, y, s, c in rs)
+    assert canon(ours) == canon(records)
+    assert sorted(p.name for p in out_o.iterdir()) == \
+        sorted(p.name for p in out_r.iterdir())
