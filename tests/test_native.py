@@ -535,3 +535,49 @@ def test_host_sort_env_gates_statops_paths(monkeypatch):
     tv_got = adj_utils.triu_values(s)
     assert np.array_equal(tv_ref, tv_got)
     assert np.array_equal(ref.to_numpy(), got.to_numpy(), equal_nan=True)
+
+
+def test_sortops_thread_safety():
+    """The sort/FDR entries are stateless: concurrent calls from Python
+    threads must not interfere (guards against hidden statics)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    rng = np.random.default_rng(7)
+    inputs = [np.round(rng.random(120_000), 3) for _ in range(8)]
+    expected = [np.argsort(p, kind="stable") for p in inputs]
+
+    def work(i):
+        o, s = native.argsort_f64(inputs[i])
+        c, r, n_rej = native.fdr_adjust(inputs[i], 0.05)
+        return o, s, c
+
+    with ThreadPoolExecutor(4) as pool:
+        results = list(pool.map(work, range(8)))
+    for i, (o, s, c) in enumerate(results):
+        assert np.array_equal(o, expected[i])
+        assert np.array_equal(s, inputs[i][expected[i]])
+        c2, _, _ = native.fdr_adjust(inputs[i], 0.05)
+        assert c.tobytes() == c2.tobytes()
+
+
+@pytest.mark.parametrize("pattern", [
+    "sorted", "reversed", "all_equal", "denormals", "two_values", "huge"])
+def test_argsort_adversarial_patterns(pattern):
+    rng = np.random.default_rng(hash(pattern) % (2 ** 32))
+    n = 70001
+    if pattern == "sorted":
+        x = np.sort(rng.random(n))
+    elif pattern == "reversed":
+        x = np.sort(rng.random(n))[::-1].copy()
+    elif pattern == "all_equal":
+        x = np.full(n, 0.123456789)
+    elif pattern == "denormals":
+        x = rng.random(n) * 5e-324 * 1e3  # subnormal range
+    elif pattern == "two_values":
+        x = np.where(rng.random(n) < 0.5, 0.25, 0.75)
+    else:  # huge magnitudes and mixed signs
+        x = rng.normal(scale=1e300, size=n)
+    ref = np.argsort(x, kind="stable")
+    o, s = native.argsort_f64(x)
+    assert np.array_equal(o, ref)
+    assert np.array_equal(s, x[ref])
