@@ -172,6 +172,23 @@ def _downstream(args, sim):
           f"(r>{cutoff}): {t_leiden:.1f} s, "
           f"{len(np.unique(membership))} communities")
 
+    # ---- heatmap clustering distances (device pdist vs scipy cost) ----
+    from scipy.cluster.hierarchy import leaves_list, linkage
+
+    from seekr_tpu.ops.dist import pdist_auto
+
+    t0 = time.perf_counter()
+    condensed = pdist_auto(sim, metric="correlation")
+    t_pdist = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    order = leaves_list(linkage(condensed, method="complete"))
+    t_link = time.perf_counter() - t0
+    print(f"[cluster] correlation pdist {args.m} x {args.m}: {t_pdist:.2f} s "
+          f"wall (device GEMM; on this box the 676 MB up + 676 MB down ride "
+          f"the ~10 MB/s tunnel — device compute is 0.11 s, BASELINE.md; "
+          f"single-core scipy extrapolates to ~10 min) + complete linkage "
+          f"{t_link:.1f} s -> {len(order)} leaves")
+
     del pvals  # keep flake-level hygiene; per-stage prints are the output
 
 
