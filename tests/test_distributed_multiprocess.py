@@ -1,6 +1,6 @@
-"""Real 2-process jax.distributed validation (round-1 VERDICT item 2).
+"""Real multi-process jax.distributed validation (round-1 VERDICT item 2).
 
-Spawns two fresh Python processes (4 virtual CPU devices each) that
+Spawns fresh Python processes (2- and 4-process cases) (4 virtual CPU devices each) that
 rendezvous through ``init_distributed`` -> ``jax.distributed.initialize``
 on 127.0.0.1, build one global 8-device mesh, run ``distributed_pipeline``
 on it, and assert every addressable shard against the host oracle.  This
@@ -25,16 +25,18 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_rendezvous_pipeline():
+@pytest.mark.parametrize("n_procs", [2, 4])
+def test_multi_process_rendezvous_pipeline(n_procs):
     coordinator = f"127.0.0.1:{_free_port()}"
     env = {k: v for k, v in os.environ.items()
            if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
     procs = [
         subprocess.Popen(
-            [sys.executable, str(WORKER), coordinator, "2", str(pid)],
+            [sys.executable, str(WORKER), coordinator, str(n_procs),
+             str(pid)],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
             env=env)
-        for pid in range(2)
+        for pid in range(n_procs)
     ]
     outs = []
     try:
