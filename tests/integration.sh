@@ -31,9 +31,11 @@ run kmer_msd_barplot   "$FA" mean.npy std.npy $K -o msd
 run kmer_comp_textplot "$FA" "$FA" 'AAAA,GGG' -o comp
 run kmer_indi_textplot "$FA" 'ATTT' -op ./
 run kmer_leiden "$FA" mean.npy std.npy $K -sd -pn net -cf gephi || true  # 5 seqs: tiny graph
+run pipeline "$FA" -b "$FA" -k $K --leiden -o pipe_out
 
 for f in counts.csv pearson.csv fitres.csv pvals.csv adj.csv hm.png \
-         dendro.pdf cb.pdf msd.pdf comp.pdf; do
+         dendro.pdf cb.pdf msd.pdf comp.pdf \
+         pipe_out/pearson.csv pipe_out/pvals.csv pipe_out/communities.csv; do
   [[ -s "$f" ]] || { echo "MISSING ARTIFACT: $f"; exit 1; }
 done
 echo "integration: all artifacts produced"
