@@ -369,6 +369,16 @@ def test_find_dist_fuzz_vs_reference(ref_pkg, tmp_path, seed, capsys,
 
     for ours, theirs in zip(side_o, side_r):
         np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-5)
+    if fit_model:
+        # the exact r-arrays each side fitted (same seeded subset draw),
+        # for the fit-instability attribution below
+        nofit = dict(kwargs, fit_model=False)
+        np.random.seed(seed)
+        arr_r2 = np.asarray(ref_find_dist(**nofit))
+        np.random.seed(seed)
+        arr_o2 = np.asarray(find_dist(**nofit))
+        fit_inputs = (arr_o2, arr_r2)
+        capsys.readouterr()
     if not fit_model:
         np.testing.assert_allclose(np.asarray(res_o), np.asarray(res_r),
                                    rtol=1e-3, atol=1e-4)
@@ -380,19 +390,43 @@ def test_find_dist_fuzz_vs_reference(ref_pkg, tmp_path, seed, capsys,
     params_r = {t[0]: t[2] for t in res_r}
     from scipy import stats as scipy_stats
     grid = np.linspace(-1.0, 1.0, 41)  # r-values live in [-1, 1]
+    unstable = set()
     for name, stat, params in res_o:
-        np.testing.assert_allclose(stat, stats_r[name], rtol=2e-2,
-                                   atol=1e-6, err_msg=name)
         # raw MLE params can be ill-conditioned (e.g. lognorm with shape
         # ~1e-3 trades loc against scale); compare the fitted
         # DISTRIBUTIONS via their CDFs over the r-value range instead
         dist = getattr(scipy_stats, name)
         cdf_o = dist.cdf(grid, *params)
         cdf_r = dist.cdf(grid, *params_r[name])
-        np.testing.assert_allclose(cdf_o, cdf_r, atol=5e-3, err_msg=name)
-    # ranking agrees wherever adjacent stats are not near-ties
+        if np.allclose(cdf_o, cdf_r, atol=5e-3):
+            np.testing.assert_allclose(stat, stats_r[name], rtol=2e-2,
+                                       atol=1e-6, err_msg=name)
+            continue
+        # the two sides found DIFFERENT optima.  The pipelines feed the
+        # optimizer epsilon-different r-values (device f32 vs numpy f32),
+        # and some MLEs are chaotic on small samples (soak seed 10024:
+        # exponpow shape 0.73 vs 0.59 from inputs equal to 5e-6).  That
+        # is fit sensitivity, not an implementation divergence — PROVE it
+        # by re-running scipy's own fit on each side's r-array and
+        # requiring each pipeline to be faithful to scipy on its own data
+        arr_o, arr_r = fit_inputs
+        with np.errstate(all="ignore"):
+            direct_o = dist.fit(arr_o)
+            direct_r = dist.fit(arr_r)
+        np.testing.assert_allclose(
+            dist.cdf(grid, *params), dist.cdf(grid, *direct_o), atol=5e-3,
+            err_msg=f"{name}: our fit unfaithful to scipy on our data")
+        np.testing.assert_allclose(
+            dist.cdf(grid, *params_r[name]), dist.cdf(grid, *direct_r),
+            atol=5e-3,
+            err_msg=f"{name}: reference fit not reproducible on its data")
+        unstable.add(name)
+    # ranking agrees wherever adjacent stats are not near-ties and both
+    # fits converged to the same optimum
     for i in range(len(names_o) - 1):
         a, b = names_o[i], names_o[i + 1]
+        if a in unstable or b in unstable:
+            continue
         if abs(stats_r[a] - stats_r[b]) > 1e-3 * max(
                 abs(stats_r[a]), abs(stats_r[b]), 1e-12):
             assert names_r.index(a) < names_r.index(b), (a, b)
