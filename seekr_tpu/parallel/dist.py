@@ -49,7 +49,7 @@ def init_distributed(coordinator: Optional[str] = None, num_processes: Optional[
     )
 
 
-def _sharded_count(mesh: Mesh, bases, lengths, k: int):
+def _sharded_count(mesh: Mesh, bases, lengths, k: int, flat: bool = True):
     """Row-sharded k-mer counting with the per-device fast path.
 
     A ``pallas_call`` is an opaque unit to the GSPMD partitioner, so the
@@ -64,32 +64,45 @@ def _sharded_count(mesh: Mesh, bases, lengths, k: int):
     """
 
     def local(b, n):
-        return count_graph(b, n, k)
+        return count_graph(b, n, k, flat=flat)
 
     # check_vma=False: same reason as count_long_sequence — the scan carry /
     # kernel accumulator starts unvarying and becomes device-varying
     return jax.shard_map(
         local, mesh=mesh,
         in_specs=(P(DATA_AXIS, None), P(DATA_AXIS)),
-        out_specs=P(DATA_AXIS, None),
+        out_specs=P(DATA_AXIS, None) if flat else P(DATA_AXIS, None, None),
         check_vma=False,
     )(bases, lengths)
 
 
-def _pipeline_fn(bases, lengths, mean, std, k: int, log2: str, mesh: Mesh):
+def _pipeline_fn(bases, lengths, mean, std, k: int, log2: str, mesh: Mesh,
+                 flat: bool = True):
     """Shardable compute graph: encoded bases -> (normalized counts, r-matrix).
 
     The count stage is shard_map'd (per-device Pallas kernel); everything
     downstream is GSPMD-friendly: the column moments reduce over the
     sharded row axis (psum), the Pearson GEMM contracts the (optionally
     kmer-sharded) column axis.
+
+    ``flat=False`` keeps the count tensor in its per-chip [rows, n_hi,
+    n_lo] form end to end — the kmer axis shards n_hi, normalize and the
+    Pearson contraction consume the 3-D form directly, and the per-chip
+    flatten relayout (BASELINE.md) is never paid; the normalized output
+    comes back 3-D and host callers reshape the fetched bytes for free.
     """
     from seekr_tpu.ops.pearson import pearson_graph
 
-    raw = _sharded_count(mesh, bases, lengths, k)
+    raw = _sharded_count(mesh, bases, lengths, k, flat=flat)
+    cols_spec = (P(DATA_AXIS, KMER_AXIS) if flat
+                 else P(DATA_AXIS, KMER_AXIS, None))
     raw = jax.lax.with_sharding_constraint(
-        raw, NamedSharding(mesh, P(DATA_AXIS, KMER_AXIS)))
+        raw, NamedSharding(mesh, cols_spec))
     normalized, mean, std = _normalize_graph(raw, mean, std, log2)
+    if mean is not None and mean.ndim > 1:
+        # norm-vector outputs stay flat [4^k] (tiny; cheap reshape)
+        mean = mean.reshape(-1)
+        std = std.reshape(-1)
     sim = pearson_graph(normalized)
     sim = jax.lax.with_sharding_constraint(
         sim, NamedSharding(mesh, P(DATA_AXIS, None)))
@@ -97,7 +110,7 @@ def _pipeline_fn(bases, lengths, mean, std, k: int, log2: str, mesh: Mesh):
 
 
 def distributed_pipeline(mesh: Mesh, k: int = 6, log2: str = "Log2.post",
-                         use_norm_vectors: bool = False):
+                         use_norm_vectors: bool = False, flat: bool = True):
     """Compile the full pipeline step over a mesh.
 
     Returns a function (bases [M, L] int8, lengths [M] int32) ->
@@ -109,24 +122,33 @@ def distributed_pipeline(mesh: Mesh, k: int = 6, log2: str = "Log2.post",
     (the BasicCounter mean=/std=-from-.npy mode) sharded over 'kmer'
     instead of computing the column statistics from the data — for large k
     this keeps even the norm vectors column-sharded across chips.
+
+    ``flat=False`` returns the normalized counts as the per-chip 3-D
+    [M, n_hi, n_lo] tensor (kmer axis sharding n_hi) instead of flat
+    [M, 4^k], skipping each chip's flatten relayout copy entirely; the
+    row-major bytes are the flat matrix, so hosts just np.reshape the
+    fetch (ops.count_graph contract).  mean/std stay flat either way.
     """
     vec_shard = NamedSharding(mesh, P(KMER_AXIS))
     in_shard = (
         NamedSharding(mesh, P(DATA_AXIS, None)),
         NamedSharding(mesh, P(DATA_AXIS)),
     )
+    counts_spec = (P(DATA_AXIS, KMER_AXIS) if flat
+                   else P(DATA_AXIS, KMER_AXIS, None))
     out_shard = (
-        NamedSharding(mesh, P(DATA_AXIS, KMER_AXIS)),
+        NamedSharding(mesh, counts_spec),
         vec_shard if use_norm_vectors else NamedSharding(mesh, P()),
         vec_shard if use_norm_vectors else NamedSharding(mesh, P()),
         NamedSharding(mesh, P(DATA_AXIS, None)),
     )
     if use_norm_vectors:
-        fn = functools.partial(_pipeline_fn, k=k, log2=log2, mesh=mesh)
+        fn = functools.partial(_pipeline_fn, k=k, log2=log2, mesh=mesh,
+                               flat=flat)
         return jax.jit(fn, in_shardings=in_shard + (vec_shard, vec_shard),
                        out_shardings=out_shard)
     fn = functools.partial(_pipeline_fn, mean=None, std=None, k=k, log2=log2,
-                           mesh=mesh)
+                           mesh=mesh, flat=flat)
     return jax.jit(fn, in_shardings=in_shard, out_shardings=out_shard)
 
 

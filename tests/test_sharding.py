@@ -214,3 +214,44 @@ def test_count_long_sequence_shorter_than_k_is_zeros():
     # split_long_digits keeps chunk width >= 1 even for empty input
     chunks, _ = split_long_digits(np.array([], np.int8), 3, 4)
     assert chunks.shape[1] >= 3
+
+
+def test_distributed_pipeline_flat_false_matches_flat():
+    """flat=False keeps the per-chip 3-D count layout end to end; the
+    host reshape of the fetched normalized tensor and the Pearson matrix
+    must match the flat pipeline (ops.count_graph byte contract)."""
+    k = 3
+    mesh = make_mesh(jax.devices()[:8], kmer_parallel=2)
+    bases, lengths = _batch(16, 128, k)
+    ref_counts, ref_mean, ref_std, ref_sim = distributed_pipeline(
+        mesh, k=k)(bases, lengths)
+    counts3, mean3, std3, sim3 = distributed_pipeline(
+        mesh, k=k, flat=False)(bases, lengths)
+    c3 = np.asarray(counts3)
+    assert c3.ndim == 3
+    assert np.allclose(c3.reshape(c3.shape[0], -1), np.asarray(ref_counts),
+                       rtol=1e-5, atol=1e-5, equal_nan=True)
+    assert mean3.ndim == 1 and std3.ndim == 1
+    assert np.allclose(np.asarray(mean3), np.asarray(ref_mean), rtol=1e-6)
+    assert np.allclose(np.asarray(sim3), np.asarray(ref_sim), rtol=1e-4,
+                       atol=1e-5, equal_nan=True)
+
+
+def test_distributed_pipeline_flat_false_norm_vectors():
+    """flat=False composes with the kmer-sharded norm-vector mode."""
+    k = 3
+    mesh = make_mesh(jax.devices()[:8], kmer_parallel=2)
+    bases, lengths = _batch(16, 128, k)
+    rng = np.random.default_rng(3)
+    mean_vec = rng.uniform(10, 50, size=4 ** k).astype(np.float32)
+    std_vec = rng.uniform(0.5, 3.0, size=4 ** k).astype(np.float32)
+    ref = distributed_pipeline(mesh, k=k, use_norm_vectors=True)(
+        bases, lengths, mean_vec, std_vec)
+    got = distributed_pipeline(mesh, k=k, use_norm_vectors=True,
+                               flat=False)(bases, lengths, mean_vec,
+                                           std_vec)
+    c3 = np.asarray(got[0])
+    assert np.allclose(c3.reshape(c3.shape[0], -1), np.asarray(ref[0]),
+                       rtol=1e-5, atol=1e-5, equal_nan=True)
+    assert np.allclose(np.asarray(got[3]), np.asarray(ref[3]), rtol=1e-4,
+                       atol=1e-5, equal_nan=True)
