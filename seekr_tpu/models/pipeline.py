@@ -50,6 +50,10 @@ def _normalize_graph(counts, mean, std, log2_mode):
     return counts, mean, std
 
 
+# rows at or below this get the forced-flat GEMM layout (see forward)
+_GEMM_FLAT_MAX_ROWS = 4096
+
+
 class SeekrPipeline:
     """Fused count -> normalize -> Pearson pipeline for one device.
 
@@ -85,8 +89,19 @@ class SeekrPipeline:
         """Full pipeline: encoded sequences -> [m, m] Pearson r matrix."""
         from seekr_tpu.ops.pearson import pearson_graph
 
-        normalized, _, _ = self.counts(bases, lengths, mean, std,
-                                       flat=False)
+        raw = count_graph(bases, lengths, self.k, flat=False)
+        if bases.shape[0] <= _GEMM_FLAT_MAX_ROWS:
+            # XLA otherwise carries the kernel's 3-D tiled layout through
+            # normalize into the Pearson GEMM, which traces ~55% slower on
+            # the 3-D contraction layout at small m (0.943 vs 0.605 ms at
+            # m=2048; BASELINE.md).  The barrier forces one small flat
+            # relayout (~0.04 ms) and buys the fast GEMM — measured +21%
+            # end-to-end at m=2048, fading to noise by m=8192 and net
+            # NEGATIVE at 13k (the relayout grows, the GEMM stops caring),
+            # hence the row gate.
+            raw = jax.lax.optimization_barrier(
+                raw.reshape(raw.shape[0], -1))
+        normalized, _, _ = _normalize_graph(raw, mean, std, self.log2)
         return pearson_graph(normalized)
 
     def jit_forward(self):

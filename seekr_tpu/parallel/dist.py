@@ -125,9 +125,12 @@ def distributed_pipeline(mesh: Mesh, k: int = 6, log2: str = "Log2.post",
 
     ``flat=False`` returns the normalized counts as the per-chip 3-D
     [M, n_hi, n_lo] tensor (kmer axis sharding n_hi) instead of flat
-    [M, 4^k], skipping each chip's flatten relayout copy entirely; the
-    row-major bytes are the flat matrix, so hosts just np.reshape the
-    fetch (ops.count_graph contract).  mean/std stay flat either way.
+    [M, 4^k]; the row-major bytes are the flat matrix, so hosts just
+    np.reshape the fetch (ops.count_graph contract).  mean/std stay flat
+    either way.  Use it when the flat materialization itself is the
+    constraint (very large 4^k per chip); at small M the flat layout's
+    Pearson GEMM is FASTER than the 3-D contraction (trace comparison in
+    BASELINE.md), so flat=True remains the right default.
     """
     vec_shard = NamedSharding(mesh, P(KMER_AXIS))
     in_shard = (
