@@ -183,11 +183,13 @@ def _downstream(args, sim):
     t0 = time.perf_counter()
     order = leaves_list(linkage(condensed, method="complete"))
     t_link = time.perf_counter() - t0
+    mb = args.m * args.m * 4 / 1e6  # f32 matrix each way over the tunnel
     print(f"[cluster] correlation pdist {args.m} x {args.m}: {t_pdist:.2f} s "
-          f"wall (device GEMM; on this box the 676 MB up + 676 MB down ride "
-          f"the ~10 MB/s tunnel — device compute is 0.11 s, BASELINE.md; "
-          f"single-core scipy extrapolates to ~10 min) + complete linkage "
-          f"{t_link:.1f} s -> {len(order)} leaves")
+          f"wall (device GEMM; on this box ~{mb:.0f} MB up + ~{mb:.0f} MB "
+          f"down ride the ~10 MB/s tunnel — at m=13000 the device compute "
+          f"is 0.11 s and single-core scipy extrapolates to ~10 min, "
+          f"BASELINE.md) + complete linkage {t_link:.1f} s "
+          f"-> {len(order)} leaves")
 
     del pvals  # keep flake-level hygiene; per-stage prints are the output
 

@@ -47,7 +47,9 @@ def _normalize_graph(counts, mean, std, log2_mode):
     if log2_mode == LOG2_POST:
         counts = counts + jnp.abs(jnp.min(counts))
         counts = accurate_log2(counts + 1.0)
-    return counts, mean, std
+    # norm-vector outputs are always flat [4^k] regardless of the count
+    # tensor's layout (tiny; callers consume them as .npy artifacts)
+    return counts, mean.reshape(-1), std.reshape(-1)
 
 
 # rows at or below this get the forced-flat GEMM layout (see forward)
@@ -79,11 +81,7 @@ class SeekrPipeline:
         way (they are tiny; reshaping them is free).
         """
         raw = count_graph(bases, lengths, self.k, flat=flat)
-        normalized, mean, std = _normalize_graph(raw, mean, std, self.log2)
-        if mean.ndim > 1:
-            mean = mean.reshape(-1)
-            std = std.reshape(-1)
-        return normalized, mean, std
+        return _normalize_graph(raw, mean, std, self.log2)
 
     def forward(self, bases, lengths, mean=None, std=None) -> jax.Array:
         """Full pipeline: encoded sequences -> [m, m] Pearson r matrix."""

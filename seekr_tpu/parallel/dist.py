@@ -94,15 +94,20 @@ def _pipeline_fn(bases, lengths, mean, std, k: int, log2: str, mesh: Mesh,
     from seekr_tpu.ops.pearson import pearson_graph
 
     raw = _sharded_count(mesh, bases, lengths, k, flat=flat)
+    if not flat:
+        kmer_size = mesh.shape[KMER_AXIS]
+        if raw.shape[1] % kmer_size:
+            raise ValueError(
+                f"flat=False shards the 3-D count tensor's n_hi axis "
+                f"(= {raw.shape[1]} for k={k} under the current count "
+                f"implementation) over the {kmer_size}-device kmer axis, "
+                f"which requires divisibility; use flat=True (4^k columns "
+                f"shard much finer) or a smaller kmer_parallel.")
     cols_spec = (P(DATA_AXIS, KMER_AXIS) if flat
                  else P(DATA_AXIS, KMER_AXIS, None))
     raw = jax.lax.with_sharding_constraint(
         raw, NamedSharding(mesh, cols_spec))
     normalized, mean, std = _normalize_graph(raw, mean, std, log2)
-    if mean is not None and mean.ndim > 1:
-        # norm-vector outputs stay flat [4^k] (tiny; cheap reshape)
-        mean = mean.reshape(-1)
-        std = std.reshape(-1)
     sim = pearson_graph(normalized)
     sim = jax.lax.with_sharding_constraint(
         sim, NamedSharding(mesh, P(DATA_AXIS, None)))

@@ -1,12 +1,13 @@
-"""Worker process for the 2-process jax.distributed test.
+"""Worker process for the multi-process jax.distributed tests.
 
 Launched by tests/test_distributed_multiprocess.py as
 ``python dist_worker.py <coordinator> <num_processes> <process_id>``.
-Each worker owns 4 virtual CPU devices; the two processes rendezvous via
-jax.distributed.initialize (the NCCL/MPI-equivalent bootstrap the reference
-lacks entirely), build one global 8-device mesh, and run the sharded
-pipeline.  Every process validates its addressable shards against the host
-oracle and prints DIST_OK on success.
+Each worker owns 4 virtual CPU devices; the processes rendezvous via
+jax.distributed.initialize (the NCCL/MPI-equivalent bootstrap the
+reference lacks entirely), build one global mesh over all
+4*num_processes devices, and run the sharded pipeline.  Every process
+validates its addressable shards against the host oracle and prints
+DIST_OK on success.
 """
 
 import os

@@ -369,16 +369,17 @@ def test_find_dist_fuzz_vs_reference(ref_pkg, tmp_path, seed, capsys,
 
     for ours, theirs in zip(side_o, side_r):
         np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-5)
-    if fit_model:
-        # the exact r-arrays each side fitted (same seeded subset draw),
-        # for the fit-instability attribution below
+    def fit_inputs():
+        # the exact r-arrays each side fitted (same seeded subset draw);
+        # computed lazily — only a CDF mismatch needs the attribution
         nofit = dict(kwargs, fit_model=False)
         np.random.seed(seed)
         arr_r2 = np.asarray(ref_find_dist(**nofit))
         np.random.seed(seed)
         arr_o2 = np.asarray(find_dist(**nofit))
-        fit_inputs = (arr_o2, arr_r2)
         capsys.readouterr()
+        return arr_o2, arr_r2
+
     if not fit_model:
         np.testing.assert_allclose(np.asarray(res_o), np.asarray(res_r),
                                    rtol=1e-3, atol=1e-4)
@@ -418,7 +419,7 @@ def test_find_dist_fuzz_vs_reference(ref_pkg, tmp_path, seed, capsys,
         # is fit sensitivity, not an implementation divergence — PROVE it
         # by re-running scipy's own fit on each side's r-array and
         # requiring each pipeline to be faithful to scipy on its own data
-        arr_o, arr_r = fit_inputs
+        arr_o, arr_r = fit_inputs()
         with np.errstate(all="ignore"):
             direct_o = dist.fit(arr_o)
             direct_r = dist.fit(arr_r)

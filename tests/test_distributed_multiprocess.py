@@ -1,11 +1,12 @@
 """Real multi-process jax.distributed validation (round-1 VERDICT item 2).
 
-Spawns fresh Python processes (2- and 4-process cases) (4 virtual CPU devices each) that
-rendezvous through ``init_distributed`` -> ``jax.distributed.initialize``
-on 127.0.0.1, build one global 8-device mesh, run ``distributed_pipeline``
-on it, and assert every addressable shard against the host oracle.  This
-exercises the actual multi-process bootstrap path (parallel/dist.py:36-49),
-not the single-process no-op branch.
+Spawns fresh Python processes (2- and 4-process cases, 4 virtual CPU
+devices each) that rendezvous through ``init_distributed`` ->
+``jax.distributed.initialize`` on 127.0.0.1, build one global mesh over
+all 8 (or 16) devices, run ``distributed_pipeline`` on it, and assert
+every addressable shard against the host oracle.  This exercises the
+actual multi-process bootstrap path (parallel/dist.py:36-49), not the
+single-process no-op branch.
 """
 
 import os

@@ -255,3 +255,14 @@ def test_distributed_pipeline_flat_false_norm_vectors():
                        rtol=1e-5, atol=1e-5, equal_nan=True)
     assert np.allclose(np.asarray(got[3]), np.asarray(ref[3]), rtol=1e-4,
                        atol=1e-5, equal_nan=True)
+
+
+def test_distributed_pipeline_flat_false_kmer_divisibility_error():
+    """flat=False shards n_hi (far coarser than 4^k); an indivisible
+    kmer axis must fail with an actionable message at trace time, not an
+    opaque pjit sharding error."""
+    mesh = make_mesh(jax.devices()[:8], kmer_parallel=8)
+    bases, lengths = _batch(16, 128, 2)  # k=2: n_hi is tiny (< 8)
+    step = distributed_pipeline(mesh, k=2, flat=False)
+    with pytest.raises(ValueError, match="n_hi"):
+        step(bases, lengths)
