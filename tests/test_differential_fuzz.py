@@ -458,3 +458,27 @@ def _write_fasta_long(path, rng, n_seqs, k):
         seq = "".join(rng.choice(list(BASES), size=length))
         lines.append(seq)
     path.write_text("\n".join(lines) + "\n")
+
+
+@pytest.mark.parametrize("k", [7, 8])
+def test_counts_large_k_vs_reference(ref_pkg, tmp_path, k, capsys):
+    """k=7/k=8 column order and values against the live reference — the
+    Pallas kernel's asymmetric bit splits (128x128, 512x128) must still
+    flatten to the reference's itertools.product('AGTC') order."""
+    from seekr_tpu import BasicCounter
+
+    RefCounter, _, _ = ref_pkg
+    rng = np.random.default_rng(k)
+    fa = tmp_path / "bigk.fa"
+    _write_fasta(fa, rng, 6, k)
+
+    ours = BasicCounter(str(fa), k=k, mean=False, std=False,
+                        log2="Log2.none", silent=True)
+    ours.get_counts()
+    ref = RefCounter(str(fa), k=k, mean=False, std=False,
+                     log2="Log2.none", silent=True)
+    ref.get_counts()
+    capsys.readouterr()
+    assert ours.counts.shape == ref.counts.shape == (6, 4 ** k)
+    np.testing.assert_allclose(np.asarray(ours.counts), ref.counts,
+                               rtol=1e-4, atol=1e-4)
