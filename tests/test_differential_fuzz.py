@@ -482,3 +482,40 @@ def test_counts_large_k_vs_reference(ref_pkg, tmp_path, k, capsys):
     assert ours.counts.shape == ref.counts.shape == (6, 4 ** k)
     np.testing.assert_allclose(np.asarray(ours.counts), ref.counts,
                                rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("seed", range(60, 64))
+def test_build_url_fuzz_vs_reference(ref_pkg, seed):
+    """Downloader.build_url parity across biotype/species/gtf/release
+    draws (pure URL construction — testable without network; the
+    scrape/download halves need egress and are covered by unit tests)."""
+    sys.path.insert(0, REFERENCE)
+    try:
+        from seekr.fasta import Downloader as RefDownloader
+    finally:
+        sys.path.remove(REFERENCE)
+    from seekr_tpu.data.gencode import Downloader
+
+    rng = np.random.default_rng(seed)
+    biotypes = ["all", "pc", "lncRNA", "bogus"]
+    species_pool = ["human", "mouse", "dog"]
+    for _ in range(12):
+        biotype = biotypes[int(rng.integers(0, len(biotypes)))]
+        species = species_pool[int(rng.integers(0, len(species_pool)))]
+        gtf = bool(rng.integers(0, 2))
+        if species == "mouse":
+            release = ["M5", "M25", "M31", "5"][int(rng.integers(0, 4))]
+        else:
+            release = ["22", "43", "19", "M5"][int(rng.integers(0, 4))]
+        try:
+            expected = RefDownloader().build_url(biotype, species, gtf,
+                                                 release)
+            raised = None
+        except AssertionError as e:
+            expected, raised = None, str(e)
+        if raised is None:
+            got = Downloader().build_url(biotype, species, gtf, release)
+            assert got == expected, (biotype, species, gtf, release)
+        else:
+            with pytest.raises(AssertionError):
+                Downloader().build_url(biotype, species, gtf, release)
