@@ -39,7 +39,11 @@ __all__ = [
 
 
 def __getattr__(name):
-    # graph/viz pull in matplotlib/networkx; import lazily
+    # graph/viz pull in matplotlib/networkx; SeekrPipeline pulls in jax
+    # device init — import lazily
+    if name == "SeekrPipeline":
+        from seekr_tpu.models.pipeline import SeekrPipeline
+        return SeekrPipeline
     if name == "kmer_leiden":
         from seekr_tpu.graph import kmer_leiden
         return kmer_leiden
