@@ -15,6 +15,11 @@ hardware-representative stage times (device compute, host stats, native
 Leiden) are readable on their own.
 
 Run: python exp/scale_chain.py [--m 13000]
+
+Tunnel note: a fresh process pays remote compiles for every bucket
+shape, and the tunnel occasionally wedges an in-flight compile forever
+(near-zero CPU).  Kill the exact PID and rerun — the second process
+usually sails through (bench.py automates this; here it is manual).
 """
 
 from __future__ import annotations
