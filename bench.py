@@ -155,13 +155,15 @@ def supervise():
 
     The tunneled TPU's remote-compile link occasionally wedges an in-flight
     HTTP request indefinitely (BASELINE.md); a fresh process reliably
-    recovers, so rather than hang the whole round, retry up to 3 times and
-    emit the child's JSON line.
+    recovers, so rather than hang the whole round, retry up to 5 times and
+    emit the child's JSON line.  (Wedges come in streaks under heavy
+    session use — two consecutive were observed — so 3 attempts is not
+    enough margin for the round-end run.)
     """
     import subprocess
 
     last_err = ""
-    for attempt in range(3):
+    for attempt in range(5):
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
@@ -178,7 +180,7 @@ def supervise():
         last_err = (f"attempt {attempt}: rc={proc.returncode} "
                     f"stderr={proc.stderr[-500:]}")
         print(last_err, file=sys.stderr)
-    raise SystemExit(f"bench failed after 3 attempts: {last_err}")
+    raise SystemExit(f"bench failed after 5 attempts: {last_err}")
 
 
 if __name__ == "__main__":
