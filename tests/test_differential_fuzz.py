@@ -11,7 +11,7 @@ of length exactly k-1 — ZeroDivisionError at kmer_counts.py:144 — so
 those inputs are not generated; they are covered by our own error-path
 tests instead).
 
-Soak validation (round 2): ~1,200 randomized seeds across all stages
+Soak validation (round 2): ~1,900 randomized seeds across all stages
 ran against the live reference with ZERO genuine divergences.  The
 comparison methodology had to absorb three inherent-instability classes
 along the way (chaotic small-sample MLE optima, the stochastic 'mse'
