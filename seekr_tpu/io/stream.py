@@ -44,9 +44,12 @@ class StreamingNpyWriter:
         self._fh.write(block.tobytes())
 
     def close(self):
-        assert self._rows_written == self.shape[0], (
-            f"expected {self.shape[0]} rows, wrote {self._rows_written}")
-        self._fh.close()
+        try:
+            assert self._rows_written == self.shape[0], (
+                f"expected {self.shape[0]} rows, wrote {self._rows_written}")
+        finally:
+            # the handle must not leak when the row-count check fails
+            self._fh.close()
 
     def __enter__(self):
         return self

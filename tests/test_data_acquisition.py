@@ -6,6 +6,7 @@ matching the upstream approach of skipping live-network tests.
 """
 
 import gzip
+import pathlib
 
 import pytest
 
@@ -235,7 +236,7 @@ def test_cli_canonical_gencode(tmp_path, monkeypatch, capsys):
     with open("in.fa", "w") as fh:
         fh.write(">A-001\nAAAA\n>B-002\nGGGG\n")
     cli.console_canonical_gencode(["in.fa", "out.fa", "-z", "2"])
-    assert ">A-001" in open("out.fa").read()
+    assert ">A-001" in pathlib.Path("out.fa").read_text()
     with pytest.raises(SystemExit):
         cli.console_canonical_gencode([])
     assert "seekr_canonical_gencode" in capsys.readouterr().out

@@ -1,5 +1,7 @@
 """Streamed matrix emission: npy/csv writers + blocked Pearson streaming."""
 
+import pathlib
+
 import numpy as np
 import pandas as pd
 import pytest
@@ -46,7 +48,8 @@ def test_streaming_csv_raw_savetxt_format(tmp_path):
         w.append(data)
     ref_path = str(tmp_path / "ref.csv")
     np.savetxt(ref_path, data, delimiter=",", fmt="%1.6f")
-    assert open(path).read() == open(ref_path).read()
+    assert (pathlib.Path(path).read_text()
+            == pathlib.Path(ref_path).read_text())
 
 
 def test_streaming_csv_bytes_match_pandas_to_csv(tmp_path):
@@ -68,7 +71,8 @@ def test_streaming_csv_bytes_match_pandas_to_csv(tmp_path):
         w.append(data[3:])
     ref = str(tmp_path / "ref.csv")
     pd.DataFrame(data, index=rows, columns=cols).to_csv(ref)
-    assert open(path).read() == open(ref).read()
+    assert (pathlib.Path(path).read_text()
+            == pathlib.Path(ref).read_text())
 
 
 def test_streaming_csv_float64_fallback_roundtrips(tmp_path):
