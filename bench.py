@@ -16,6 +16,27 @@ twice and is genuinely slower than the queued host loop (lax.scan 3.9
 ms/iter; fori_loop with a carry-dependent perturbation 2.16; B-stacked
 batching with vmapped Pearson 2.3), so the host loop stays.
 
+Estimator: TPU side is best-of-REPS loops (the tunnel's latency drifts
+minute to minute, so the fastest sustained loop is the least contaminated
+estimate of steady-state device throughput); the CPU baseline is
+median-of-3 (quiet-host central tendency on a noisy shared-vCPU box,
+floored at the recorded quiet-host median so a noisy-neighbor-slowed live
+run can never inflate the ratio).  The asymmetry is deliberate and
+recorded in the emitted JSON ("method").
+
+Budget safety (VERDICT r2 item 1): the worker emits a PROVISIONAL JSON
+line right after warmup + a short loop, then refines; the supervisor runs
+bounded attempts (timeouts 120/180/240 s, <=540 s worst case) and on a
+timeout still harvests the child's last JSON line — a partially-wedged
+run yields a number instead of nothing.
+
+Weak-scaling mode (VERDICT r2 item 4): with >1 visible device (or
+--data-parallel N) the worker also runs ``distributed_pipeline`` over a
+(data[, kmer]) mesh and reports per-chip throughput + scaling efficiency
+vs the same-process single-device number.  ``--cpu-mesh N`` validates the
+harness on an N-device virtual CPU mesh (numbers there are meaningless
+and the JSON says so).
+
 Baseline: the reference implementation (pure numpy/Python, mounted at
 /root/reference) timed on the SAME full-size corpus on this host's CPU —
 measured, not extrapolated (VERDICT round 1, item 6).  If the reference is
@@ -43,15 +64,26 @@ L_MIN, L_MAX = 512, 2048
 K = 6
 SEED = 0
 ITERS = 600
+PROVISIONAL_ITERS = 60   # short loop backing the early JSON emit
 REPS = 3
 
+# bounded supervisor schedule: worst case 120+180+240 = 540 s, inside any
+# reasonable driver budget (BENCH_r02 died to 5 x 900 s); env override is a
+# test hook (tests/test_bench.py exercises the timeout-harvest path)
+ATTEMPT_TIMEOUTS = tuple(
+    int(t) for t in os.environ.get("SEEKR_TPU_BENCH_TIMEOUTS",
+                                   "120,180,240").split(","))
 
-def synth_corpus():
-    """Deterministic synthetic corpus: digits [M, L_MAX] + lengths [M]."""
+METHOD_NOTE = ("tpu=best-of-loops (tunnel latency drifts); "
+               "baseline=median-of-3 floored at recorded quiet-host median")
+
+
+def synth_corpus(m=M, l_min=L_MIN, l_max=L_MAX):
+    """Deterministic synthetic corpus: digits [m, l_max] + lengths [m]."""
     rng = np.random.default_rng(SEED)
-    bases = rng.integers(0, 4, size=(M, L_MAX), dtype=np.int8)
-    lengths = rng.integers(L_MIN, L_MAX + 1, size=M, dtype=np.int32)
-    mask = np.arange(L_MAX)[None, :] >= lengths[:, None]
+    bases = rng.integers(0, 4, size=(m, l_max), dtype=np.int8)
+    lengths = rng.integers(l_min, l_max + 1, size=m, dtype=np.int32)
+    mask = np.arange(l_max)[None, :] >= lengths[:, None]
     bases[mask] = 4  # padding / invalid
     return bases, lengths
 
@@ -73,7 +105,20 @@ def _sync(out):
     return np.asarray(out.ravel()[:1])
 
 
+def _emit(payload):
+    print(json.dumps(payload), flush=True)
+
+
+def _timed_loop(fn, args, sync_pick, iters):
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    _sync(sync_pick(out))
+    return (time.perf_counter() - t0) / iters
+
+
 def bench_tpu(bases, lengths):
+    """Single-device pipeline throughput; emits a provisional line early."""
     import jax
 
     from seekr_tpu.models.pipeline import SeekrPipeline
@@ -82,18 +127,46 @@ def bench_tpu(bases, lengths):
     fn = jax.jit(pipeline.forward)
     b = jax.device_put(bases)
     n = jax.device_put(lengths)
-    _sync(fn(b, n))  # warmup / compile
+    print("bench: compiling single-device pipeline...", file=sys.stderr,
+          flush=True)
+    _sync(fn(b, n))  # warmup / compile — the wedge-prone step
+    # provisional number first: even if the long refinement loop dies to a
+    # tunnel wedge, the supervisor harvests this line
+    prov = _timed_loop(fn, (b, n), lambda o: o, PROVISIONAL_ITERS)
+    _emit(_payload(bases.shape[0] / prov, RECORDED_CPU_BASELINE_TPS,
+                   provisional=True))
     # best of REPS timing loops: the tunnel's latency drifts minute to
     # minute (BASELINE.md), so the fastest sustained loop is the least
     # contaminated estimate of device throughput
-    best = float("inf")
+    best = prov
     for _ in range(REPS):
-        t0 = time.perf_counter()
-        for _ in range(ITERS):
-            out = fn(b, n)
-        _sync(out)
-        best = min(best, (time.perf_counter() - t0) / ITERS)
-    return M / best, best
+        best = min(best, _timed_loop(fn, (b, n), lambda o: o, ITERS))
+    return bases.shape[0] / best, best
+
+
+def bench_mesh(bases, lengths, data_parallel, kmer_parallel, iters, reps):
+    """Weak-scaling mode: distributed_pipeline over a (data, kmer) mesh."""
+    import jax
+
+    from seekr_tpu.parallel.dist import distributed_pipeline
+    from seekr_tpu.parallel.mesh import make_mesh
+
+    need = data_parallel * kmer_parallel
+    devices = jax.devices()
+    if need > len(devices):
+        raise SystemExit(f"bench: requested {need} devices, "
+                         f"have {len(devices)}")
+    mesh = make_mesh(devices[:need], kmer_parallel=kmer_parallel)
+    fn = distributed_pipeline(mesh, k=K, log2="Log2.post")
+    b = jax.device_put(bases)
+    n = jax.device_put(lengths)
+    print(f"bench: compiling {need}-device mesh pipeline...",
+          file=sys.stderr, flush=True)
+    _sync(fn(b, n)[3])  # warmup (sim output)
+    best = float("inf")
+    for _ in range(reps):
+        best = min(best, _timed_loop(fn, (b, n), lambda o: o[3], iters))
+    return bases.shape[0] / best
 
 
 def bench_reference_cpu(bases, lengths):
@@ -123,16 +196,99 @@ def bench_reference_cpu(bases, lengths):
         counter.get_counts()
         ref_pearson(counter.counts, counter.counts)
         totals.append(time.perf_counter() - t0)
-    return M / sorted(totals)[1]
+    return bases.shape[0] / sorted(totals)[1]
 
 
-def main():
+def _payload(tps, baseline_tps, provisional=False, extra=None):
+    vs = (tps / baseline_tps) if baseline_tps else None
+    out = {
+        "metric": "k6_count_normalize_pearson_throughput",
+        "value": round(tps, 1),
+        "unit": "transcripts/s/chip",
+        "vs_baseline": round(vs, 1) if vs else None,
+        "method": METHOD_NOTE,
+    }
+    if provisional:
+        out["provisional"] = True
+    if extra:
+        out.update(extra)
+    return out
+
+
+def main(argv):
+    data_parallel = 0
+    kmer_parallel = 1
+    cpu_mesh = 0
+    it = iter(argv)
+    for arg in it:
+        if arg == "--data-parallel":
+            data_parallel = int(next(it))
+        elif arg == "--kmer-parallel":
+            kmer_parallel = int(next(it))
+        elif arg == "--cpu-mesh":
+            cpu_mesh = int(next(it))
+        else:
+            raise SystemExit(f"bench: unknown flag {arg}")
+
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    if os.environ.get("SEEKR_TPU_BENCH_SELFTEST_HANG"):
+        # test hook: emit the provisional line then wedge, exactly like a
+        # tunnel stall mid-refinement; the supervisor must still print it
+        _emit(_payload(1234.5, RECORDED_CPU_BASELINE_TPS, provisional=True))
+        time.sleep(3600)
+
+    if cpu_mesh:
+        # harness-validation mode: virtual CPU devices; numbers meaningless
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={cpu_mesh}")
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")  # axon ignores the env var
+        data_parallel = data_parallel or cpu_mesh // kmer_parallel
+
+    import jax
+
     from seekr_tpu.utils.compile_cache import enable_compilation_cache
 
     enable_compilation_cache()
-    bases, lengths = synth_corpus()
-    tps, step_time = bench_tpu(bases, lengths)
+
+    if cpu_mesh:
+        # tiny shapes: this validates the mesh harness, not performance
+        bases, lengths = synth_corpus(m=256, l_min=64, l_max=128)
+        iters, reps = 10, 1
+    else:
+        bases, lengths = synth_corpus()
+        iters, reps = ITERS, REPS
+
+    n_dev = len(jax.devices())
+    if not data_parallel and n_dev > 1:
+        data_parallel = n_dev // kmer_parallel  # auto weak-scaling mode
+
+    if data_parallel and data_parallel * kmer_parallel > 1:
+        # single-device reference point first (same process, same corpus)
+        if cpu_mesh:
+            single_tps = bench_mesh(bases, lengths, 1, 1, iters, reps)
+        else:
+            single_tps, _ = bench_tpu(bases, lengths)
+        n_chips = data_parallel * kmer_parallel
+        total_tps = bench_mesh(bases, lengths, data_parallel, kmer_parallel,
+                               iters, reps)
+        per_chip = total_tps / n_chips
+        extra = {
+            "devices": n_chips,
+            "total_tps": round(total_tps, 1),
+            "scaling_efficiency": round(per_chip / single_tps, 3),
+        }
+        if cpu_mesh:
+            extra["note"] = ("virtual CPU mesh — harness validation only, "
+                             "numbers not meaningful")
+        baseline = None if cpu_mesh else RECORDED_CPU_BASELINE_TPS
+        _emit(_payload(per_chip, baseline, extra=extra))
+        return
+
+    tps, _ = bench_tpu(bases, lengths)
     baseline_tps = bench_reference_cpu(bases, lengths)
     if baseline_tps is None:
         baseline_tps = RECORDED_CPU_BASELINE_TPS
@@ -141,50 +297,61 @@ def main():
         # not inflate the speedup, so never report against a baseline
         # slower than the recorded quiet-host median (BASELINE.md)
         baseline_tps = max(baseline_tps, RECORDED_CPU_BASELINE_TPS)
-    vs_baseline = (tps / baseline_tps) if baseline_tps else None
-    print(json.dumps({
-        "metric": "k6_count_normalize_pearson_throughput",
-        "value": round(tps, 1),
-        "unit": "transcripts/s/chip",
-        "vs_baseline": round(vs_baseline, 1) if vs_baseline else None,
-    }))
+    _emit(_payload(tps, baseline_tps))
 
 
-def supervise():
-    """Run the benchmark in a child process with timeout + retries.
+def supervise(argv):
+    """Run the benchmark in a child process under a bounded budget.
 
     The tunneled TPU's remote-compile link occasionally wedges an in-flight
     HTTP request indefinitely (BASELINE.md); a fresh process reliably
-    recovers, so rather than hang the whole round, retry up to 5 times and
-    emit the child's JSON line.  (Wedges come in streaks under heavy
-    session use — two consecutive were observed — so 3 attempts is not
-    enough margin for the round-end run.)
+    recovers.  Round 2's supervisor (5 x 900 s) could exceed any driver
+    budget — one wedged attempt burned the whole window and BENCH_r02
+    recorded nothing.  Now: at most len(ATTEMPT_TIMEOUTS) attempts with
+    escalating timeouts (<= 540 s total), and because the worker emits a
+    provisional JSON line right after warmup, a child killed mid-refinement
+    still yields a harvestable number.
     """
     import subprocess
 
     last_err = ""
-    for attempt in range(5):
+    best_line = None
+    for attempt, budget in enumerate(ATTEMPT_TIMEOUTS):
+        proc = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__)] + argv,
+            env={**os.environ, "SEEKR_TPU_BENCH_WORKER": "1"},
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+        timed_out = False
         try:
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__)],
-                env={**os.environ, "SEEKR_TPU_BENCH_WORKER": "1"},
-                capture_output=True, text=True, timeout=900)
+            out, err = proc.communicate(timeout=budget)
         except subprocess.TimeoutExpired:
-            last_err = f"attempt {attempt}: timed out (tunnel wedge?)"
-            print(last_err, file=sys.stderr)
-            continue
-        lines = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
-        if proc.returncode == 0 and lines:
-            print(lines[-1])
+            timed_out = True
+            proc.kill()
+            out, err = proc.communicate()
+        lines = [ln for ln in out.splitlines() if ln.startswith("{")]
+        if lines:
+            best_line = lines[-1]  # final if reached, else provisional
+        if not timed_out and proc.returncode == 0 and lines:
+            print(best_line)
             return 0
-        last_err = (f"attempt {attempt}: rc={proc.returncode} "
-                    f"stderr={proc.stderr[-500:]}")
+        last_err = (f"attempt {attempt}: "
+                    f"{'timeout' if timed_out else f'rc={proc.returncode}'} "
+                    f"stderr={err[-500:]}")
         print(last_err, file=sys.stderr)
-    raise SystemExit(f"bench failed after 5 attempts: {last_err}")
+        if timed_out and best_line:
+            # a provisional number in hand beats gambling the remaining
+            # budget on another cold compile
+            print(best_line)
+            return 0
+    if best_line:
+        print(best_line)
+        return 0
+    raise SystemExit(f"bench failed after {len(ATTEMPT_TIMEOUTS)} attempts: "
+                     f"{last_err}")
 
 
 if __name__ == "__main__":
     if os.environ.get("SEEKR_TPU_BENCH_WORKER"):
-        main()
+        main(sys.argv[1:])
     else:
-        supervise()
+        supervise(sys.argv[1:])
