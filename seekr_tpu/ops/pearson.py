@@ -73,6 +73,51 @@ def pearson_device(counts1, counts2, row_standardize: bool = True) -> jax.Array:
     return dist / c1.shape[1]
 
 
+def pearson_pairs(counts, ii, jj, row_standardize: bool = True,
+                  chunk: int = 65536) -> np.ndarray:
+    """r-values of selected row pairs, without forming any r-matrix.
+
+    ``out[t] = pearson(counts[ii[t]], counts[jj[t]])``.  Device work is
+    O(pairs * n) gather + elementwise dot instead of the full O(m^2 n)
+    GEMM — the engine behind sampled find_dist at the 180k-transcript
+    extreme (SURVEY.md hard part 5), where only ``subset_size`` of the
+    m(m-1)/2 pool is ever fitted (seekr/find_dist.py:166-171).
+
+    Rows are standardized once on device; pairs are gathered in fixed-size
+    chunks so one shape compiles regardless of the pair count.  Elementwise
+    float32 multiply-accumulate is at least as accurate as the GEMM path
+    (tests pin allclose vs pearson_device at 1e-5).
+    """
+    import jax
+
+    c = jnp.asarray(counts, dtype=jnp.float32)
+    if row_standardize:
+        c = _row_standardize(c)
+    ii = np.asarray(ii, dtype=np.int32)
+    jj = np.asarray(jj, dtype=np.int32)
+    n_pairs = ii.size
+    out = np.empty(n_pairs, dtype=np.float32)
+    if n_pairs == 0:
+        return out
+    chunk = int(min(chunk, n_pairs))
+
+    @jax.jit
+    def pair_dot(cc, a_idx, b_idx):
+        a = jnp.take(cc, a_idx, axis=0)
+        b = jnp.take(cc, b_idx, axis=0)
+        return jnp.sum(a * b, axis=1) / cc.shape[1]
+
+    pad = np.zeros(chunk, dtype=np.int32)
+    for start in range(0, n_pairs, chunk):
+        end = min(start + chunk, n_pairs)
+        a, b = pad.copy(), pad.copy()  # padded tail rows: computed, dropped
+        a[:end - start] = ii[start:end]
+        b[:end - start] = jj[start:end]
+        vals = np.asarray(pair_dot(c, a, b))
+        out[start:end] = vals[:end - start]
+    return out
+
+
 class _RowFiller:
     """Writer that fills a preallocated array with streamed row blocks."""
 

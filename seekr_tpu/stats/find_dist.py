@@ -2,11 +2,15 @@
 
 Behavioral parity with seekr/find_dist.py:82-294; the expensive part — the
 all-pairs Pearson of the background transcriptome (O(m^2 4^k) FLOPs, m up to
-~13k for the default corpus) — runs on TPU as a blocked MXU GEMM
-(seekr_tpu.ops.pearson.pearson_blocked).  scipy MLE fitting of candidate
-distributions stays on host: it iterates data-dependently over ~10-100
-distributions on a <=100k-sample vector, which is not accelerator work
-(SURVEY.md section 7 'hard parts' item 6).
+~13k for the default corpus) — runs on TPU as a blocked MXU GEMM streamed
+tile-by-tile into the upper triangle (similarity_triu; the [m, m] square
+never exists on host), and above EXACT_SUBSAMPLE_MAX_POOL the subsetting
+path computes ONLY the sampled pairs with a device gather-dot
+(sample_triu_pairs), which is what makes the 180k-transcript GENCODE
+extreme tractable at all.  scipy MLE fitting of candidate distributions
+stays on host: it iterates data-dependently over ~10-100 distributions on
+a <=100k-sample vector, which is not accelerator work (SURVEY.md section 7
+'hard parts' item 6).
 
 Differences from the reference (documented):
   * the bundled mouse vM25 background fasta is absent upstream
@@ -24,11 +28,17 @@ import warnings
 import numpy as np
 
 from seekr_tpu.models.counter import KmerCounter
-from seekr_tpu.ops.pearson import pearson_blocked
-# row-slice upper-triangle extraction (see utils/adj.py for why this beats
-# sim[np.triu_indices(m, 1)] at pipeline sizes)
-from seekr_tpu.utils.adj import triu_values as _triu_values
+from seekr_tpu.utils.adj import triu_index_to_ij
 from seekr_tpu.utils.progress import my_tqdm
+
+# Above this pool size (m(m-1)/2 candidate r-values) the subsetting path
+# switches from reference-exact np.random.choice over the fully-materialized
+# triangle to index-sampling + device gather-dot of ONLY the sampled pairs
+# (O(subset * 4^k) work and O(subset) memory instead of O(m^2 * 4^k) /
+# O(m^2)).  The default keeps the reference's own 13k background (84.5M
+# pool) byte-exact under a fixed np.random.seed; the threshold crosses at
+# m ~ 31,6k, far beyond anything the reference itself can materialize.
+EXACT_SUBSAMPLE_MAX_POOL = 500_000_000
 
 COMMON10 = [
     "cauchy", "chi2", "expon", "exponpow", "gamma",
@@ -90,15 +100,13 @@ def resolve_models(models):
     return _drop_unfittable(valid, announce=True)
 
 
-def background_similarity(inputseq, k_mer=4, log2="Log2.post",
-                          save_norm_prefix="bkg", mesh=None):
-    """Counts + self-Pearson of a background fasta, upper triangle flattened.
+def _background_counts(inputseq, k_mer=4, log2="Log2.post",
+                       save_norm_prefix="bkg") -> np.ndarray:
+    """Normalized count matrix of the background fasta.
 
     Regenerates and persists the background normalization vectors as
     ``{prefix}_mean_{k}mers.npy`` / ``{prefix}_std_{k}mers.npy`` exactly like
-    the reference (seekr/find_dist.py:148-153).  With ``mesh`` the all-pairs
-    GEMM (the O(m^2 4^k) bulk of find_dist at the default 13k-transcript
-    background) runs data-sharded across the mesh's devices.
+    the reference (seekr/find_dist.py:148-153).
     """
     norm_counter = KmerCounter(inputseq, log2=log2, k=k_mer, silent=True)
     norm_counter.get_counts()
@@ -114,16 +122,72 @@ def background_similarity(inputseq, k_mer=4, log2="Log2.post",
     counter = KmerCounter(inputseq, mean=mean_path, std=std_path, k=k_mer,
                           silent=True)
     counter.make_count_file()
+    return counter.counts
+
+
+def similarity_triu(counts, mesh=None, block_rows: int = 4096) -> np.ndarray:
+    """Strict upper triangle of the self-Pearson, reduced tile-by-tile.
+
+    The [m, m] square never exists on host (io.stream.TriuCollector):
+    tiles stream off the blocked device GEMM — data-sharded across the
+    mesh when given — and only each row's j > i tail is kept.  Identical
+    values to triu_values(pearson(counts, counts)) (seekr/find_dist.py:
+    160-163), at half the 13k-default peak memory and without the 130 GB
+    square the 180k extreme would have needed.
+    """
+    from seekr_tpu.io.stream import TriuCollector, stream_pearson
+
+    w = TriuCollector(int(np.shape(counts)[0]))
     if mesh is None:
-        sim = pearson_blocked(counter.counts, counter.counts)
+        stream_pearson(counts, counts, w, block_rows=block_rows)
     else:
-        from seekr_tpu.io.stream import ArrayCollector
         from seekr_tpu.parallel.dist import stream_pearson_sharded
 
-        w = ArrayCollector()
-        stream_pearson_sharded(mesh, counter.counts, w)
-        sim = w.result()
-    return _triu_values(np.asarray(sim))
+        stream_pearson_sharded(mesh, counts, w, block_rows=block_rows)
+    return w.result()
+
+
+def background_similarity(inputseq, k_mer=4, log2="Log2.post",
+                          save_norm_prefix="bkg", mesh=None):
+    """Counts + self-Pearson of a background fasta, upper triangle flattened.
+
+    With ``mesh`` the all-pairs GEMM (the O(m^2 4^k) bulk of find_dist at
+    the default 13k-transcript background) runs data-sharded across the
+    mesh's devices.
+    """
+    counts = _background_counts(inputseq, k_mer=k_mer, log2=log2,
+                                save_norm_prefix=save_norm_prefix)
+    return similarity_triu(counts, mesh=mesh)
+
+
+def sample_triu_pairs(counts, subset_size: int) -> np.ndarray:
+    """``subset_size`` r-values sampled uniformly from the triu pool.
+
+    Bounded-memory replacement for materialize-then-np.random.choice when
+    the pool outgrows EXACT_SUBSAMPLE_MAX_POOL: distinct flat triangle
+    indices are drawn through the global numpy RNG (so np.random.seed
+    still pins the run), mapped to (i, j) row pairs, and ONLY those pairs'
+    correlations are computed on device (ops.pearson.pearson_pairs).  At
+    m=180k / subset 100k this is ~8 orders of magnitude less compute and
+    memory than the full 1.6e10-value pool.  The draw stream necessarily
+    differs from the reference's np.random.choice over the materialized
+    pool (PARITY.md) — a regime the reference cannot reach at all.
+    """
+    from seekr_tpu.ops.pearson import pearson_pairs
+
+    m = int(np.shape(counts)[0])
+    pool = m * (m - 1) // 2
+    # rejection loop: O(subset) memory; with pool >> subset (the only
+    # regime this path serves) collisions are vanishingly rare
+    seen = set()
+    picks = []
+    while len(picks) < subset_size:
+        for v in np.random.randint(0, pool, size=subset_size - len(picks)).tolist():
+            if v not in seen:
+                seen.add(v)
+                picks.append(v)
+    ii, jj = triu_index_to_ij(m, np.asarray(picks, dtype=np.int64))
+    return pearson_pairs(counts, ii, jj)
 
 
 def _fit_one(name, data, statsmethod):
@@ -278,15 +342,22 @@ def find_dist(inputseq="default", k_mer=4, log2="Log2.post", models="common10",
               subsetting=True, subset_size=100000, fit_model=True,
               statsmethod="ks", progress_bar=False, plotfit=None,
               outputname=None, n_jobs=1, fit_timeout=None,
-              data_parallel=None, kmer_parallel=1):
+              data_parallel=None, kmer_parallel=1,
+              exact_subsample_max_pool=EXACT_SUBSAMPLE_MAX_POOL):
     """Find the best-fitting distribution of background pairwise similarities.
 
     API parity with seekr/find_dist.py:82 (same signature, same outputs: a
     list of (name, D, params) tuples when ``fit_model`` else the raw r-value
     array; optional grid plot and CSV artifacts).  Extensions: ``n_jobs``/
-    ``fit_timeout`` for the host fitting loop, and ``data_parallel``/
+    ``fit_timeout`` for the host fitting loop, ``data_parallel``/
     ``kmer_parallel`` to run the O(m^2) background Pearson data-sharded
-    across a device mesh.
+    across a device mesh, and ``exact_subsample_max_pool`` — above this
+    pool size the subsample comes from index-sampling + device gather-dot
+    of only the sampled pairs (bounded memory; the 180k-transcript GENCODE
+    extreme, SURVEY.md hard part 5) instead of the reference-exact
+    np.random.choice over the materialized triangle.  Lower it to trade
+    seeded byte-parity for speed on big backgrounds; raise it to force the
+    exact path.
     """
     if inputseq == "default":
         bundled = os.path.join(
@@ -310,15 +381,22 @@ def find_dist(inputseq="default", k_mer=4, log2="Log2.post", models="common10",
     from seekr_tpu.parallel.mesh import build_mesh_from_flags
 
     mesh = build_mesh_from_flags(data_parallel, kmer_parallel)
-    sim_triu = background_similarity(inputseq, k_mer=k_mer, log2=log2,
-                                     mesh=mesh)
+    counts = _background_counts(inputseq, k_mer=k_mer, log2=log2)
+    m = int(np.shape(counts)[0])
+    pool = m * (m - 1) // 2
 
-    if subsetting:
-        if len(sim_triu) > subset_size:
-            sim_triu = np.random.choice(sim_triu, size=subset_size, replace=False)
-        else:
-            print("subset_size is larger than the actual data size, "
-                  "use the actual data size instead")
+    if subsetting and pool > exact_subsample_max_pool and subset_size < pool:
+        # bounded-memory regime: never materialize the pool at all
+        sim_triu = sample_triu_pairs(counts, subset_size)
+    else:
+        sim_triu = similarity_triu(counts, mesh=mesh)
+        if subsetting:
+            if len(sim_triu) > subset_size:
+                sim_triu = np.random.choice(sim_triu, size=subset_size,
+                                            replace=False)
+            else:
+                print("subset_size is larger than the actual data size, "
+                      "use the actual data size instead")
 
     if not fit_model:
         if plotfit:

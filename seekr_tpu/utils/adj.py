@@ -72,6 +72,23 @@ def triu_fill(m: int, flat: np.ndarray, fill=np.nan) -> np.ndarray:
     return out
 
 
+def triu_index_to_ij(m: int, t) -> tuple:
+    """Map row-major strict-upper-triangle flat indices to (i, j) pairs.
+
+    Inverse of the layout :func:`triu_values` emits: row i contributes the
+    m-1-i values (i, i+1)..(i, m-1) starting at flat offset
+    i*m - i*(i+1)/2.  Vectorized via searchsorted on the per-row offsets
+    (an [m] int64 array — trivial even at m=180k), so sampled find_dist can
+    turn pool indices into gather coordinates without any m^2 structure.
+    """
+    t = np.asarray(t, dtype=np.int64)
+    rows = np.arange(m, dtype=np.int64)
+    offsets = rows * m - (rows * (rows + 1)) // 2
+    i = np.searchsorted(offsets, t, side="right") - 1
+    j = t - offsets[i] + i + 1
+    return i, j
+
+
 def get_adj(adj):
     """Coerce an adjacency input (ndarray / DataFrame / path) for graph use.
 

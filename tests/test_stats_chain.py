@@ -338,7 +338,7 @@ def test_is_symmetric_tiled_crosses_tile_boundary():
 
 
 def test_triu_values_matches_triu_indices():
-    from seekr_tpu.stats.find_dist import _triu_values
+    from seekr_tpu.utils.adj import triu_values as _triu_values
 
     rng = np.random.default_rng(11)
     for m in (1, 2, 3, 17, 128):
@@ -363,3 +363,64 @@ def test_triu_fill_roundtrip_and_nan_fill():
         np.testing.assert_array_equal(out, expected)
         # strict upper triangle survives the round trip exactly
         assert np.array_equal(triu_values(out), flat)
+
+
+def test_find_dist_sampled_path_bounded_memory(ref_data, example_fa, tmp_path,
+                                               monkeypatch):
+    """Forcing the pool threshold to 0 routes subsetting through
+    sample_triu_pairs (index sampling + device gather-dot): values must be
+    genuine members of the full triu pool and the run must be seedable."""
+    monkeypatch.chdir(tmp_path)
+    full = find_dist(inputseq=example_fa, k_mer=2, fit_model=False,
+                     subsetting=False)
+    np.random.seed(3)
+    got = find_dist(inputseq=example_fa, k_mer=2, fit_model=False,
+                    subsetting=True, subset_size=4,
+                    exact_subsample_max_pool=0)
+    assert got.shape == (4,)
+    # every sampled value is an actual pair correlation from the pool
+    for v in got:
+        assert np.min(np.abs(full - v)) < 1e-5
+    # distinct indices -> distinct pool positions (pool has no exact dups
+    # for this fixture)
+    assert len(np.unique(np.round(got, 6))) == 4
+    np.random.seed(3)
+    again = find_dist(inputseq=example_fa, k_mer=2, fit_model=False,
+                      subsetting=True, subset_size=4,
+                      exact_subsample_max_pool=0)
+    np.testing.assert_array_equal(got, again)
+
+
+def test_find_dist_default_threshold_keeps_exact_choice(ref_data, example_fa,
+                                                        tmp_path, monkeypatch):
+    """Below EXACT_SUBSAMPLE_MAX_POOL the subset is byte-exact with the
+    reference recipe: np.random.choice over the materialized triangle
+    (seekr/find_dist.py:166-171) under the same global seed."""
+    monkeypatch.chdir(tmp_path)
+    full = find_dist(inputseq=example_fa, k_mer=2, fit_model=False,
+                     subsetting=False)
+    np.random.seed(11)
+    expected = np.random.choice(full, size=6, replace=False)
+    np.random.seed(11)
+    got = find_dist(inputseq=example_fa, k_mer=2, fit_model=False,
+                    subsetting=True, subset_size=6)
+    np.testing.assert_array_equal(got, expected)
+
+
+def test_similarity_triu_mesh_matches_single(ref_data):
+    """Tile-path (sharded) == tile-path (single-device) == dense oracle."""
+    import jax
+
+    from seekr_tpu.models.pearson import pearson
+    from seekr_tpu.parallel.mesh import make_mesh
+    from seekr_tpu.stats.find_dist import similarity_triu
+    from seekr_tpu.utils.adj import triu_values
+
+    rng = np.random.default_rng(21)
+    counts = rng.normal(size=(37, 16)).astype(np.float32)
+    oracle = triu_values(np.asarray(pearson(counts, counts)))
+    single = similarity_triu(counts, block_rows=10)
+    np.testing.assert_allclose(single, oracle, rtol=1e-5, atol=1e-6)
+    mesh = make_mesh(jax.devices()[:4])
+    meshed = similarity_triu(counts, mesh=mesh, block_rows=10)
+    np.testing.assert_allclose(meshed, oracle, rtol=1e-5, atol=1e-6)
