@@ -25,110 +25,297 @@ from seekr_tpu.__version__ import __version__
 # -- usage docs (abridged; full flag docs come from argparse --help) ---------
 
 DOWNLOAD_GENCODE_DOC = """
-Download fasta (and optionally GTF) files from GENCODE.
+Description
+-----------
+Download transcript fasta (and optionally the matching GTF annotation)
+from GENCODE.  The positional 'biotype' selects the sequence set:
+'all' (every transcript on the reference chromosomes), 'pc'
+(protein-coding only), or 'lncRNA' (long non-coding only).  Without -r
+the latest release for the chosen species is discovered automatically;
+downloads are gunzipped unless -z is set.
 
-Example:
-  $ seekr_download_gencode lncRNA -s mouse -r M25
+Examples
+--------
+Latest human lncRNA transcripts, unzipped, into the working directory:
+  $ seekr_download_gencode lncRNA
+
+Mouse release M25, keeping the .gz and also fetching the GTF:
+  $ seekr_download_gencode lncRNA -s mouse -r M25 -z -g
+
+Custom output paths:
+  $ seekr_download_gencode pc -fp pc.fa.gz -gp pc.gtf.gz
 """
 
 FILTER_GENCODE_DOC = """
-Filter a GENCODE fasta by length, Ensembl_canonical tag, isoform number,
-and/or exact-duplicate removal.
+Description
+-----------
+Filter a GENCODE-format fasta by any combination of: minimum sequence
+length (-len, read from the header's length field), the
+Ensembl_canonical GTF tag (-can, needs -gtf), transcript isoform number
+(-iso, regex allowed, '0' disables), and exact-duplicate sequence
+removal keeping the first occurrence (-rd).  Writes
+'{outputname}.fa'; more than 50 transcript ids unmatched against the
+GTF triggers a warning.
 
-Example:
+Examples
+--------
+Keep canonical transcripts of at least 500 bases and drop duplicates:
   $ seekr_filter_gencode v43_lncRNA.fa -gtf v43.gtf -len 500 -can -rd -o filtered
+
+Keep only '201' isoforms, no GTF needed:
+  $ seekr_filter_gencode v43_lncRNA.fa -iso 201 -o iso201
 """
 
 KMER_COUNTS_DOC = """
-Generate a k-mer count matrix for a fasta file (counts/kb, normalized).
+Description
+-----------
+Generate the m x 4^k k-mer count matrix of a fasta file: one row per
+transcript, columns in AGTC product order, counts per kb of windows,
+optionally mean-centered, standardized, and log2-transformed
+(Log2.post by default).  On TPU the counting runs as a Pallas MXU
+histogram kernel.  Output is a labeled CSV by default; -b switches to
+a binary .npy, -rl drops the CSV labels.
 
-Example:
-  $ seekr_kmer_counts rnas.fa -o out_counts.csv -k 6
+Examples
+--------
+Defaults (k=6, labeled CSV, Log2.post, centered+standardized):
+  $ seekr_kmer_counts rnas.fa -o out_counts.csv
+
+Binary output with a smaller k:
+  $ seekr_kmer_counts rnas.fa -o out.npy -k 4 -b
+
+Raw counts/kb (no centering, no standardization, no log):
+  $ seekr_kmer_counts rnas.fa -o raw.csv -uc -us -l Log2.none
+
+Normalize against precomputed background vectors (seekr_norm_vectors):
+  $ seekr_kmer_counts rnas.fa -o out.csv -mv mean.npy -sv std.npy
+
+Notes
+-----
+With -l Log2.pre the normalization vectors must also come from a
+Log2.pre run of seekr_norm_vectors so means/stds match the log domain.
 """
 
 NORM_VECTORS_DOC = """
-Generate normalization (mean/std) vectors for a reference fasta.
+Description
+-----------
+Compute the per-k-mer mean and standard-deviation vectors of a
+(typically large background) fasta and save them as two .npy files, to
+normalize other fastas consistently in seekr_kmer_counts, seekr_find_pval,
+seekr_kmer_leiden, and the barplot commands.
 
-Example:
-  $ seekr_norm_vectors gencode.fa -k 6 -mv mean.npy -sv std.npy
+Examples
+--------
+Defaults (k=6, mean.npy / std.npy):
+  $ seekr_norm_vectors gencode.fa
+
+Explicit k and output paths:
+  $ seekr_norm_vectors gencode.fa -k 5 -mv mean_5mers.npy -sv std_5mers.npy
+
+Log2.pre statistics (for -l Log2.pre counting runs):
+  $ seekr_norm_vectors gencode.fa -l Log2.pre
 """
 
 PEARSON_DOC = """
-All-pairs Pearson correlation between two count files.
+Description
+-----------
+All-pairs Pearson correlation between the rows of two k-mer count
+artifacts: an [m1, n] and an [m2, n] matrix give an [m1, m2] r-matrix.
+Inputs/outputs are labeled CSV by default; -bi reads .npy, -bo writes
+.npy.  The GEMM runs on device; outputs beyond ~64M cells stream to
+disk in row blocks instead of materializing.
 
-Example:
+Examples
+--------
+CSV in, CSV out:
   $ seekr_pearson counts1.csv counts2.csv -o pearson.csv
+
+Binary in and out:
+  $ seekr_pearson counts1.npy counts2.npy -o pearson.npy -bi -bo
 """
 
 FIND_DIST_DOC = """
-Fit background distributions to all-pairs Pearson r-values of a background
-fasta (or return the raw r-values with -fm omitted).
+Description
+-----------
+Model the null distribution of pairwise similarities: count a background
+fasta, correlate it against itself, take the upper triangle of r-values
+(subsampled to -sbs values when -sbt is set), and fit candidate scipy
+distributions ranked by goodness of fit (-statm ks/mse/aic/bic).  Saves
+bkg_mean_{k}mers.npy / bkg_std_{k}mers.npy as a side effect.  With -fm
+omitted the raw (subsampled) r-values are returned/saved instead — the
+empirical background for seekr_find_pval.
 
-Example:
+Examples
+--------
+Fit the common 10 distributions and save the ranked results:
   $ seekr_find_dist background.fa -k 4 -fm -statm ks -o fitres
+
+Fit every scipy distribution, 8 host processes, plot the best fits:
+  $ seekr_find_dist background.fa -k 4 -fm -mdl all -pb -pf fitplot -nj 8
+
+Raw empirical r-values (no fitting), subsampled to 100k:
+  $ seekr_find_dist background.fa -k 4 -sbt -o bkg_rvalues
+
+Notes
+-----
+Backgrounds past ~31k transcripts switch the subsample to bounded-memory
+index sampling (only the sampled pairs are ever computed on device).
 """
 
 FIND_PVAL_DOC = """
-P-values for pairwise similarities of two fastas against a fitted background
-distribution (or an empirical background sample).
+Description
+-----------
+P-values for the pairwise similarities of two fastas: counts both with
+the given background mean/std vectors, correlates them, then converts
+each r to p against the background model — either the fitted
+distribution ranked -bf best in a seekr_find_dist fitres file
+(p = 1 - cdf(r)) or an empirical r-value sample (exceedance fraction,
+computed on device via searchsorted).  Output is a labeled CSV of
+sequence1 x sequence2 p-values.
 
-Example:
+Examples
+--------
+Fitted background (fitres from seekr_find_dist -fm):
   $ seekr_find_pval a.fa b.fa mean_4.npy std_4.npy 4 fitres.csv -o pvals
+
+Empirical background (raw r-value csv from seekr_find_dist without -fm):
+  $ seekr_find_pval a.fa b.fa mean_4.npy std_4.npy 4 bkg_rvalues.csv -ft npy -o pvals
+  (-ft npy marks the fitres artifact as raw numbers, not fitted tuples)
+
+Use the 2nd-best fitted distribution instead of the best:
+  $ seekr_find_pval a.fa b.fa mean_4.npy std_4.npy 4 fitres.csv -bf 2
 """
 
 ADJ_PVAL_DOC = """
-Multiple-comparison correction of a p-value matrix.
+Description
+-----------
+Multiple-comparison correction of a seekr_find_pval matrix.  Symmetric
+inputs (same fasta vs itself, detected at 5-decimal precision) correct
+only the upper triangle and fill the rest with NaN; asymmetric inputs
+correct the full flattened matrix.  All ten statsmodels method names
+are supported (bonferroni, sidak, holm, holm-sidak, simes-hochberg,
+hommel, fdr_bh, fdr_by, fdr_tsbh, fdr_tsbky).
 
-Example:
+Examples
+--------
+Benjamini-Hochberg at the default alpha:
   $ seekr_adj_pval pvals.csv fdr_bh -o adj_pvals
+
+Bonferroni at alpha 0.01:
+  $ seekr_adj_pval pvals.csv bonferroni -a 0.01 -o adj_pvals
 """
 
 KMER_HEATMAP_DOC = """
-Heatmap (optionally clustered with dendrograms) of an r- or p-value matrix.
+Description
+-----------
+Heatmap of an r- or p-value matrix with a two/three-color gradient
+pivoting at 'threshold' (hex colors accepted), optional hierarchical
+clustering of rows and columns with inset dendrograms, and a threshold
+tick on the colorbar.  The two positionals bound the color scale
+(e.g. 0 1 for p-values, -1 1 for r-values).
 
-Example:
+Examples
+--------
+P-value heatmap, clustered:
   $ seekr_kmer_heatmap pvals.csv 0 1
+
+R-value heatmap with a 0.13 pivot, custom size/format:
+  $ seekr_kmer_heatmap pearson.csv -1 1 -th 0.13 -hf png -hd 300
 """
 
 KMER_DENDROGRAM_DOC = """
-Dendrogram of hierarchical clustering of a matrix's rows or columns.
+Description
+-----------
+Dendrogram of the hierarchical clustering of a matrix's rows (-dd row)
+or columns (-dd column), with configurable distance metric and linkage
+method — a view of the clustering seekr_kmer_heatmap applies.
 
-Example:
+Examples
+--------
+Row dendrogram of a pearson matrix:
   $ seekr_kmer_dendrogram pearson.csv -dd row
+
+Column dendrogram, ward linkage, taller figure:
+  $ seekr_kmer_dendrogram pvals.csv -dd column -linkm ward -ph 10
 """
 
 KMER_LEIDEN_DOC = """
-Leiden community network of fasta sequences (native C++ engine).
+Description
+-----------
+Leiden community detection over fasta sequences: counts (normalized by
+the given mean/std vectors), self-Pearson, edges kept above
+-pco pearsoncutoff, then the Leiden algorithm (native C++ engine; six
+partition types) with spring-layout network plot and Gephi-ready
+nodes/edges CSVs.
 
-Example:
+Examples
+--------
+Default RBER partition at resolution 1.0:
   $ seekr_kmer_leiden rnas.fa mean_4.npy std_4.npy 4 -a RBERVertexPartition -pn net
+
+CPM partition, higher resolution, seeded, edge cutoff 0.1:
+  $ seekr_kmer_leiden rnas.fa mean_4.npy std_4.npy 4 -a CPMVertexPartition -r 1.5 -sd -pco 0.1
 """
 
 KMER_COUNT_BARPLOT_DOC = """
-Grouped barplot of normalized k-mer counts for up to 10 sequences.
+Description
+-----------
+Grouped barplot comparing the normalized k-mer counts of up to 10
+sequences, showing the -tn k-mers whose counts deviate most from the
+column mean (summed |difference|, ascending or descending).
 
-Example:
+Examples
+--------
+Top 10 most-deviant k-mers of a small fasta:
   $ seekr_kmer_count_barplot rnas.fa mean_4.npy std_4.npy 4 -o barplot
+
+Top 20, ascending order, png output:
+  $ seekr_kmer_count_barplot rnas.fa mean_4.npy std_4.npy 4 -tn 20 -sm ascending -pf png
 """
 
 KMER_MSD_BARPLOT_DOC = """
-Barplot of per-k-mer mean +/- sd across the sequences of a fasta.
+Description
+-----------
+Barplot of each k-mer's mean count +/- standard deviation across all
+sequences of a fasta, ordered by mean or sd, limited to the -tn most
+extreme k-mers.
 
-Example:
+Examples
+--------
+Default (top 10 by mean, descending):
   $ seekr_kmer_msd_barplot rnas.fa mean_4.npy std_4.npy 4 -o msd
+
+Top 15 by standard deviation:
+  $ seekr_kmer_msd_barplot rnas.fa mean_4.npy std_4.npy 4 -tn 15 -ss sd
 """
 
 KMER_COMP_TEXTPLOT_DOC = """
-Compare two sequences character-by-character with motif words highlighted.
+Description
+-----------
+Render two sequences character by character (wrapped at -wl columns)
+with up to 10 motif words highlighted in color; overlapping motifs take
+the first word's color.  Useful for eyeballing shared k-mer content
+between two specific transcripts.
 
-Example:
+Examples
+--------
+Compare two fastas' first sequences, highlighting two motifs:
   $ seekr_kmer_comp_textplot a.fa b.fa 'ATTA,AAAA' -o comp
+
+Wider wrap and custom colors:
+  $ seekr_kmer_comp_textplot a.fa b.fa 'GGGG' -wl 80 -cv '#d62728'
 """
 
 KMER_INDI_TEXTPLOT_DOC = """
-Per-sequence textplots with motif words highlighted.
+Description
+-----------
+Same character-grid rendering as seekr_kmer_comp_textplot but one plot
+per sequence of the input fasta, saved into -op; each plot is named by
+the header up to the first '|'.
 
-Example:
+Examples
+--------
+All sequences, two motifs, into plots/:
   $ seekr_kmer_indi_textplot rnas.fa 'ATTA,AAAA' -op plots/
 """
 
@@ -207,12 +394,40 @@ Example:
 """
 
 
+class _CollectParser(Exception):
+    """Carrier for parser harvesting (see _collect_parser)."""
+
+    def __init__(self, parser):
+        self.parser = parser
+
+
+_COLLECT = object()  # sentinel argv: harvest the parser instead of parsing
+
+
 def _parse_args_or_exit(parser, argv=None):
+    if argv is _COLLECT:
+        raise _CollectParser(parser)
     argv = sys.argv[1:] if argv is None else argv
     if not argv:
         parser.print_help()
         sys.exit(0)
     return parser.parse_args(argv)
+
+
+def _collect_parser(console_fn) -> argparse.ArgumentParser:
+    """Harvest a command's fully-built argparse parser without running it.
+
+    Every command funnels through _parse_args_or_exit, so passing the
+    _COLLECT sentinel as argv aborts the command right at the parse point
+    with its parser in hand.  This keeps the ``seekr`` manual (which prints
+    every command's complete flag/default table) permanently in sync with
+    the real parsers — there is no second copy of any flag definition.
+    """
+    try:
+        console_fn(argv=_COLLECT)
+    except _CollectParser as collected:
+        return collected.parser
+    raise RuntimeError("command did not route through _parse_args_or_exit")
 
 
 def _enable_xla_cache():
@@ -1156,44 +1371,61 @@ def console_pipeline(argv=None):
 
 # -- seekr help --------------------------------------------------------------
 
-_CMDS2DOC = {
-    "seekr_download_gencode": DOWNLOAD_GENCODE_DOC,
-    "seekr_filter_gencode": FILTER_GENCODE_DOC,
-    "seekr_norm_vectors": NORM_VECTORS_DOC,
-    "seekr_kmer_counts": KMER_COUNTS_DOC,
-    "seekr_pearson": PEARSON_DOC,
-    "seekr_find_dist": FIND_DIST_DOC,
-    "seekr_find_pval": FIND_PVAL_DOC,
-    "seekr_adj_pval": ADJ_PVAL_DOC,
-    "seekr_kmer_heatmap": KMER_HEATMAP_DOC,
-    "seekr_kmer_dendrogram": KMER_DENDROGRAM_DOC,
-    "seekr_kmer_leiden": KMER_LEIDEN_DOC,
-    "seekr_kmer_count_barplot": KMER_COUNT_BARPLOT_DOC,
-    "seekr_kmer_msd_barplot": KMER_MSD_BARPLOT_DOC,
-    "seekr_kmer_comp_textplot": KMER_COMP_TEXTPLOT_DOC,
-    "seekr_kmer_indi_textplot": KMER_INDI_TEXTPLOT_DOC,
-    "seekr_gen_rand_rnas": GEN_RAND_RNAS_DOC,
-    "seekr_pwms": PWMS_DOC,
-    "seekr_graph": GRAPH_DOC,
-    "seekr_domain_pearson": DOMAIN_PEARSON_DOC,
-    "seekr_visualize_distro": VISUALIZE_DISTRO_DOC,
-    "seekr_canonical_gencode": CANONICAL_GENCODE_DOC,
-    "seekr_tpu_pipeline": PIPELINE_DOC,
-}
+def _entry_commands():
+    """Entry-point name -> console function, in manual order.
+
+    Defined lazily (the console functions live above in this module) so
+    the table can never go stale against COMMANDS below.
+    """
+    return {
+        "seekr_download_gencode": console_download_gencode,
+        "seekr_filter_gencode": console_filter_gencode,
+        "seekr_norm_vectors": console_norm_vectors,
+        "seekr_kmer_counts": console_kmer_counts,
+        "seekr_pearson": console_pearson,
+        "seekr_find_dist": console_find_dist,
+        "seekr_find_pval": console_find_pval,
+        "seekr_adj_pval": console_adj_pval,
+        "seekr_kmer_heatmap": console_kmer_heatmap,
+        "seekr_kmer_dendrogram": console_kmer_dendrogram,
+        "seekr_kmer_leiden": console_kmer_leiden,
+        "seekr_kmer_count_barplot": console_kmer_count_barplot,
+        "seekr_kmer_msd_barplot": console_kmer_msd_barplot,
+        "seekr_kmer_comp_textplot": console_kmer_comp_textplot,
+        "seekr_kmer_indi_textplot": console_kmer_indi_textplot,
+        "seekr_gen_rand_rnas": console_gen_rand_rnas,
+        "seekr_pwms": console_pwms,
+        "seekr_graph": console_graph,
+        "seekr_domain_pearson": console_domain_pearson,
+        "seekr_visualize_distro": console_visualize_distro,
+        "seekr_canonical_gencode": console_canonical_gencode,
+        "seekr_tpu_pipeline": console_pipeline,
+    }
 
 
 def _run_console_seekr_help(version):
+    """Print the complete manual: every command's doc + full flag table.
+
+    The reference's ``seekr`` command dumps rich per-command usage docs
+    (seekr/console_scripts.py:1355-1399 over :24-517).  Here each
+    command's harvested argparse parser renders its own help — the doc
+    text (usage=) plus EVERY positional and flag with its default
+    (ArgumentDefaultsHelpFormatter) — so the manual is strictly complete
+    and can never drift from the actual CLI surface.
+    """
     if version:
         print(__version__)
         sys.exit()
     print(f"Welcome to seekr_tpu! ({__version__})\n"
           "A TPU-native k-mer sequence-analysis framework with the seekr "
-          "command set.\nBelow is a description of all commands.\n")
-    for cmd, doc in _CMDS2DOC.items():
-        print(f"{'=' * 25}\n{cmd}\n{'=' * 25}\n{doc}")
-    print("To see a full description of flags and defaults, run any of the "
-          "commands listed above, without any parameters "
-          '(e.g. "$ seekr_kmer_leiden").')
+          "command set.\nBelow is the full manual: every command with its "
+          "complete argument and default table.\n")
+    for cmd, fn in _entry_commands().items():
+        parser = _collect_parser(fn)
+        parser.prog = cmd
+        print(f"{'=' * 25}\n{cmd}\n{'=' * 25}\n{parser.format_help()}")
+    print("Each section above is identical to running the command with "
+          "no parameters (or --help).")
 
 
 def console_seekr_help(argv=None):

@@ -76,11 +76,28 @@ def test_bare_command_prints_help(capsys):
     assert "fasta" in capsys.readouterr().out
 
 
-def test_help_command(capsys):
+def test_help_command_is_a_complete_manual(capsys):
+    """`seekr` prints every command with its FULL argparse help: each
+    section must name every option flag of that command and show its
+    default (VERDICT r2 next #7 — the reference's seekr command dumps
+    complete usage docs, console_scripts.py:1355-1399)."""
     cli._run_console_seekr_help(False)
     out = capsys.readouterr().out
-    for cmd in cli._CMDS2DOC:
+    for cmd, fn in cli._entry_commands().items():
         assert cmd in out
+        section = out.split(f"\n{cmd}\n")[1].split("=" * 25)[1]
+        parser = cli._collect_parser(fn)
+        for action in parser._actions:
+            for opt in action.option_strings:
+                assert opt in section, f"{cmd}: {opt} missing from manual"
+    # defaults are printed (ArgumentDefaultsHelpFormatter)
+    assert out.count("(default:") > 100
+
+
+def test_collect_parser_roundtrip():
+    parser = cli._collect_parser(cli.console_kmer_counts)
+    flags = {o for a in parser._actions for o in a.option_strings}
+    assert {"-k", "-o", "-b", "-mv", "-sv", "-a"} <= flags
 
 
 def test_version_flag(capsys):
