@@ -137,6 +137,19 @@ def distributed_pipeline(mesh: Mesh, k: int = 6, log2: str = "Log2.post",
     Pearson GEMM is FASTER than the 3-D contraction (trace comparison in
     BASELINE.md), so flat=True remains the right default.
     """
+    kmer_size = mesh.shape[KMER_AXIS]
+    if (flat or use_norm_vectors) and (4 ** k) % kmer_size:
+        # Caught by the sharding fuzz (tests/test_sharding_fuzz.py): without
+        # this, GSPMD rejects the count-matrix output (flat=True) or the
+        # norm-vector input (use_norm_vectors) sharding with an opaque
+        # divisibility error.  4^k is a power of two, so any non-power-of-
+        # two kmer axis can never divide it.
+        what = ("the flat count matrix and norm vectors shard"
+                if flat else "the [4^k] norm vectors shard")
+        raise ValueError(
+            f"{what} {4 ** k} histogram columns (k={k}) over the "
+            f"{kmer_size}-device kmer axis, which requires divisibility; "
+            f"choose a power-of-two kmer_parallel (columns are 4^k).")
     vec_shard = NamedSharding(mesh, P(KMER_AXIS))
     in_shard = (
         NamedSharding(mesh, P(DATA_AXIS, None)),

@@ -1,0 +1,206 @@
+"""Differential fuzz of the sharded paths on the virtual CPU mesh.
+
+VERDICT r2 next #6: the fixed-shape tests in test_sharding.py leave the
+sharding layer's parameter space unexplored.  Here ~100 seeds draw random
+mesh shapes (data x kmer, including non-power-of-two device counts),
+random row counts (non-divisible for the streaming path), flat/unflat
+count layouts, norm-vector vs computed statistics, all three log2 modes,
+and long-sequence halo splits — every seed asserting the sharded result
+equals a single-device / host-numpy oracle.
+
+Oracle recipe mirrors models.pipeline._normalize_graph +
+ops.pearson.pearson_graph in plain numpy float32 (std is computed after
+centering, exactly like the reference kmer_counts.py:165-187).
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from seekr_tpu.io.encode import encode_seq
+from seekr_tpu.ops.count import count_kmers_host
+from seekr_tpu.parallel.dist import (
+    count_long_sequence,
+    distributed_pipeline,
+    shard_long_sequence,
+    stream_pearson_sharded,
+)
+from seekr_tpu.parallel.mesh import make_mesh
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 virtual devices")
+
+# (device count, kmer_parallel) -> data axis = devices // kmer_parallel.
+# Non-power-of-two shapes (6, 3) / (6, 2) / (3, 1) exercise divisor math
+# a pod slice never would.
+MESH_SHAPES = [(8, 1), (8, 2), (8, 4), (4, 1), (4, 2), (2, 1), (2, 2),
+               (6, 1), (6, 2), (6, 3), (3, 1)]
+
+_MESHES = {}
+_PIPELINES = {}
+
+
+def _mesh(n_dev, kp):
+    key = (n_dev, kp)
+    if key not in _MESHES:
+        _MESHES[key] = make_mesh(jax.devices()[:n_dev], kmer_parallel=kp)
+    return _MESHES[key]
+
+
+def _pipeline(n_dev, kp, k, log2, flat, use_norm):
+    """Memoized so repeated configs across seeds reuse one compilation."""
+    key = (n_dev, kp, k, log2, flat, use_norm)
+    if key not in _PIPELINES:
+        _PIPELINES[key] = distributed_pipeline(
+            _mesh(n_dev, kp), k=k, log2=log2, flat=flat,
+            use_norm_vectors=use_norm)
+    return _PIPELINES[key]
+
+
+def _batch(rng, rows, length, k):
+    bases = rng.integers(0, 4, size=(rows, length), dtype=np.int8)
+    lengths = rng.integers(k + 1, length + 1, size=rows).astype(np.int32)
+    for r in range(rows):
+        bases[r, lengths[r]:] = 4
+    return bases, lengths
+
+
+def _decode(bases, lengths):
+    letters = np.array(list("AGTC"))
+    return ["".join(letters[bases[r, :lengths[r]]])
+            for r in range(bases.shape[0])]
+
+
+def _oracle_normalize(raw, mean, std, log2):
+    c = raw.astype(np.float32)
+    if log2 == "Log2.pre":
+        c = np.log2(c + 1.0)
+    mean = c.mean(axis=0) if mean is None else mean
+    c = c - mean
+    std = c.std(axis=0) if std is None else std
+    c = c / std
+    if log2 == "Log2.post":
+        c = c + np.abs(np.min(c))
+        c = np.log2(c + 1.0)
+    return c
+
+
+def _oracle_pearson(c):
+    cs = c - c.mean(axis=1, keepdims=True)
+    cs = cs / cs.std(axis=1, keepdims=True)
+    return cs @ cs.T / c.shape[1]
+
+
+@pytest.mark.parametrize("seed", range(48))
+def test_fuzz_distributed_pipeline(seed):
+    rng = np.random.default_rng(1000 + seed)
+    n_dev, kp = MESH_SHAPES[rng.integers(len(MESH_SHAPES))]
+    data_size = n_dev // kp
+    k = int(rng.integers(2, 4))
+    flat = bool(rng.integers(2))
+    use_norm = bool(rng.integers(2))
+    log2 = ["Log2.none", "Log2.post", "Log2.pre"][rng.integers(3)]
+    m = data_size * int(rng.integers(1, 4))
+    length = int(rng.choice([32, 48, 64]))
+    bases, lengths = _batch(rng, m, length, k)
+
+    args = [bases, lengths]
+    mean = std = None
+    if use_norm:
+        mean = rng.uniform(-1, 1, size=4 ** k).astype(np.float32)
+        std = rng.uniform(0.5, 2.0, size=4 ** k).astype(np.float32)
+        args += [mean, std]
+
+    try:
+        step = _pipeline(n_dev, kp, k, log2, flat, use_norm)
+    except ValueError as e:
+        # flat=True shards the 4^k columns (and use_norm the [4^k] norm
+        # vectors); a non-power-of-two kmer axis can never divide them and
+        # must fail at construction with the actionable guard, never an
+        # opaque partitioner error
+        assert (flat or use_norm) and "power-of-two" in str(e)
+        return
+    try:
+        counts, out_mean, out_std, sim = step(*args)
+    except ValueError as e:
+        # flat=False shards n_hi, which is far coarser than 4^k; an
+        # indivisible draw must fail with the actionable message, never
+        # an opaque partitioner error
+        assert not flat and "n_hi" in str(e)
+        return
+
+    raw = count_kmers_host(_decode(bases, lengths), k)
+    expected = _oracle_normalize(raw, mean, std, log2)
+    got = np.asarray(counts)
+    if not flat:
+        assert got.ndim == 3
+        got = got.reshape(got.shape[0], -1)  # row-major bytes ARE flat
+    if log2 == "Log2.post" and not np.isfinite(expected).all():
+        # Degenerate draw: a zero-variance column makes 0/0 = nan, and
+        # Log2.post's global |min| couples it into every entry.  The
+        # reference produces all-nan here (numpy min propagates nan);
+        # XLA's reduce-min does not, yielding inf instead.  Garbage-in
+        # is garbage-out by spec on both sides — assert non-finiteness
+        # only (localized nan under none/pre IS compared, via equal_nan).
+        assert not np.isfinite(got).all()
+        return
+    np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(sim), _oracle_pearson(expected),
+                               rtol=1e-3, atol=1e-4)
+    assert out_mean.ndim == 1 and out_std.ndim == 1
+
+
+class _Collect:
+    def __init__(self):
+        self.blocks = []
+
+    def append(self, b):
+        self.blocks.append(np.asarray(b))
+
+    def result(self):
+        return np.vstack(self.blocks)
+
+
+@pytest.mark.parametrize("seed", range(30))
+def test_fuzz_stream_pearson_sharded(seed):
+    """Random (non-divisible) row counts, block sizes, self vs cross."""
+    from seekr_tpu.ops.pearson import pearson_device
+
+    rng = np.random.default_rng(2000 + seed)
+    n_dev, kp = MESH_SHAPES[rng.integers(len(MESH_SHAPES))]
+    mesh = _mesh(n_dev, kp)
+    n_cols = int(rng.choice([16, 64]))
+    m1 = int(rng.integers(3, 41))           # rarely divides the data axis
+    self_sim = bool(rng.integers(2))
+    c1 = rng.normal(size=(m1, n_cols)).astype(np.float32)
+    c2 = None if self_sim else rng.normal(
+        size=(int(rng.integers(3, 41)), n_cols)).astype(np.float32)
+    block = int(rng.integers(2, 18))
+
+    w = _Collect()
+    stream_pearson_sharded(mesh, c1, w, block_rows=block, counts2=c2)
+    got = w.result()
+    expected = np.asarray(pearson_device(c1, c1 if c2 is None else c2))
+    assert got.shape == expected.shape
+    np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("seed", range(22))
+def test_fuzz_long_sequence_halo(seed):
+    """Random lengths (incl. non-divisible by the device count), random k,
+    invalid letters sprinkled in: the halo-chunked multi-device count must
+    equal the host single-pass count."""
+    rng = np.random.default_rng(3000 + seed)
+    n_dev, kp = MESH_SHAPES[rng.integers(len(MESH_SHAPES))]
+    mesh = _mesh(n_dev, kp)
+    total = n_dev * kp if False else n_dev  # all devices of the mesh
+    k = int(rng.integers(2, 9))
+    length = int(rng.integers(k, 3000))
+    seq = "".join(rng.choice(list("AGTCN"), size=length,
+                             p=[0.24, 0.24, 0.24, 0.24, 0.04]))
+    digits = encode_seq(seq)
+    chunks, n_windows = shard_long_sequence(digits, k, total)
+    row = np.asarray(count_long_sequence(mesh, k)(
+        chunks, np.float32(n_windows)))
+    expected = count_kmers_host([seq], k)[0]
+    np.testing.assert_allclose(row, expected, rtol=1e-4, atol=1e-3)
