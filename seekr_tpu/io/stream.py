@@ -127,9 +127,10 @@ class StreamingCsvWriter:
     mode 1 the one-shot artifact writers use) in append mode — per-cell
     Python ``%`` interpolation at streaming scale (>64M cells, the only
     regime this writer runs in) would cost minutes where the native path
-    costs seconds.  One parity nicety: native mode 0 writes NaN as an
-    empty cell exactly like pandas ``to_csv``, where ``'%s' % nan`` in
-    the fallback writes ``nan``.
+    costs seconds.  The '%s' fallback writes NaN as an empty cell to
+    match both pandas ``to_csv`` and the native mode-0 formatter, so
+    artifact bytes do not depend on whether the native toolchain was
+    available.
     """
 
     def __init__(self, path: str, columns=None, row_labels=None,
@@ -174,7 +175,14 @@ class StreamingCsvWriter:
             return
         with open(self.path, "a") as fh:
             for row in block:
-                cells = ",".join(self.fmt % v for v in row)
+                if self._native_mode == 0:
+                    # pandas/native mode 0 writes NaN as an empty cell;
+                    # '%s' % nan would write 'nan' and make the bytes
+                    # depend on native availability (ADVICE r2)
+                    cells = ",".join("" if v != v else "%s" % v
+                                     for v in row)
+                else:
+                    cells = ",".join(self.fmt % v for v in row)
                 if self.labeled:
                     label = self._quote(self.row_labels[self._row])
                     fh.write(f"{label},{cells}\n")

@@ -389,12 +389,15 @@ def scatter_by_order(values: np.ndarray, order: np.ndarray,
     """Inverse-permutation scatter ``out[order] = values``, multithreaded.
 
     ``order`` MUST be a permutation of 0..n-1 (like an argsort result):
-    out-of-range indices raise, but duplicate indices are NOT detected —
-    two threads would race the same output slot, unlike numpy's
-    deterministic last-write-wins fancy indexing.  ``flags`` (bool/uint8),
-    when given, is scattered through the same permutation in the same
-    pass; returns ``(out_values, out_flags)`` with ``out_flags`` None
-    when ``flags`` is None.
+    out-of-range indices raise, but duplicate indices are NOT detected
+    by default — two threads would race the same output slot, unlike
+    numpy's deterministic last-write-wins fancy indexing.  All in-tree
+    call sites pass argsort-derived permutations; set
+    ``SEEKR_TPU_CHECK_SCATTER=1`` to add an O(n) permutation check
+    (debug aid for new callers).  ``flags`` (bool/uint8), when given, is
+    scattered through the same permutation in the same pass; returns
+    ``(out_values, out_flags)`` with ``out_flags`` None when ``flags``
+    is None.
     """
     lib = _load()
     if lib is None:
@@ -403,6 +406,13 @@ def scatter_by_order(values: np.ndarray, order: np.ndarray,
     o = np.ascontiguousarray(order, dtype=np.int64)
     if v.ndim != 1 or o.shape != v.shape:
         raise ValueError("values/order must be equal-length 1-D arrays")
+    if os.environ.get("SEEKR_TPU_CHECK_SCATTER") == "1" and len(o):
+        seen = np.zeros(len(o), dtype=bool)
+        seen[o] = True  # out-of-range raises IndexError here, pre-C++
+        if not seen.all():
+            raise ValueError(
+                "order is not a permutation (duplicate indices race "
+                "across scatter threads)")
     n = len(v)
     out_vals = np.empty(n, dtype=np.float64)
     f_ptr = ctypes.POINTER(ctypes.c_uint8)()

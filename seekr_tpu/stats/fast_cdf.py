@@ -85,7 +85,47 @@ def fast_cdf(distname: str, params, x):
     support interval, 1.0 at/above the upper bound, 0.0 at/below the
     lower bound, NaN for NaN inputs or invalid (non-positive scale /
     shape) parameters.
+
+    The bitwise guarantee is pinned to the installed scipy's ``_cdf``
+    formulas, which can change between versions (cauchy's arctan2 form,
+    for one, is recent) — so the first call per distribution runs a
+    small probe array through both this path and the frozen scipy
+    distribution and compares exactly; any mismatch disables the fast
+    path for that distribution for the life of the process.
     """
+    out = _fast_cdf_impl(distname, params, x)
+    if out is None or not _probe_ok(distname, params):
+        return None
+    return out
+
+
+_PROBE_VERDICTS: dict = {}
+
+
+def _probe_ok(distname: str, params) -> bool:
+    """One-time per-distribution exactness spot check vs frozen scipy.
+
+    Uses the first call's own params (the formula, not the params, is
+    what a scipy version bump changes) over a probe grid spanning both
+    support sides, the open interval, and NaN.
+    """
+    verdict = _PROBE_VERDICTS.get(distname)
+    if verdict is None:
+        import scipy.stats as st
+
+        probe = np.array([-2.5, -1.0, 0.0, 0.3, 0.7, 1.0, 1.5, 4.0,
+                          25.0, np.nan])
+        with np.errstate(all="ignore"):
+            want = getattr(st, distname)(*params).cdf(probe)
+        got = _fast_cdf_impl(distname, params, probe)
+        verdict = (got is not None
+                   and np.array_equal(want, got, equal_nan=True))
+        _PROBE_VERDICTS[distname] = verdict
+    return verdict
+
+
+def _fast_cdf_impl(distname: str, params, x):
+    """The re-implemented rv_continuous.cdf arithmetic (see fast_cdf)."""
     spec = _FORMULAS.get(str(distname))
     if spec is None:
         return None

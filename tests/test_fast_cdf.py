@@ -10,6 +10,7 @@ partial parameter tuples (scipy's loc/scale defaults).
 
 import numpy as np
 import pytest
+import scipy.special as sc
 from scipy import stats
 
 from seekr_tpu.stats.fast_cdf import _FORMULAS, fast_cdf
@@ -93,6 +94,30 @@ def test_unsupported_returns_none():
     assert fast_cdf("nosuchdist", (1.0,), np.zeros(3)) is None
     # array-valued params take the scipy path
     assert fast_cdf("norm", (np.zeros(3), 1.0), np.zeros(3)) is None
+
+
+def test_probe_disables_on_formula_mismatch(monkeypatch):
+    # Simulate a scipy whose _cdf formula changed out from under us: the
+    # one-time probe must catch the divergence and route the distribution
+    # to the scipy fallback (fast_cdf -> None) for the whole process.
+    from seekr_tpu.stats import fast_cdf as mod
+
+    broken = dict(mod._FORMULAS)
+    broken["norm"] = (0, (-np.inf, np.inf), lambda z: 0.999 * sc.ndtr(z))
+    monkeypatch.setattr(mod, "_FORMULAS", broken)
+    monkeypatch.setattr(mod, "_PROBE_VERDICTS", {})
+    assert mod.fast_cdf("norm", (0.0, 1.0), np.zeros(4)) is None
+    # verdict is memoized: still None on a second call
+    assert mod.fast_cdf("norm", (0.5, 2.0), np.zeros(4)) is None
+
+
+def test_probe_memoizes_pass(monkeypatch):
+    from seekr_tpu.stats import fast_cdf as mod
+
+    monkeypatch.setattr(mod, "_PROBE_VERDICTS", {})
+    out = mod.fast_cdf("norm", (0.0, 1.0), np.array([0.0, 1.0]))
+    assert out is not None
+    assert mod._PROBE_VERDICTS == {"norm": True}
 
 
 def test_large_array_threads_bitwise():

@@ -410,6 +410,21 @@ def test_scatter_by_order_rejects_bad_index():
         native.scatter_by_order(np.zeros(3), order)
 
 
+def test_scatter_by_order_debug_check_catches_duplicates(monkeypatch):
+    # duplicates are UB across scatter threads; the opt-in debug check
+    # (SEEKR_TPU_CHECK_SCATTER=1) must reject them before the C++ runs
+    monkeypatch.setenv("SEEKR_TPU_CHECK_SCATTER", "1")
+    dup = np.array([0, 1, 1], dtype=np.int64)
+    with pytest.raises(ValueError, match="not a permutation"):
+        native.scatter_by_order(np.zeros(3), dup)
+    # a valid permutation still goes through with the check enabled
+    ok = np.array([2, 0, 1], dtype=np.int64)
+    out, _ = native.scatter_by_order(np.array([10.0, 20.0, 30.0]), ok)
+    exp = np.empty(3)
+    exp[ok] = [10.0, 20.0, 30.0]
+    assert np.array_equal(out, exp)
+
+
 @pytest.mark.parametrize("by", [False, True])
 def test_fused_fdr_bitwise_vs_numpy_math(by):
     rng = np.random.default_rng(3)

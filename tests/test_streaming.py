@@ -75,6 +75,36 @@ def test_streaming_csv_bytes_match_pandas_to_csv(tmp_path):
             == pathlib.Path(ref).read_text())
 
 
+def test_streaming_csv_fallback_nan_matches_native_bytes(tmp_path,
+                                                         monkeypatch):
+    """The '%s' Python fallback writes NaN as an empty cell exactly like
+    the native formatter/pandas, so artifact bytes do not depend on
+    whether the native toolchain is available (ADVICE r2)."""
+    from seekr_tpu import native
+
+    rng = np.random.default_rng(9)
+    data = rng.normal(size=(4, 3)).astype(np.float32)
+    data[1, 2] = np.nan
+    data[3, 0] = np.nan
+    rows = [f"r{i}" for i in range(4)]
+    cols = ["a", "b", "c"]
+
+    def write(path):
+        with StreamingCsvWriter(path, columns=cols, row_labels=rows,
+                                fmt="%s") as w:
+            w.append(data[:2])
+            w.append(data[2:])
+        return pathlib.Path(path).read_text()
+
+    native_bytes = write(str(tmp_path / "native.csv"))
+    monkeypatch.setattr(native, "native_available", lambda: False)
+    fallback_bytes = write(str(tmp_path / "fallback.csv"))
+    assert fallback_bytes == native_bytes
+    ref = str(tmp_path / "ref.csv")
+    pd.DataFrame(data, index=rows, columns=cols).to_csv(ref)
+    assert fallback_bytes == pathlib.Path(ref).read_text()
+
+
 def test_streaming_csv_float64_fallback_roundtrips(tmp_path):
     """Non-float32 blocks take the Python fallback and still parse back."""
     data = np.array([[0.5, 1.25], [2.5, -3.75]], dtype=np.float64)
