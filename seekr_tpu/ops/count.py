@@ -120,16 +120,18 @@ def _impl_choice(k: int) -> str:
     L=2048, k=6, net of dispatch overhead — see BASELINE.md), so it is the
     DEFAULT on TPU for the k range it supports.  The XLA path remains the
     default off-TPU (the kernel would run interpreted) and for k outside
-    [2, 8] (accumulator exceeds VMEM).  Override with
+    [2, 8]: the k=9/10 hi-blocked kernel variant (count_pallas) is
+    correct but not yet certified faster than the XLA scan on hardware,
+    so it is opt-in via SEEKR_TPU_COUNT_IMPL=pallas.  Override with
     SEEKR_TPU_COUNT_IMPL={pallas,xla}.
     """
     forced = os.environ.get("SEEKR_TPU_COUNT_IMPL", "").lower()
     if forced == "xla":
         return "xla"
     if forced == "pallas":
-        # the kernel itself only supports 2 <= k <= 8; outside that range
+        # the kernel itself only supports 2 <= k <= 10; outside that range
         # honor the spirit of the override as far as possible, not crash
-        return "pallas" if 2 <= k <= 8 else "xla"
+        return "pallas" if 2 <= k <= 10 else "xla"
     if jax.default_backend() == "tpu" and 2 <= k <= 8:
         return "pallas"
     return "xla"

@@ -122,6 +122,71 @@ def _kernel(lengths_ref, bases_ref, out_ref, acc_ref, *,
             out_ref[...] = acc_ref[...]
 
 
+def _kernel_hiblocked(lengths_ref, bases_ref, out_ref, acc_ref, *,
+                      k, hb_size, n_lo, cw, tm, scaled):
+    """Large-k variant: grid axis 1 tiles n_hi so the accumulator stays
+    ~2 MB VMEM at k=9/10 (n_hi = 4^k/128 = 2048/8192 would need 8/32 MB
+    whole).  Each (row-tile, hi-block) pair re-derives the window codes —
+    O(k*cw) VPU work per step, noise next to the 2*cw*hb_size*n_lo-FLOP
+    dot — and windows whose hi falls outside the block one-hot to nothing.
+    """
+    hb = pl.program_id(1)
+    j = pl.program_id(2)
+    n_chunks = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    base0 = j * cw
+    tile_windows = jnp.max(lengths_ref[...]) - (k - 1)
+
+    @pl.when(base0 < tile_windows)
+    def _():
+        digits = bases_ref[:, pl.ds(base0, cw + k - 1)]
+        code = jnp.zeros((tm, cw), jnp.int32)
+        bad = jnp.zeros((tm, cw), jnp.bool_)
+        for off in range(k):
+            d = digits[:, off:off + cw]
+            bad = bad | (d >= 4)
+            code = code * 4 + jnp.where(d >= 4, 0, d)
+
+        n_windows = lengths_ref[...].reshape(tm, 1) - (k - 1)
+        pos = base0 + jax.lax.broadcasted_iota(jnp.int32, (tm, cw), 1)
+        valid = (pos < n_windows) & ~bad
+
+        shift = n_lo.bit_length() - 1
+        hi = jnp.where(valid, code >> shift, -1)
+        lo = code & (n_lo - 1)
+
+        # bin indices of THIS hi block: hb*hb_size .. hb*hb_size+hb_size-1
+        iota_hi = hb * hb_size + jax.lax.broadcasted_iota(
+            jnp.int32, (hb_size, cw), 0)
+        iota_lo = jax.lax.broadcasted_iota(jnp.int32, (n_lo, cw), 0)
+        for t in range(tm):
+            h = (hi[t:t + 1, :] == iota_hi).astype(jnp.bfloat16)
+            l = (lo[t:t + 1, :] == iota_lo).astype(jnp.bfloat16)
+            acc_ref[t] += jax.lax.dot_general(
+                h, l,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+    @pl.when(j == n_chunks - 1)
+    def _():
+        if scaled:
+            nw = lengths_ref[...].reshape(tm, 1) - (k - 1)
+            scale = jnp.where(
+                nw > 0, 1000.0 / jnp.maximum(nw, 1).astype(jnp.float32), 0.0)
+            out_ref[...] = acc_ref[...] * scale[:, :, None]
+        else:
+            out_ref[...] = acc_ref[...]
+
+
+# hi-block width for the large-k kernel: tm=8 rows x 512 x 128 f32 = 2 MB
+_HB_SIZE = 512
+
+
 @functools.partial(jax.jit,
                    static_argnames=("k", "scaled", "interpret", "flat"))
 def count_kmers_pallas(bases: jax.Array, lengths: jax.Array, k: int,
@@ -142,13 +207,14 @@ def count_kmers_pallas(bases: jax.Array, lengths: jax.Array, k: int,
     the identical flat matrix from a free ``np.reshape`` after the fetch.
     The trailing 3-D dims are an implementation detail (the kernel's
     hi/lo split); callers must only ever flatten them, never index them.
-    Supports 2 <= k <= 8 (above that
-    the accumulator no longer fits VMEM; ops.count dispatches to the XLA
-    path).
+    Supports 2 <= k <= 10: k <= 8 runs the round-2 kernel unchanged
+    (whole-histogram accumulator); k=9/10 add a grid axis tiling n_hi in
+    _HB_SIZE blocks so the accumulator stays ~2 MB VMEM (VERDICT r2
+    item 5).
     """
     m, lpad = bases.shape
     assert lpad >= k, "padded length must be >= k"
-    assert 2 <= k <= 8, "count_kmers_pallas supports 2 <= k <= 8"
+    assert 2 <= k <= 10, "count_kmers_pallas supports 2 <= k <= 10"
     bits = 2 * k
     sl = _split_lo(k)
     n_lo = 1 << sl
@@ -178,28 +244,58 @@ def count_kmers_pallas(bases: jax.Array, lengths: jax.Array, k: int,
     # 128-multiples; a (tm, 1) block sidesteps that
     lengths = lengths.astype(jnp.int32).reshape(m_pad, 1)
 
-    kernel = functools.partial(_kernel, k=k, n_hi=n_hi, n_lo=n_lo, cw=cw,
-                               tm=tm, scaled=scaled)
-    out = pl.pallas_call(
-        kernel,
-        grid=(m_pad // tm, n_chunks),
-        in_specs=[
-            pl.BlockSpec((tm, 1), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tm, lpad_need), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((tm, n_hi, n_lo), lambda i, j: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((m_pad, n_hi, n_lo), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((tm, n_hi, n_lo), jnp.float32)],
-        cost_estimate=pl.CostEstimate(
-            flops=2 * m_pad * n_chunks * cw * n_hi * n_lo,
-            bytes_accessed=m_pad * lpad_need * 4 + m_pad * n_hi * n_lo * 4,
-            transcendentals=0,
-        ),
-        interpret=interpret,
-    )(lengths, bases)
+    if k <= 8:
+        kernel = functools.partial(_kernel, k=k, n_hi=n_hi, n_lo=n_lo, cw=cw,
+                                   tm=tm, scaled=scaled)
+        out = pl.pallas_call(
+            kernel,
+            grid=(m_pad // tm, n_chunks),
+            in_specs=[
+                pl.BlockSpec((tm, 1), lambda i, j: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tm, lpad_need), lambda i, j: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((tm, n_hi, n_lo), lambda i, j: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((m_pad, n_hi, n_lo), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((tm, n_hi, n_lo), jnp.float32)],
+            cost_estimate=pl.CostEstimate(
+                flops=2 * m_pad * n_chunks * cw * n_hi * n_lo,
+                bytes_accessed=(m_pad * lpad_need * 4
+                                + m_pad * n_hi * n_lo * 4),
+                transcendentals=0,
+            ),
+            interpret=interpret,
+        )(lengths, bases)
+    else:
+        hb_size = _HB_SIZE
+        n_hb = n_hi // hb_size  # n_hi = 2^11/2^13: always divides
+        kernel = functools.partial(_kernel_hiblocked, k=k, hb_size=hb_size,
+                                   n_lo=n_lo, cw=cw, tm=tm, scaled=scaled)
+        out = pl.pallas_call(
+            kernel,
+            grid=(m_pad // tm, n_hb, n_chunks),
+            in_specs=[
+                pl.BlockSpec((tm, 1), lambda i, hb, j: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tm, lpad_need), lambda i, hb, j: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((tm, hb_size, n_lo),
+                                   lambda i, hb, j: (i, hb, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((m_pad, n_hi, n_lo), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((tm, hb_size, n_lo), jnp.float32)],
+            cost_estimate=pl.CostEstimate(
+                flops=2 * m_pad * n_chunks * cw * n_hi * n_lo,
+                # the base matrix is re-read once per hi block
+                bytes_accessed=(m_pad * lpad_need * 4 * n_hb
+                                + m_pad * n_hi * n_lo * 4),
+                transcendentals=0,
+            ),
+            interpret=interpret,
+        )(lengths, bases)
     if not flat:
         return out[:m]
     return out.reshape(m_pad, n_hi * n_lo)[:m]

@@ -152,3 +152,32 @@ def test_large_k(k):
     ref = np.asarray(_count_impl(jnp.asarray(bases), jnp.asarray(lengths), k))
     got = run_kernel(bases, lengths, k)
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("k", [9, 10])
+def test_hiblocked_k9_k10(k):
+    # k=9/10 dispatch to the hi-blocked kernel variant (n_hi tiled over a
+    # third grid axis, accumulator bounded at ~2 MB VMEM); every hi block
+    # must pick up exactly its own bins, including at block boundaries
+    rng = np.random.default_rng(100 + k)
+    bases, lengths = random_case(rng, 10, 120, k)
+    seqs = ["".join(DIGIT2CHAR[row[:n]]) for row, n in zip(bases, lengths)]
+    oracle = count_kmers_host(seqs, k)
+    got = run_kernel(bases, lengths, k)
+    np.testing.assert_allclose(got, oracle, rtol=1e-4, atol=1e-4)
+    # unflattened 3-D form reshapes to the same flat matrix
+    got3 = run_kernel(bases, lengths, k, flat=False)
+    assert got3.ndim == 3
+    np.testing.assert_allclose(got3.reshape(got3.shape[0], -1), got,
+                               rtol=0, atol=0)
+
+
+def test_forced_pallas_dispatch_covers_k9_k10(monkeypatch):
+    # SEEKR_TPU_COUNT_IMPL=pallas must honor k=9/10 now that the
+    # hi-blocked variant exists (it used to silently fall back to XLA)
+    from seekr_tpu.ops.count import _impl_choice
+
+    monkeypatch.setenv("SEEKR_TPU_COUNT_IMPL", "pallas")
+    assert _impl_choice(9) == "pallas"
+    assert _impl_choice(10) == "pallas"
+    assert _impl_choice(11) == "xla"  # beyond the kernel: still safe
