@@ -200,6 +200,34 @@ class StreamingCsvWriter:
         self.close()
 
 
+def _pearson_block_impl(a, b):
+    import jax
+    import jax.numpy as jnp
+
+    from seekr_tpu.ops.precision import pearson_precision
+
+    d = jax.lax.dot_general(
+        a, b, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=pearson_precision(),
+    )
+    return d / a.shape[1]
+
+
+_pearson_block = None
+
+
+def _get_pearson_block():
+    """Module-level jit (not an inline closure) so the AOT executable
+    store can key repeat processes to the same stored executable."""
+    global _pearson_block
+    if _pearson_block is None:
+        import jax
+
+        _pearson_block = jax.jit(_pearson_block_impl)
+    return _pearson_block
+
+
 def stream_pearson(counts1, counts2, writer, block_rows: int = 4096,
                    row_standardize: bool = True):
     """Blocked device Pearson streamed straight into ``writer``.
@@ -207,11 +235,10 @@ def stream_pearson(counts1, counts2, writer, block_rows: int = 4096,
     Standardizes both operands once on device, then emits [block, m2] tiles
     host-side without ever materializing the full [m1, m2] matrix.
     """
-    import jax
     import jax.numpy as jnp
 
     from seekr_tpu.ops.pearson import _row_standardize
-    from seekr_tpu.ops.precision import pearson_precision
+    from seekr_tpu.utils.aot import aot_call
 
     # self-similarity (the workflow/find_dist background case) reuses the
     # standardized left operand: one standardize pass, one device copy
@@ -219,20 +246,11 @@ def stream_pearson(counts1, counts2, writer, block_rows: int = 4096,
     c1 = jnp.asarray(counts1, dtype=jnp.float32)
     c2 = c1 if same else jnp.asarray(counts2, dtype=jnp.float32)
     if row_standardize:
-        c1 = _row_standardize(c1)
-        c2 = c1 if same else _row_standardize(c2)
-    n = c1.shape[1]
+        c1 = aot_call(_row_standardize, (c1,))
+        c2 = c1 if same else aot_call(_row_standardize, (c2,))
 
-    @jax.jit
-    def block_fn(a, b):
-        d = jax.lax.dot_general(
-            a, b, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=pearson_precision(),
-        )
-        return d / n
-
+    block = _get_pearson_block()
     m1 = c1.shape[0]
     for start in range(0, m1, block_rows):
         end = min(start + block_rows, m1)
-        writer.append(np.asarray(block_fn(c1[start:end], c2)))
+        writer.append(np.asarray(aot_call(block, (c1[start:end], c2))))

@@ -36,6 +36,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from seekr_tpu.utils.aot import aot_call
+
 # Positions processed per accumulation step; bounds the transient one-hot
 # buffers to rows * _POS_CHUNK * (n_hi + n_lo) bf16 elements.
 _POS_CHUNK = 512
@@ -161,9 +163,11 @@ def count_graph(bases: jax.Array, lengths: jax.Array, k: int,
         if bases.shape[0] >= _row_tile(k) or forced == "pallas":
             # non-TPU backends only support the kernel in interpreter mode
             interpret = jax.default_backend() != "tpu"
-            return count_kmers_pallas(bases, lengths, k, scaled=scaled,
-                                      interpret=interpret, flat=flat)
-    return _count_impl(bases, lengths, k, scaled=scaled, flat=flat)
+            return aot_call(count_kmers_pallas, (bases, lengths),
+                            dict(k=k, scaled=scaled, interpret=interpret,
+                                 flat=flat))
+    return aot_call(_count_impl, (bases, lengths),
+                    dict(k=k, scaled=scaled, flat=flat))
 
 
 def count_kmers_device(bases, lengths, k: int, flat: bool = True) -> jax.Array:

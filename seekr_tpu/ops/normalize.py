@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from seekr_tpu.ops.math import accurate_log2
+from seekr_tpu.utils.aot import aot_call
 
 LOG2_PRE = "Log2.pre"
 LOG2_POST = "Log2.post"
@@ -84,9 +85,9 @@ def normalize_counts(
     mean_arr = dummy if (not use_mean or compute_mean) else jnp.asarray(mean)
     std_arr = dummy if (not use_std or compute_std) else jnp.asarray(std)
 
-    out, mean_out, std_out = _normalize_impl(
-        jnp.asarray(counts), mean_arr, std_arr,
-        log2_mode=log2_mode, use_mean=use_mean, use_std=use_std,
-        compute_mean=compute_mean, compute_std=compute_std,
+    out, mean_out, std_out = aot_call(
+        _normalize_impl, (jnp.asarray(counts), mean_arr, std_arr),
+        dict(log2_mode=log2_mode, use_mean=use_mean, use_std=use_std,
+             compute_mean=compute_mean, compute_std=compute_std),
     )
     return out, (mean_out if use_mean else None), (std_out if use_std else None)

@@ -20,6 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from seekr_tpu.ops.precision import pearson_precision
+from seekr_tpu.utils.aot import aot_call
 
 
 @jax.jit
@@ -57,8 +58,8 @@ def pearson_graph(c: jax.Array) -> jax.Array:
 
 
 @functools.partial(jax.jit, static_argnames=("row_standardize",))
-def pearson_device(counts1, counts2, row_standardize: bool = True) -> jax.Array:
-    """[m1, n] x [m2, n] -> [m1, m2] Pearson r matrix (float32)."""
+def _pearson_device_impl(counts1, counts2, row_standardize: bool = True
+                         ) -> jax.Array:
     c1 = jnp.asarray(counts1, dtype=jnp.float32)
     c2 = jnp.asarray(counts2, dtype=jnp.float32)
     if row_standardize:
@@ -71,6 +72,16 @@ def pearson_device(counts1, counts2, row_standardize: bool = True) -> jax.Array:
         precision=pearson_precision(),
     )
     return dist / c1.shape[1]
+
+
+def pearson_device(counts1, counts2, row_standardize: bool = True) -> jax.Array:
+    """[m1, n] x [m2, n] -> [m1, m2] Pearson r matrix (float32).
+
+    Host-level entry: routes through the AOT executable store
+    (utils.aot) so a fresh CLI process skips the backend compile.
+    """
+    return aot_call(_pearson_device_impl, (counts1, counts2),
+                    dict(row_standardize=row_standardize))
 
 
 def pearson_pairs(counts, ii, jj, row_standardize: bool = True,

@@ -1,0 +1,157 @@
+"""AOT executable store (utils/aot.py): round trip, fallbacks, guards.
+
+On CPU the store is off by default (compiles are cheap there); these
+tests point SEEKR_TPU_AOT at a tmpdir to exercise the full path.  The
+cold-start win itself is a TPU measurement (BASELINE.md).
+"""
+
+import functools
+import pickle
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from seekr_tpu.utils import aot
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _toy(x, y, k):
+    return (x * k + y).sum(axis=0)
+
+
+@pytest.fixture
+def store(tmp_path, monkeypatch):
+    monkeypatch.setenv("SEEKR_TPU_AOT", str(tmp_path))
+    monkeypatch.setattr(aot, "_LOADED", {})
+    monkeypatch.setattr(aot, "_FAST", {})
+    monkeypatch.setattr(aot, "_DISABLED", False)
+    return tmp_path
+
+
+def _args():
+    return jnp.ones((4, 3)), jnp.full((4, 3), 2.0)
+
+
+def test_compile_store_and_reload(store):
+    x, y = _args()
+    expected = np.asarray(_toy(x, y, k=3))
+
+    out1 = np.asarray(aot.aot_call(_toy, (x, y), dict(k=3)))
+    np.testing.assert_array_equal(out1, expected)
+    files = list(store.glob("*.pkl"))
+    assert len(files) == 1  # one executable stored
+
+    # simulate a fresh process: drop the in-memory maps, keep the disk
+    aot._LOADED.clear()
+    aot._FAST.clear()
+    out2 = np.asarray(aot.aot_call(_toy, (x, y), dict(k=3)))
+    np.testing.assert_array_equal(out2, expected)
+    # loaded from disk (single-device client), or — on this 8-virtual-
+    # device test client, where PJRT rejects a 1-device deserialized
+    # executable at execute time — probed, dropped, recompiled and
+    # re-stored under the same key; either way the store stays healthy
+    assert list(store.glob("*.pkl")) == files
+
+    # repeat call takes the pre-key fast path (no second lower)
+    assert len(aot._FAST) == 1
+    out3 = np.asarray(aot.aot_call(_toy, (x, y), dict(k=3)))
+    np.testing.assert_array_equal(out3, expected)
+
+
+def test_static_change_is_a_different_executable(store):
+    x, y = _args()
+    np.testing.assert_array_equal(
+        np.asarray(aot.aot_call(_toy, (x, y), dict(k=3))),
+        np.asarray(_toy(x, y, k=3)))
+    np.testing.assert_array_equal(
+        np.asarray(aot.aot_call(_toy, (x, y), dict(k=5))),
+        np.asarray(_toy(x, y, k=5)))
+    assert len(list(store.glob("*.pkl"))) == 2
+
+
+def test_corrupt_file_recompiles(store):
+    x, y = _args()
+    aot.aot_call(_toy, (x, y), dict(k=3))
+    (path,) = store.glob("*.pkl")
+    path.write_bytes(b"not a pickle")
+    aot._LOADED.clear()
+    aot._FAST.clear()
+    out = np.asarray(aot.aot_call(_toy, (x, y), dict(k=3)))
+    np.testing.assert_array_equal(out, np.asarray(_toy(x, y, k=3)))
+    # the corrupt file was dropped and replaced by the fresh store
+    (path2,) = store.glob("*.pkl")
+    pickle.loads(path2.read_bytes())  # valid again
+
+
+def test_schema_mismatch_recompiles(store):
+    x, y = _args()
+    aot.aot_call(_toy, (x, y), dict(k=3))
+    (path,) = store.glob("*.pkl")
+    schema, payload, in_tree, out_tree = pickle.loads(path.read_bytes())
+    path.write_bytes(pickle.dumps(("aot-v0", payload, in_tree, out_tree)))
+    aot._LOADED.clear()
+    aot._FAST.clear()
+    out = np.asarray(aot.aot_call(_toy, (x, y), dict(k=3)))
+    np.testing.assert_array_equal(out, np.asarray(_toy(x, y, k=3)))
+
+
+def test_inside_trace_falls_through(store):
+    # aot_call under an outer jit must compose as a plain call
+    x, y = _args()
+
+    @jax.jit
+    def outer(a, b):
+        return aot.aot_call(_toy, (a, b), dict(k=3)) * 2.0
+
+    np.testing.assert_array_equal(np.asarray(outer(x, y)),
+                                  np.asarray(_toy(x, y, k=3)) * 2.0)
+    assert not list(store.glob("*.pkl"))  # nothing stored from a trace
+
+
+def test_off_means_plain_call(tmp_path, monkeypatch):
+    monkeypatch.setenv("SEEKR_TPU_AOT", "off")
+    monkeypatch.setattr(aot, "_LOADED", {})
+    monkeypatch.setattr(aot, "_FAST", {})
+    monkeypatch.setattr(aot, "_DISABLED", False)
+    x, y = _args()
+    out = np.asarray(aot.aot_call(_toy, (x, y), dict(k=3)))
+    np.testing.assert_array_equal(out, np.asarray(_toy(x, y, k=3)))
+    assert not aot._LOADED and not aot._FAST
+
+
+def test_execute_failure_disables_store(store):
+    x, y = _args()
+
+    class Boom:
+        def __call__(self, *a):
+            raise RuntimeError("backend refused")
+
+    # poison the fast path: next call must fall back AND disable
+    aot.aot_call(_toy, (x, y), dict(k=3))
+    key = next(iter(aot._FAST))
+    aot._FAST[key] = Boom()
+    out = np.asarray(aot.aot_call(_toy, (x, y), dict(k=3)))
+    np.testing.assert_array_equal(out, np.asarray(_toy(x, y, k=3)))
+    assert aot._DISABLED and not aot._FAST and not aot._LOADED
+
+
+def test_count_and_pearson_route_through_store(store):
+    # the integrated call sites produce identical results with AOT on
+    from seekr_tpu.ops.count import count_kmers_device
+    from seekr_tpu.ops.pearson import pearson_device
+
+    rng = np.random.default_rng(0)
+    bases = rng.integers(0, 4, size=(6, 40), dtype=np.int8)
+    lengths = np.full(6, 40, dtype=np.int32)
+    counts = np.asarray(count_kmers_device(bases, lengths, 3))
+    sim = np.asarray(pearson_device(counts, counts))
+    assert len(list(store.glob("*.pkl"))) >= 2
+    aot._LOADED.clear()
+    aot._FAST.clear()
+    counts2 = np.asarray(count_kmers_device(bases, lengths, 3))
+    sim2 = np.asarray(pearson_device(counts2, counts2))
+    np.testing.assert_array_equal(counts, counts2)
+    np.testing.assert_array_equal(sim, sim2)
