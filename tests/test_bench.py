@@ -55,10 +55,41 @@ def test_supervisor_fails_cleanly_when_no_json():
     driver records the failure instead of hanging)."""
     proc = _run({"SEEKR_TPU_BENCH_SELFTEST_HANG": "1",
                  "SEEKR_TPU_BENCH_TIMEOUTS": "1",
-                 # suppress the provisional emit by breaking the hook's
-                 # emit path? no — instead point the worker at a flag parse
-                 # error, which exits before any JSON
+                 # the 1 s budget can kill the worker mid-import (a
+                 # "timeout"), which would trigger the reachability
+                 # probe — pin it to "up" so the broken-bench path
+                 # (fail loudly, no recorded fallback) is what's tested
+                 "SEEKR_TPU_BENCH_PROBE": "up",
+                 # a flag parse error exits before any JSON
                  }, args=("--no-such-flag",), timeout=60)
+    assert proc.returncode != 0
+    assert not [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
+
+
+def test_supervisor_recorded_fallback_when_device_unreachable():
+    """All attempts stall with zero JSON AND the device probe fails ->
+    the supervisor emits the recorded round-2 measurement, explicitly
+    labeled degraded/recorded (a dead tunnel must not leave the
+    scoreboard empty)."""
+    proc = _run({"SEEKR_TPU_BENCH_SELFTEST_HANG_EARLY": "1",
+                 "SEEKR_TPU_BENCH_TIMEOUTS": "2,2",
+                 "SEEKR_TPU_BENCH_PROBE": "down"}, timeout=60)
+    assert proc.returncode == 0, proc.stderr[-500:]
+    lines = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
+    assert len(lines) == 1
+    payload = json.loads(lines[0])
+    assert payload["degraded"] is True
+    assert payload["source"] == "recorded_round2_measurement"
+    assert payload["value"] == 1263941.0
+    assert "NOT a live run" in payload["note"]
+
+
+def test_supervisor_no_fallback_when_device_reachable():
+    """Stalls with a REACHABLE device are a bench bug: fail loudly
+    rather than papering over with recorded numbers."""
+    proc = _run({"SEEKR_TPU_BENCH_SELFTEST_HANG_EARLY": "1",
+                 "SEEKR_TPU_BENCH_TIMEOUTS": "2",
+                 "SEEKR_TPU_BENCH_PROBE": "up"}, timeout=60)
     assert proc.returncode != 0
     assert not [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
 
