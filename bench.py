@@ -127,9 +127,18 @@ def bench_tpu(bases, lengths):
     import jax
 
     from seekr_tpu.models.pipeline import SeekrPipeline
+    from seekr_tpu.utils.aot import aot_call
 
     pipeline = SeekrPipeline(k=K, log2="Log2.post")
-    fn = jax.jit(pipeline.forward)
+    # through the AOT executable store: a process that ran this shape
+    # before (including a pre-warm run) skips the 20-60 s wedge-prone
+    # remote compile entirely — the loop dispatches the exact same
+    # executable either way, and dispatches queue identically
+    jitted = jax.jit(pipeline.forward)
+
+    def fn(b_, n_):
+        return aot_call(jitted, (b_, n_))
+
     b = jax.device_put(bases)
     n = jax.device_put(lengths)
     print("bench: compiling single-device pipeline...", file=sys.stderr,
