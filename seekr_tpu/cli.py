@@ -1421,7 +1421,14 @@ def _run_console_seekr_help(version):
           "command set.\nBelow is the full manual: every command with its "
           "complete argument and default table.\n")
     for cmd, fn in _entry_commands().items():
-        parser = _collect_parser(fn)
+        try:
+            parser = _collect_parser(fn)
+        except Exception as err:  # e.g. one command's import chain broke
+            # one broken command must not take down the whole manual
+            print(f"{'=' * 25}\n{cmd}\n{'=' * 25}\n"
+                  f"  (flag table unavailable here: {type(err).__name__}: "
+                  f"{err};\n   run `{cmd} --help` for details)\n")
+            continue
         parser.prog = cmd
         print(f"{'=' * 25}\n{cmd}\n{'=' * 25}\n{parser.format_help()}")
     print("Each section above is identical to running the command with "

@@ -93,25 +93,27 @@ class TriuCollector:
         self.m = int(m)
         self.dtype = np.dtype(dtype)
         self._row = 0
-        self._parts = []
+        # preallocated: the triangle is the ONLY full-size buffer this
+        # class ever holds (a parts-list + final concatenate would peak
+        # at 2x the triangle = the square this class exists to avoid)
+        self._out = np.empty(self.m * (self.m - 1) // 2, dtype=self.dtype)
+        self._fill = 0
 
     def append(self, block):
         block = np.asarray(block)
         assert block.ndim == 2 and block.shape[1] == self.m
         for bi in range(block.shape[0]):
             i = self._row + bi
-            # astype(copy=True) detaches the tail from the tile so the
-            # full block is not kept alive by a view
-            self._parts.append(block[bi, i + 1:].astype(self.dtype, copy=True))
+            tail = self.m - (i + 1)
+            self._out[self._fill:self._fill + tail] = block[bi, i + 1:]
+            self._fill += tail
         self._row += block.shape[0]
 
     def result(self) -> np.ndarray:
         assert self._row == self.m, (
             f"expected {self.m} rows, saw {self._row}")
-        if not self._parts:
-            return np.empty(0, dtype=self.dtype)
-        out = np.concatenate(self._parts)
-        self._parts = []
+        out = self._out
+        self._out = np.empty(0, dtype=self.dtype)
         return out
 
 

@@ -99,11 +99,9 @@ def pearson_pairs(counts, ii, jj, row_standardize: bool = True,
     float32 multiply-accumulate is at least as accurate as the GEMM path
     (tests pin allclose vs pearson_device at 1e-5).
     """
-    import jax
-
     c = jnp.asarray(counts, dtype=jnp.float32)
     if row_standardize:
-        c = _row_standardize(c)
+        c = aot_call(_row_standardize, (c,))
     ii = np.asarray(ii, dtype=np.int32)
     jj = np.asarray(jj, dtype=np.int32)
     n_pairs = ii.size
@@ -112,21 +110,22 @@ def pearson_pairs(counts, ii, jj, row_standardize: bool = True,
         return out
     chunk = int(min(chunk, n_pairs))
 
-    @jax.jit
-    def pair_dot(cc, a_idx, b_idx):
-        a = jnp.take(cc, a_idx, axis=0)
-        b = jnp.take(cc, b_idx, axis=0)
-        return jnp.sum(a * b, axis=1) / cc.shape[1]
-
     pad = np.zeros(chunk, dtype=np.int32)
     for start in range(0, n_pairs, chunk):
         end = min(start + chunk, n_pairs)
         a, b = pad.copy(), pad.copy()  # padded tail rows: computed, dropped
         a[:end - start] = ii[start:end]
         b[:end - start] = jj[start:end]
-        vals = np.asarray(pair_dot(c, a, b))
+        vals = np.asarray(aot_call(_pair_dot, (c, a, b)))
         out[start:end] = vals[:end - start]
     return out
+
+
+@jax.jit
+def _pair_dot(cc, a_idx, b_idx):
+    a = jnp.take(cc, a_idx, axis=0)
+    b = jnp.take(cc, b_idx, axis=0)
+    return jnp.sum(a * b, axis=1) / cc.shape[1]
 
 
 class _RowFiller:

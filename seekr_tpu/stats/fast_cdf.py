@@ -88,39 +88,51 @@ def fast_cdf(distname: str, params, x):
 
     The bitwise guarantee is pinned to the installed scipy's ``_cdf``
     formulas, which can change between versions (cauchy's arctan2 form,
-    for one, is recent) — so the first call per distribution runs a
-    small probe array through both this path and the frozen scipy
-    distribution and compares exactly; any mismatch disables the fast
-    path for that distribution for the life of the process.
+    for one, is recent) — so the first call per (distribution, params)
+    runs a small probe grid through both this path and the frozen scipy
+    distribution BEFORE any full-size evaluation and compares exactly;
+    any mismatch routes that combination to scipy for the life of the
+    process (the grid is ~a dozen points, so re-probing new params is
+    free next to one matrix evaluation).
     """
-    out = _fast_cdf_impl(distname, params, x)
-    if out is None or not _probe_ok(distname, params):
+    if str(distname) not in _FORMULAS:
         return None
-    return out
+    if not _probe_ok(str(distname), params):
+        return None
+    return _fast_cdf_impl(distname, params, x)
 
 
 _PROBE_VERDICTS: dict = {}
 
 
 def _probe_ok(distname: str, params) -> bool:
-    """One-time per-distribution exactness spot check vs frozen scipy.
+    """Exactness spot check vs frozen scipy, memoized per (dist, params).
 
-    Uses the first call's own params (the formula, not the params, is
-    what a scipy version bump changes) over a probe grid spanning both
-    support sides, the open interval, and NaN.
+    The grid spans both support sides, the open interval, extreme |z|
+    (asymptotic branches), and NaN.  Anything the probe itself cannot
+    evaluate (array-valued params, wrong arity — scipy would raise on
+    the real call too) fails closed to the scipy path, uncached.
     """
-    verdict = _PROBE_VERDICTS.get(distname)
+    try:
+        key = (distname, tuple(float(p) for p in params))
+    except (TypeError, ValueError):
+        return False  # array-valued/odd params: scipy path
+    verdict = _PROBE_VERDICTS.get(key)
     if verdict is None:
         import scipy.stats as st
 
-        probe = np.array([-2.5, -1.0, 0.0, 0.3, 0.7, 1.0, 1.5, 4.0,
-                          25.0, np.nan])
+        probe = np.array([-1e9, -2.5, -1.0, 0.0, 0.3, 0.7, 1.0, 1.5,
+                          4.0, 25.0, 1e9, np.nan])
         with np.errstate(all="ignore"):
-            want = getattr(st, distname)(*params).cdf(probe)
-        got = _fast_cdf_impl(distname, params, probe)
-        verdict = (got is not None
-                   and np.array_equal(want, got, equal_nan=True))
-        _PROBE_VERDICTS[distname] = verdict
+            try:
+                want = getattr(st, distname)(*params).cdf(probe)
+            except Exception:
+                verdict = False
+            else:
+                got = _fast_cdf_impl(distname, params, probe)
+                verdict = (got is not None
+                           and np.array_equal(want, got, equal_nan=True))
+        _PROBE_VERDICTS[key] = verdict
     return verdict
 
 

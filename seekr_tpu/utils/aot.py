@@ -39,9 +39,13 @@ _SCHEMA = "aot-v1"
 
 # in-memory: hlo-hash key -> loaded/compiled callable
 _LOADED: Dict[str, Callable] = {}
-# cheap pre-key (callable id + arg shapes/dtypes + statics) -> callable,
-# so repeat calls in one process skip even the trace+lower
-_FAST: Dict[tuple, Callable] = {}
+# cheap pre-key (callable id + arg shapes/dtypes + statics) ->
+# (jitted, callable).  The jitted wrapper is stored alongside the
+# executable ON PURPOSE: the pre-key uses id(jitted), and keeping a
+# strong reference prevents a garbage-collected wrapper's id from being
+# recycled by a NEW jit object whose same-shaped call would then
+# silently hit the old executable.
+_FAST: Dict[tuple, tuple] = {}
 _DISABLED = False
 
 
@@ -70,9 +74,19 @@ def _fingerprint() -> str:
     import jax
 
     dev = jax.devices()[0]
+    try:
+        # runtime (libtpu/PJRT plugin) version: new runtime, new binaries
+        runtime = str(jax.extend.backend.get_backend().platform_version)
+    except Exception:
+        runtime = "?"
     return "|".join([_SCHEMA, jax.__version__, jax.default_backend(),
                      getattr(dev, "device_kind", "?"),
-                     str(jax.device_count())])
+                     str(jax.device_count()), runtime,
+                     # XLA flags change codegen without changing the HLO;
+                     # jax's own persistent cache keys them for the same
+                     # reason
+                     os.environ.get("XLA_FLAGS", ""),
+                     os.environ.get("LIBTPU_INIT_ARGS", "")])
 
 
 def _key(lowered) -> str:
@@ -158,10 +172,10 @@ def aot_call(jitted, args: tuple, static: dict | None = None) -> Any:
                tuple(sorted((k, repr(v)) for k, v in static.items())))
     except Exception:
         return jitted(*args, **static)
-    fn = _FAST.get(pre)
-    if fn is not None:
+    hit = _FAST.get(pre)
+    if hit is not None:
         try:
-            return fn(*args)
+            return hit[1](*args)
         except Exception:
             _DISABLED = True
             _FAST.clear()
@@ -190,7 +204,7 @@ def aot_call(jitted, args: tuple, static: dict | None = None) -> Any:
                 fn = None  # recompile live below
             else:
                 _LOADED[key] = fn
-                _FAST[pre] = fn
+                _FAST[pre] = (jitted, fn)
                 return out
     if fn is None:
         try:
@@ -212,5 +226,5 @@ def aot_call(jitted, args: tuple, static: dict | None = None) -> Any:
         _FAST.clear()
         _LOADED.clear()
         return jitted(*args, **static)
-    _FAST[pre] = fn
+    _FAST[pre] = (jitted, fn)
     return out

@@ -132,7 +132,7 @@ def test_execute_failure_disables_store(store):
     # poison the fast path: next call must fall back AND disable
     aot.aot_call(_toy, (x, y), dict(k=3))
     key = next(iter(aot._FAST))
-    aot._FAST[key] = Boom()
+    aot._FAST[key] = (_toy, Boom())
     out = np.asarray(aot.aot_call(_toy, (x, y), dict(k=3)))
     np.testing.assert_array_equal(out, np.asarray(_toy(x, y, k=3)))
     assert aot._DISABLED and not aot._FAST and not aot._LOADED

@@ -95,10 +95,11 @@ def test_supervisor_no_fallback_when_device_reachable():
 
 
 @pytest.mark.slow
-def test_cpu_mesh_weak_scaling_mode():
+def test_cpu_mesh_scaling_mode():
     """--cpu-mesh N runs distributed_pipeline over N virtual CPU devices and
-    emits per-chip throughput + scaling efficiency (harness validation; the
-    numbers themselves are meaningless on CPU and labeled as such)."""
+    emits per-chip throughput + strong-scaling efficiency (harness
+    validation; the numbers themselves are meaningless on CPU and labeled
+    as such)."""
     proc = _run({}, args=("--cpu-mesh", "4"), timeout=600)
     assert proc.returncode == 0, proc.stderr[-800:]
     lines = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
@@ -107,5 +108,17 @@ def test_cpu_mesh_weak_scaling_mode():
     assert payload["devices"] == 4
     assert payload["total_tps"] > 0
     assert payload["scaling_efficiency"] > 0
+    assert payload["scaling"].startswith("strong")
     assert "virtual CPU mesh" in payload["note"]
     assert "best-of-loops" in payload["method"]
+
+
+@pytest.mark.slow
+def test_cpu_mesh_non_power_of_two_devices():
+    """A 6-device mesh (data axis does not divide 256) must round the
+    corpus up instead of dying on a GSPMD divisibility error."""
+    proc = _run({}, args=("--cpu-mesh", "6"), timeout=600)
+    assert proc.returncode == 0, proc.stderr[-800:]
+    lines = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
+    payload = json.loads(lines[-1])
+    assert payload["devices"] == 6

@@ -117,7 +117,34 @@ def test_probe_memoizes_pass(monkeypatch):
     monkeypatch.setattr(mod, "_PROBE_VERDICTS", {})
     out = mod.fast_cdf("norm", (0.0, 1.0), np.array([0.0, 1.0]))
     assert out is not None
-    assert mod._PROBE_VERDICTS == {"norm": True}
+    assert mod._PROBE_VERDICTS == {("norm", (0.0, 1.0)): True}
+    # a NEW params tuple re-probes (formula drift can be regime-local)
+    out2 = mod.fast_cdf("norm", (0.5, 2.0), np.array([0.0, 1.0]))
+    assert out2 is not None
+    assert len(mod._PROBE_VERDICTS) == 2
+
+
+def test_probe_runs_before_full_evaluation(monkeypatch):
+    # a probe-failed distribution must NOT pay the full-size fast-path
+    # evaluation on every call (it would double the total cost forever)
+    from seekr_tpu.stats import fast_cdf as mod
+
+    broken = dict(mod._FORMULAS)
+    broken["norm"] = (0, (-np.inf, np.inf), lambda z: 0.999 * sc.ndtr(z))
+    monkeypatch.setattr(mod, "_FORMULAS", broken)
+    monkeypatch.setattr(mod, "_PROBE_VERDICTS", {})
+    assert mod.fast_cdf("norm", (0.0, 1.0), np.zeros(4)) is None
+
+    calls = []
+    real_impl = mod._fast_cdf_impl
+
+    def spy(*a, **kw):
+        calls.append(np.asarray(a[2]).size)
+        return real_impl(*a, **kw)
+
+    monkeypatch.setattr(mod, "_fast_cdf_impl", spy)
+    assert mod.fast_cdf("norm", (0.0, 1.0), np.zeros(1 << 16)) is None
+    assert calls == []  # cached verdict short-circuits all evaluation
 
 
 def test_large_array_threads_bitwise():

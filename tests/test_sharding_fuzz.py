@@ -193,7 +193,7 @@ def test_fuzz_long_sequence_halo(seed):
     rng = np.random.default_rng(3000 + seed)
     n_dev, kp = MESH_SHAPES[rng.integers(len(MESH_SHAPES))]
     mesh = _mesh(n_dev, kp)
-    total = n_dev * kp if False else n_dev  # all devices of the mesh
+    total = n_dev  # all devices of the mesh
     k = int(rng.integers(2, 9))
     length = int(rng.integers(k, 3000))
     seq = "".join(rng.choice(list("AGTCN"), size=length,
