@@ -138,6 +138,40 @@ def test_execute_failure_disables_store(store):
     assert aot._DISABLED and not aot._FAST and not aot._LOADED
 
 
+def test_concurrent_processes_race_one_key_safely(tmp_path):
+    # two fresh processes compile the same shape into the same store at
+    # once: the atomic publish (mkstemp + os.replace) must leave exactly
+    # one valid file and both processes must produce correct results
+    import subprocess
+    import sys
+
+    child = (
+        "import os, sys\n"
+        f"os.environ['SEEKR_TPU_AOT'] = {str(tmp_path)!r}\n"
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "import jax.numpy as jnp, numpy as np, functools\n"
+        "sys.path.insert(0, os.getcwd())\n"
+        "from seekr_tpu.utils import aot\n"
+        "@functools.partial(jax.jit, static_argnames=('k',))\n"
+        "def f(x, k):\n"
+        "    return (x * k).sum()\n"
+        "out = aot.aot_call(f, (jnp.ones(64),), dict(k=3))\n"
+        "assert float(out) == 192.0, out\n"
+        "print('ok')\n"
+    )
+    procs = [subprocess.Popen([sys.executable, "-c", child],
+                              stdout=subprocess.PIPE, text=True)
+             for _ in range(2)]
+    for p in procs:
+        out, _ = p.communicate(timeout=120)
+        assert p.returncode == 0 and "ok" in out
+    files = list(tmp_path.glob("*.pkl"))
+    assert len(files) == 1
+    pickle.loads(files[0].read_bytes())  # valid, not torn
+    assert not list(tmp_path.glob("*.tmp"))  # no leaked temp files
+
+
 def test_count_and_pearson_route_through_store(store):
     # the integrated call sites produce identical results with AOT on
     from seekr_tpu.ops.count import count_kmers_device
