@@ -94,6 +94,23 @@ def test_help_command_is_a_complete_manual(capsys):
     assert out.count("(default:") > 100
 
 
+def test_help_manual_degrades_per_broken_command(capsys, monkeypatch):
+    """One command whose import chain breaks must not take down the whole
+    manual: its section notes the failure, every other section renders."""
+    def broken(argv=None):
+        raise ImportError("matplotlib backend exploded")
+
+    cmds = dict(cli._entry_commands())
+    cmds["seekr_broken_demo"] = broken
+    monkeypatch.setattr(cli, "_entry_commands", lambda: cmds)
+    cli._run_console_seekr_help(False)
+    out = capsys.readouterr().out
+    assert "seekr_broken_demo" in out
+    assert "flag table unavailable here: ImportError" in out
+    # the real commands still render in full
+    assert "seekr_kmer_counts" in out and out.count("(default:") > 100
+
+
 def test_collect_parser_roundtrip():
     parser = cli._collect_parser(cli.console_kmer_counts)
     flags = {o for a in parser._actions for o in a.option_strings}
