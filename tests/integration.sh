@@ -14,8 +14,11 @@ cd "$WORK"
 # Hermetic functional run: pin the CPU backend.  (PYTHONPATH is replaced
 # wholesale, which also drops any site dir that registers accelerator
 # plugins — e.g. the axon TPU tunnel's, whose env var would otherwise point
-# JAX at a backend that is no longer registered.)
-run() { PYTHONPATH="$REPO" JAX_PLATFORMS=cpu python -m seekr_tpu.cli "$@"; }
+# JAX at a backend that is no longer registered.)  The AOT executable
+# store is pointed at the workdir so every fresh CLI process after the
+# first exercises the cross-process warm-start path end to end.
+run() { PYTHONPATH="$REPO" JAX_PLATFORMS=cpu SEEKR_TPU_AOT="$WORK/aot" \
+        python -m seekr_tpu.cli "$@"; }
 
 K=2
 run norm_vectors "$FA" -k $K -mv mean.npy -sv std.npy
