@@ -121,11 +121,35 @@ def _load(key: str, base: str):
         return None
 
 
+# keep at most this many executables; oldest-by-mtime pruned at save
+# time (executables keyed under old jax/runtime fingerprints are never
+# loadable again and would otherwise accumulate forever)
+_MAX_FILES = 512
+
+
+def _prune(base: str) -> None:
+    try:
+        files = [os.path.join(base, f) for f in os.listdir(base)
+                 if f.endswith(".pkl")]
+        keep = _MAX_FILES - 1  # the imminent save takes the cap slot
+        if len(files) <= keep:
+            return
+        files.sort(key=lambda p: os.stat(p).st_mtime)
+        for path in files[:len(files) - keep]:
+            try:
+                os.unlink(path)
+            except OSError:
+                pass
+    except OSError:
+        pass
+
+
 def _save(key: str, base: str, compiled) -> None:
     from jax.experimental.serialize_executable import serialize
 
     payload, in_tree, out_tree = serialize(compiled)
     os.makedirs(base, exist_ok=True)
+    _prune(base)
     # atomic publish: concurrent CLI processes may race the same key
     fd, tmp = tempfile.mkstemp(dir=base, suffix=".tmp")
     try:

