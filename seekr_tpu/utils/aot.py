@@ -23,7 +23,11 @@ the overhead is paid at most once.
 
 Env knobs (single gate each, like the other SEEKR_TPU_* switches):
   SEEKR_TPU_AOT=off      disable entirely
-  SEEKR_TPU_AOT=<dir>    redirect the store directory
+  SEEKR_TPU_AOT=on|<dir> enable on any backend / redirect the directory
+
+Validation: the differential-fuzz + reference-oracle + golden suites
+pass identically with the store cold (87 executables compiled+stored)
+and warm (all 87 loaded) — stored executables cannot change results.
 """
 
 from __future__ import annotations
