@@ -394,6 +394,44 @@ Example:
 """
 
 
+DOCTOR_DOC = """
+Environment health report (extension command).
+
+Checks each runtime layer the framework spans and prints one line per
+check: Python-stack versions, the native C++ engines (build/load
+status), the AOT executable store, SEEKR_TPU_* env overrides, and the
+accelerator itself — probed in a SUBPROCESS under a timeout, so a
+wedged device link is reported instead of hanging the doctor.
+
+Exit code 0 when no check fails.
+
+Example:
+  $ seekr_tpu_doctor
+  $ seekr_tpu_doctor --no-device          # host-only checks
+  $ seekr_tpu_doctor --device-timeout 30
+"""
+
+
+def console_doctor(argv=None):
+    from seekr_tpu.utils.doctor import run_doctor
+
+    parser = argparse.ArgumentParser(usage=DOCTOR_DOC,
+                                     formatter_class=_formatter())
+    parser.add_argument("--device-timeout", default=90.0, type=float,
+                        help="seconds before the accelerator probe is "
+                             "declared hung.")
+    parser.add_argument("--no-device", action="store_true",
+                        help="skip the accelerator probe (host-only).")
+    if argv is None:
+        # unlike the data commands (bare invocation = help, reference
+        # convention), a bare doctor RUNS — that is the whole point
+        argv = sys.argv[1:] or ["--device-timeout", "90"]
+    args = _parse_args_or_exit(parser, argv)
+    healthy = run_doctor(device_timeout=args.device_timeout,
+                         skip_device=args.no_device)
+    sys.exit(0 if healthy else 1)
+
+
 class _CollectParser(Exception):
     """Carrier for parser harvesting (see _collect_parser)."""
 
@@ -1400,6 +1438,7 @@ def _entry_commands():
         "seekr_visualize_distro": console_visualize_distro,
         "seekr_canonical_gencode": console_canonical_gencode,
         "seekr_tpu_pipeline": console_pipeline,
+        "seekr_tpu_doctor": console_doctor,
     }
 
 
@@ -1468,6 +1507,7 @@ COMMANDS = {
     "visualize_distro": console_visualize_distro,
     "canonical_gencode": console_canonical_gencode,
     "pipeline": console_pipeline,
+    "doctor": console_doctor,
     "help": console_seekr_help,
 }
 

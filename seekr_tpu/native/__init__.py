@@ -147,6 +147,11 @@ def native_available() -> bool:
     return _load() is not None
 
 
+def load_error() -> Optional[str]:
+    """The build/load failure message, or None (diagnostics/doctor)."""
+    return _load_error
+
+
 def host_stats_native_ok(size: int, min_size: int) -> bool:
     """Single gate for every host-stats native kernel (sortops/statops).
 
