@@ -1,0 +1,25 @@
+"""Reference-layout alias: `seekr.kmer_comp_textplot` -> seekr_tpu (see seekr/kmer_comp_textplot.py).
+
+Migration aid so a reference user's imports keep working after
+`s/seekr/seekr_tpu/` — the real implementation lives at the canonical
+path below; nothing is defined here.
+"""
+
+from seekr_tpu.viz.textplot import kmer_comp_textplot, find_word_coordinates, ass_color
+
+__all__ = ['ass_color', 'find_word_coordinates', 'kmer_comp_textplot']
+
+
+# The package root also exports `kmer_comp_textplot` as a FUNCTION (`from seekr_tpu
+# import kmer_comp_textplot`); importing this module rebinds that attribute to the
+# module object.  Making the module itself callable keeps BOTH idioms
+# working in one process: `seekr_tpu.kmer_comp_textplot(...)` and
+# `from seekr_tpu.kmer_comp_textplot import kmer_comp_textplot`.
+import sys as _sys
+
+
+class _CallableModule(_sys.modules[__name__].__class__):
+    __call__ = staticmethod(kmer_comp_textplot)
+
+
+_sys.modules[__name__].__class__ = _CallableModule
