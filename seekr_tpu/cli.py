@@ -394,6 +394,69 @@ Example:
 """
 
 
+SERVE_DOC = """
+Warm-resident similarity service over a UNIX socket (extension command).
+
+Loads the background norm vectors (and optionally a target fasta +
+find_dist fitres) ONCE, pre-compiles the device executables, then
+answers newline-delimited-JSON queries with zero per-request cold
+start:
+
+  request : {"seqs": ["AGTC...", ...], "want": ["sim", "pvals"]}
+  response: {"ok": true, "sim": [[...]], "pvals": [[...]], "m":Q, "n":T}
+  ops     : {"op": "ping"}, {"op": "shutdown"}
+
+Results are identical to the seekr_kmer_counts + seekr_pearson +
+seekr_find_pval artifact chain for the same inputs.
+
+Example:
+  $ seekr_tpu_serve mean.npy std.npy -k 6 -t gencode.fa \\
+        -fr fitres.csv --socket /tmp/seekr.sock
+  $ printf '{"seqs": ["AGTCAGTC..."], "want": ["sim"]}\\n' | \\
+        nc -U /tmp/seekr.sock
+"""
+
+
+def console_serve(argv=None):
+    parser = argparse.ArgumentParser(usage=SERVE_DOC,
+                                     formatter_class=_formatter())
+    parser.add_argument("mean_path", help="normalization mean vector (.npy).")
+    parser.add_argument("std_path", help="normalization std vector (.npy).")
+    parser.add_argument("-k", "--kmer", default=6,
+                        help="length of kmers you want to count.")
+    parser.add_argument("-l", "--log2", default="Log2.post",
+                        choices=["Log2.post", "Log2.pre", "Log2.none"],
+                        help="log2 transform mode.")
+    parser.add_argument("-t", "--targets", default=None,
+                        help="target fasta: queries are scored against "
+                             "these rows (default: against the query "
+                             "batch itself).")
+    parser.add_argument("-fr", "--fitres_file", default=None,
+                        help="find_dist fitres csv enabling 'pvals'.")
+    parser.add_argument("-ft", "--fitres_type", default="distribution",
+                        choices=["distribution", "npy"],
+                        help="fitres artifact kind (see seekr_find_pval).")
+    parser.add_argument("--socket", default="seekr_tpu.sock",
+                        help="UNIX socket path to listen on.")
+    parser.add_argument("--no-warmup", action="store_true",
+                        help="skip executable pre-compilation.")
+    args = _parse_args_or_exit(parser, argv)
+    _enable_xla_cache()
+
+    from seekr_tpu.serve import SeekrService, serve_forever
+
+    fitres = None
+    if args.fitres_file:
+        fitres = parse_fitres_csv(args.fitres_file, args.fitres_type)
+    svc = SeekrService(args.mean_path, args.std_path, k=int(args.kmer),
+                       log2=args.log2, targets=args.targets, fitres=fitres)
+    if not args.no_warmup:
+        print("seekr_tpu_serve: warming executables...", flush=True)
+        svc.warmup()
+    print(f"seekr_tpu_serve: listening on {args.socket}", flush=True)
+    serve_forever(svc, args.socket)
+
+
 DOCTOR_DOC = """
 Environment health report (extension command).
 
@@ -1438,6 +1501,7 @@ def _entry_commands():
         "seekr_visualize_distro": console_visualize_distro,
         "seekr_canonical_gencode": console_canonical_gencode,
         "seekr_tpu_pipeline": console_pipeline,
+        "seekr_tpu_serve": console_serve,
         "seekr_tpu_doctor": console_doctor,
     }
 
@@ -1507,6 +1571,7 @@ COMMANDS = {
     "visualize_distro": console_visualize_distro,
     "canonical_gencode": console_canonical_gencode,
     "pipeline": console_pipeline,
+    "serve": console_serve,
     "doctor": console_doctor,
     "help": console_seekr_help,
 }

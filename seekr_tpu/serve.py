@@ -1,0 +1,228 @@
+"""Warm-resident similarity service (extension; production serving path).
+
+The CLI commands are one-shot processes: every invocation re-reads the
+background artifacts and (without a warm AOT store) re-compiles the
+device executables.  For serving — many small query batches against one
+fixed background — the right shape is a resident process that loads
+everything once and answers queries with warm executables:
+
+    svc = SeekrService(mean="mean.npy", std="std.npy", k=6,
+                       targets="gencode.fa", fitres=fitres)
+    svc.warmup()
+    out = svc.query(["AGTC...", ...], want=("sim", "pvals"))
+
+``serve_forever`` exposes the service over a UNIX domain socket with a
+newline-delimited-JSON protocol (zero dependencies, local-only by
+construction — binding a network port is the deployment layer's job):
+
+    request:  {"seqs": ["AGTC..", ...], "want": ["sim", "pvals"]}
+    response: {"ok": true, "sim": [[...]], "pvals": [[...]],
+               "m": Q, "n": T}
+    errors:   {"ok": false, "error": "..."}
+    ops:      {"op": "ping"} -> {"ok": true, "k": .., "targets": ..,
+                                 "queries_served": ..}
+              {"op": "shutdown"} -> {"ok": true} (server exits)
+
+Counting/normalize/Pearson run the same device path as the CLI
+(count_graph -> normalize -> pearson_device), so results are identical
+to ``seekr_kmer_counts`` + ``seekr_pearson`` + ``seekr_find_pval``
+artifacts — pinned by tests/test_serve.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import socket
+import socketserver
+import threading
+from typing import Optional, Sequence
+
+import numpy as np
+
+_MAX_REQUEST = 256 << 20  # 256 MB of request line is a caller bug
+
+
+class SeekrService:
+    """Preloaded background + warm executables; thread-safe queries."""
+
+    def __init__(self, mean, std, k: int = 6, log2: str = "Log2.post",
+                 targets=None, fitres=None):
+        """mean/std: .npy path or [4^k] array (the background norm
+        vectors).  targets: fasta path or list of sequences — queries
+        are scored against these (default: against the query batch
+        itself).  fitres: find_dist output (list of fitted tuples or a
+        raw r-value array) enabling "pvals"."""
+        from seekr_tpu.models.counter import KmerCounter
+
+        self.k = int(k)
+        self.log2 = log2
+        self.mean = np.load(mean) if isinstance(mean, str) else np.asarray(mean)
+        self.std = np.load(std) if isinstance(std, str) else np.asarray(std)
+        if len(self.mean) != 4 ** self.k or len(self.std) != 4 ** self.k:
+            raise ValueError(
+                f"norm vectors must have 4^k = {4 ** self.k} entries for "
+                f"k={self.k} (got {len(self.mean)}/{len(self.std)})")
+        self.fitres = fitres
+        self._counter_cls = KmerCounter
+        self._lock = threading.Lock()
+        self.queries_served = 0
+
+        self.target_counts = None
+        self.target_names = None
+        if targets is not None:
+            if isinstance(targets, str):
+                counter = KmerCounter(targets, k=self.k, mean=self.mean,
+                                      std=self.std, log2=log2, silent=True)
+                counter.get_counts()
+                self.target_counts = np.asarray(counter.counts)
+                self.target_names = [h[1:] for h in counter.headers]
+            else:
+                self.target_counts = self._count(list(targets))
+                self.target_names = [f"t{i}" for i in range(len(targets))]
+
+    def _count(self, seqs: Sequence[str]) -> np.ndarray:
+        counter = self._counter_cls(None, k=self.k, mean=self.mean,
+                                    std=self.std, log2=self.log2,
+                                    silent=True)
+        counter.seqs = list(seqs)
+        counter.get_counts()
+        return np.asarray(counter.counts)
+
+    def warmup(self, lengths=(512, 2048)) -> None:
+        """Compile (or AOT-load) the bucket executables before traffic."""
+        rng = np.random.default_rng(0)
+        letters = np.array(list("AGTC"))
+        for L in lengths:
+            seqs = ["".join(letters[rng.integers(0, 4, size=L)])
+                    for _ in range(2)]
+            sim = self._sim(self._count(seqs), self.target_counts)
+            np.asarray(sim)
+
+    def _sim(self, qc: np.ndarray, tc: Optional[np.ndarray]) -> np.ndarray:
+        from seekr_tpu.ops.pearson import pearson_device
+
+        return np.asarray(pearson_device(qc, qc if tc is None else tc))
+
+    def _pvals(self, sim: np.ndarray) -> np.ndarray:
+        if self.fitres is None:
+            raise ValueError("service started without fitres: pvals "
+                             "unavailable (pass fitres= / --fitres)")
+        if isinstance(self.fitres, np.ndarray):
+            from seekr_tpu.ops.ecdf import empirical_pvals
+
+            return np.asarray(empirical_pvals(self.fitres, sim),
+                              dtype=sim.dtype)
+        distname, _, params = self.fitres[0]
+        from seekr_tpu.stats.fast_cdf import fast_cdf
+
+        cdf = fast_cdf(distname, params, sim)
+        if cdf is None:
+            from scipy import stats as spstats
+
+            cdf = getattr(spstats, distname)(*params).cdf(sim)
+        return (1.0 - cdf).astype(sim.dtype)
+
+    def query(self, seqs: Sequence[str], want: Sequence[str] = ("sim",)):
+        """Score a query batch; returns {"sim": [Q, T], "pvals": [Q, T]}.
+
+        T = preloaded target count (or Q for self-similarity).  Thread-
+        safe: one device computation at a time (queries queue briefly;
+        the device itself is serial anyway).
+        """
+        unknown = set(want) - {"sim", "pvals"}
+        if unknown:
+            raise ValueError(f"unknown want items: {sorted(unknown)} "
+                             "(supported: sim, pvals)")
+        if not seqs:
+            raise ValueError("empty query batch")
+        with self._lock:
+            qc = self._count(seqs)
+            sim = self._sim(qc, self.target_counts)
+            out = {"m": int(sim.shape[0]), "n": int(sim.shape[1])}
+            if "sim" in want:
+                out["sim"] = sim
+            if "pvals" in want:
+                out["pvals"] = self._pvals(sim)
+            self.queries_served += 1
+            return out
+
+
+class _Handler(socketserver.StreamRequestHandler):
+    def handle(self):
+        while True:
+            line = self.rfile.readline(_MAX_REQUEST)
+            if not line:
+                return
+            try:
+                req = json.loads(line)
+                resp = self._dispatch(req)
+            except Exception as err:  # protocol boundary: report, not die
+                resp = {"ok": False,
+                        "error": f"{type(err).__name__}: {err}"}
+            shutdown = isinstance(resp, dict) and resp.pop("_shutdown", False)
+            self.wfile.write(json.dumps(resp).encode() + b"\n")
+            self.wfile.flush()
+            if shutdown:
+                # after the response is on the wire
+                threading.Thread(target=self.server.shutdown,
+                                 daemon=True).start()
+                return
+
+    def _dispatch(self, req):
+        svc: SeekrService = self.server.service  # type: ignore[attr-defined]
+        op = req.get("op", "query")
+        if op == "ping":
+            return {"ok": True, "k": svc.k, "log2": svc.log2,
+                    "targets": (len(svc.target_names)
+                                if svc.target_names else None),
+                    "pvals_available": svc.fitres is not None,
+                    "queries_served": svc.queries_served}
+        if op == "shutdown":
+            return {"ok": True, "_shutdown": True}
+        if op != "query":
+            return {"ok": False, "error": f"unknown op {op!r}"}
+        out = svc.query(req["seqs"], want=tuple(req.get("want", ["sim"])))
+        resp = {"ok": True, "m": out["m"], "n": out["n"]}
+        for key in ("sim", "pvals"):
+            if key in out:
+                resp[key] = np.asarray(out[key]).tolist()
+        return resp
+
+
+class _Server(socketserver.ThreadingUnixStreamServer):
+    daemon_threads = True
+    allow_reuse_address = True
+
+
+def serve_forever(service: SeekrService, socket_path: str,
+                  ready_event: Optional[threading.Event] = None) -> None:
+    """Blocking accept loop; remove a stale socket file first."""
+    try:
+        os.unlink(socket_path)
+    except FileNotFoundError:
+        pass
+    with _Server(socket_path, _Handler) as server:
+        server.service = service  # type: ignore[attr-defined]
+        if ready_event is not None:
+            ready_event.set()
+        server.serve_forever()
+    try:
+        os.unlink(socket_path)
+    except FileNotFoundError:
+        pass
+
+
+def request(socket_path: str, payload: dict, timeout: float = 600.0) -> dict:
+    """One-shot client: send a request dict, return the response dict."""
+    with socket.socket(socket.AF_UNIX, socket.SOCK_STREAM) as sock:
+        sock.settimeout(timeout)
+        sock.connect(socket_path)
+        sock.sendall(json.dumps(payload).encode() + b"\n")
+        buf = b""
+        while not buf.endswith(b"\n"):
+            chunk = sock.recv(1 << 20)
+            if not chunk:
+                break
+            buf += chunk
+    return json.loads(buf)
