@@ -41,4 +41,19 @@ for f in counts.csv pearson.csv fitres.csv pvals.csv adj.csv hm.png \
          pipe_out/pearson.csv pipe_out/pvals.csv pipe_out/communities.csv; do
   [[ -s "$f" ]] || { echo "MISSING ARTIFACT: $f"; exit 1; }
 done
-echo "integration: all artifacts produced"
+
+# warm-resident service: start, ping, query, clean shutdown
+run serve mean.npy std.npy -k $K -t "$FA" --socket "$WORK/s.sock" \
+    --no-warmup > serve.log 2>&1 &
+SRV=$!
+for i in $(seq 1 60); do [[ -S "$WORK/s.sock" ]] && break; sleep 1; done
+PYTHONPATH="$REPO" JAX_PLATFORMS=cpu python - <<PYEOF
+from seekr_tpu.serve import request
+sock = "$WORK/s.sock"
+assert request(sock, {"op": "ping"})["ok"]
+resp = request(sock, {"seqs": ["AGTCAGTCAGTCAGTCAGTC"], "want": ["sim"]})
+assert resp["ok"] and resp["m"] == 1, resp
+assert request(sock, {"op": "shutdown"})["ok"]
+PYEOF
+wait "$SRV"
+echo "integration: all artifacts produced + service round trip ok"
