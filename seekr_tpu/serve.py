@@ -18,6 +18,9 @@ construction — binding a network port is the deployment layer's job):
     request:  {"seqs": ["AGTC..", ...], "want": ["sim", "pvals"]}
     response: {"ok": true, "sim": [[...]], "pvals": [[...]],
                "m": Q, "n": T}
+    artifact mode (large results): add "outfile": "/path/prefix" and the
+    matrices are written as <prefix>_sim.npy / <prefix>_pvals.npy with
+    the paths returned in "files" instead of inline JSON
     errors:   {"ok": false, "error": "..."}
     ops:      {"op": "ping"} -> {"ok": true, "k": .., "targets": ..,
                                  "queries_served": ..}
@@ -184,6 +187,19 @@ class _Handler(socketserver.StreamRequestHandler):
             return {"ok": False, "error": f"unknown op {op!r}"}
         out = svc.query(req["seqs"], want=tuple(req.get("want", ["sim"])))
         resp = {"ok": True, "m": out["m"], "n": out["n"]}
+        outfile = req.get("outfile")
+        if outfile:
+            # artifact mode: large results go to disk as the standard
+            # .npy artifacts (JSON-encoding a 13k-column matrix would
+            # dominate the request); one path per requested product
+            written = {}
+            for key in ("sim", "pvals"):
+                if key in out:
+                    path = f"{outfile}_{key}.npy"
+                    np.save(path, np.asarray(out[key]))
+                    written[key] = path
+            resp["files"] = written
+            return resp
         for key in ("sim", "pvals"):
             if key in out:
                 resp[key] = np.asarray(out[key]).tolist()

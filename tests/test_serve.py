@@ -142,7 +142,15 @@ def test_socket_round_trip(artifacts, tmp_path):
     assert bad["ok"] is False and "empty" in bad["error"]
 
     pong2 = request(sock, {"op": "ping"})
-    assert pong2["queries_served"] == 1
+    assert pong2["queries_served"] == 1  # the failed query didn't count
+
+    # artifact mode: big results land on disk, not in the JSON
+    prefix = str(tmp_path / "out")
+    resp3 = request(sock, {"seqs": queries, "want": ["sim"],
+                           "outfile": prefix})
+    assert resp3["ok"] and "sim" not in resp3
+    got = np.load(resp3["files"]["sim"])
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
 
     down = request(sock, {"op": "shutdown"})
     assert down["ok"]
