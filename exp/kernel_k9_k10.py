@@ -60,14 +60,19 @@ def main():
         print(f"\n== k={k} m={m} L={args.l} (counts output {out_gb:.1f} "
               f"GiB) ==")
 
-        # correctness cross-check once per k before timing
+        # correctness cross-check once per k before timing; compare FLAT —
+        # the two impls pick different (n_hi, n_lo) splits at odd k (e.g.
+        # 2048x128 vs 512x512 at k=9) but the row-major bytes are the same
+        # flat counts by construction
         small_b, small_n = corpus(16, 256, seed=1)
         want = np.asarray(_count_impl(jnp.asarray(small_b),
                                       jnp.asarray(small_n), k, flat=False))
         got = np.asarray(count_kmers_pallas(jnp.asarray(small_b),
                                             jnp.asarray(small_n), k,
                                             flat=False))
-        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(got.reshape(got.shape[0], -1),
+                                   want.reshape(want.shape[0], -1),
+                                   rtol=1e-5, atol=1e-5)
         print("   parity ok (pallas == xla at m=16, L=256)")
 
         best = {name: 0.0 for name in variants}

@@ -35,9 +35,12 @@ def similarity_graph(inputfile, mean, std, k, pearsoncutoff=0):
     import pandas as pd
 
     counter = KmerCounter(inputfile, mean=mean, std=std, k=k, silent=True)
-    counter.make_count_file()
     headers = [h[1:] for h in counter.headers]  # counter already parsed
-    sim = np.asarray(pearson(counter.counts, counter.counts)).copy()
+    # counts stay device-resident into Pearson (the reference's
+    # make_count_file writes nothing here — no outfile); only the
+    # [m, m] similarity matrix crosses to the host
+    counts = counter.get_counts_device()
+    sim = np.asarray(pearson(counts, counts)).copy()
     sim[sim < pearsoncutoff] = 0
     np.fill_diagonal(sim, 0)
     return pd.DataFrame(sim, columns=headers, index=headers)

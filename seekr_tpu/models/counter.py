@@ -26,7 +26,12 @@ Deviations (documented, all within the reference's own test tolerances):
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
+
+import jax
+import jax.numpy as jnp
 
 from seekr_tpu.io.encode import encode_fasta, encode_seqs, kmer_strings
 from seekr_tpu.io.fasta import Reader
@@ -61,6 +66,39 @@ _MAX_ROWS_PER_BUCKET = 2048
 # path instead of padding a power-of-two bucket to their full length — e.g.
 # the 88kb Airn transcript would otherwise force a 131072-column bucket.
 _LONG_SEQ_THRESHOLD = 16384
+
+
+def _has_nan(arr) -> bool:
+    """Device-side NaN probe: one reduction + a scalar fetch, so the
+    standardization warning does not force the whole matrix to host.
+
+    Routed through the AOT executable store like every other per-call
+    graph — on the tunneled backend even a trivial eager op costs a
+    fresh remote compile per process."""
+    from seekr_tpu.utils.aot import aot_call
+
+    return bool(np.asarray(aot_call(_isnan_any_impl, (arr,))))
+
+
+@jax.jit
+def _isnan_any_impl(x):
+    return jnp.isnan(x).any()
+
+
+@functools.partial(jax.jit, static_argnames=("m", "keep"))
+def _assemble_impl(blocks, dest, *, m: int, keep: tuple):
+    """Scatter per-bucket count blocks into one [m, n_cols] file-order matrix.
+
+    ``blocks`` is a tuple of [rows_i, n_cols] device arrays (rows_i may
+    exceed keep[i] when a bucket was padded); ``dest`` holds the file-order
+    row id of each kept row, concatenated in block order.  One compiled
+    graph per (shape tuple, m, keep) — routed through the AOT store so a
+    fresh process pays zero backend compiles for a seen corpus shape.
+    """
+    trimmed = [b[:n] for b, n in zip(blocks, keep)]
+    cat = trimmed[0] if len(trimmed) == 1 else jnp.concatenate(trimmed, axis=0)
+    out = jnp.zeros((m, cat.shape[1]), dtype=jnp.float32)
+    return out.at[dest].set(cat)
 
 
 class KmerCounter:
@@ -182,64 +220,103 @@ class KmerCounter:
         return encoded
 
     def _raw_counts(self) -> np.ndarray:
-        """Raw counts-per-kb matrix [m, alpha_len**k] float32."""
+        """Raw counts-per-kb matrix [m, alpha_len**k] float32 (host numpy)."""
+        return np.asarray(self._raw_counts_device())
+
+    def _raw_counts_device(self):
+        """Raw counts-per-kb matrix [m, alpha_len**k] float32, device-resident.
+
+        The count matrix is assembled ON DEVICE (per-bucket results
+        concatenated + scattered into file order) so downstream device
+        stages (normalize, Pearson) consume it without a device->host->
+        device round trip — at GENCODE scale the [13k, 4096] matrix is
+        213 MB, a needless double PCIe hop on real hardware and seconds
+        of wall time on a slow link (BASELINE.md round-3 AOT table).
+        """
+        m = len(self.seqs)
+        n_cols = self.alpha_len ** self.k
         if self.alpha_len != 4:
-            return count_kmers_host(self.seqs, self.k, self.alphabet)
+            return jnp.asarray(count_kmers_host(self.seqs, self.k,
+                                                self.alphabet))
+
+        # (dest row ids, device block) pairs covering all m rows
+        parts = []
 
         long_ids = [i for i, s in enumerate(self.seqs)
                     if len(s) > _LONG_SEQ_THRESHOLD]
-        out = np.zeros((len(self.seqs), 4 ** self.k), dtype=np.float32)
-
         if long_ids:
             # chunked (sequence-parallel) counting for very long transcripts
             from seekr_tpu.io.encode import encode_seq
             from seekr_tpu.ops.count import count_kmers_long
 
-            for i in long_ids:
-                out[i] = count_kmers_long(
-                    encode_seq(self.seqs[i], self.alphabet), self.k)
+            rows = np.stack([
+                count_kmers_long(encode_seq(self.seqs[i], self.alphabet),
+                                 self.k)
+                for i in long_ids])
+            parts.append((np.asarray(long_ids, dtype=np.int32),
+                          jnp.asarray(rows), len(long_ids)))
 
         long_set = set(long_ids)
-        short_ids = [i for i in range(len(self.seqs)) if i not in long_set]
-        if not short_ids:
-            return out
+        short_ids = [i for i in range(m) if i not in long_set]
+        if short_ids:
+            encoded = None
+            id_map = None
+            file_path_ok = (self.infasta is not None
+                            and self.seqs is self._file_seqs
+                            and self.seqs == self._file_seqs_snapshot)
+            if file_path_ok:
+                # native C++ parse + multithreaded batch encode when
+                # available; long rows (if any) are excluded but keep
+                # file-order row ids
+                encoded = self._encode_from_file(
+                    include_ids=short_ids if long_ids else None)
+            if encoded is None:
+                encoded = encode_seqs(
+                    [self.seqs[i] for i in short_ids], self.k, self.alphabet,
+                    max_rows_per_bucket=_MAX_ROWS_PER_BUCKET,
+                )
+                id_map = np.asarray(short_ids, dtype=np.int64)
 
-        encoded = None
-        id_map = None
-        file_path_ok = (self.infasta is not None
-                        and self.seqs is self._file_seqs
-                        and self.seqs == self._file_seqs_snapshot)
-        if file_path_ok:
-            # native C++ parse + multithreaded batch encode when available;
-            # long rows (if any) are excluded but keep file-order row ids
-            encoded = self._encode_from_file(
-                include_ids=short_ids if long_ids else None)
-        if encoded is None:
-            encoded = encode_seqs(
-                [self.seqs[i] for i in short_ids], self.k, self.alphabet,
-                max_rows_per_bucket=_MAX_ROWS_PER_BUCKET,
-            )
-            id_map = np.asarray(short_ids, dtype=np.int64)
+            buckets = encoded.buckets
+            if not self.silent:
+                buckets = my_tqdm()(buckets, desc="Kmers", leave=self.leave)
+            for bases, lengths, row_ids in buckets:
+                res = count_kmers_device(bases, lengths, self.k)
+                dest = row_ids if id_map is None else id_map[row_ids]
+                parts.append((np.asarray(dest, dtype=np.int32),
+                              res, len(row_ids)))
 
-        buckets = encoded.buckets
-        if not self.silent:
-            buckets = my_tqdm()(buckets, desc="Kmers", leave=self.leave)
-        for bases, lengths, row_ids in buckets:
-            # flat=False skips the device-side flatten relayout; the host
-            # reshape of the fetched row-major bytes is a free view and
-            # yields the identical [rows, 4^k] matrix (ops.count_graph)
-            res = np.asarray(
-                count_kmers_device(bases, lengths, self.k, flat=False))
-            res = res.reshape(res.shape[0], -1)
-            dest = row_ids if id_map is None else id_map[row_ids]
-            out[dest] = res[: len(row_ids)]
-        return out
+        if not parts:
+            return jnp.zeros((m, n_cols), dtype=jnp.float32)
+        dest = np.concatenate([p[0] for p in parts])
+        keep = tuple(p[2] for p in parts)
+        if len(parts) == 1 and keep[0] == parts[0][1].shape[0] \
+                and np.array_equal(dest, np.arange(m)):
+            return parts[0][1]  # already whole and in file order
+        # one compiled trim+concat+scatter restores file order (buckets
+        # group rows by length); through the AOT store — scattered eager
+        # ops would each pay a fresh remote compile per process
+        from seekr_tpu.utils.aot import aot_call
 
-    def get_counts(self):
-        """Generate the (normalized) count matrix for the fasta file."""
+        return aot_call(_assemble_impl,
+                        (tuple(p[1] for p in parts), jnp.asarray(dest)),
+                        dict(m=m, keep=keep))
+
+    def get_counts_device(self):
+        """Normalized counts as a DEVICE array — no host round trip.
+
+        Same math and warnings as ``get_counts`` (which is this plus one
+        final fetch); for callers that feed the matrix straight into more
+        device work (find_pval, kmer_leiden, the Pearson stage) so the
+        [m, 4^k] matrix never crosses to the host.  ``self.counts`` is
+        not populated — call ``get_counts`` for the host-numpy contract.
+
+        Note: this routes through ``_raw_counts_device``; a subclass
+        overriding only ``_raw_counts`` should override this too.
+        """
         with stage_timer("kmer_counts", items=len(self.seqs or ()),
                          unit="transcripts"):
-            raw = self._raw_counts()
+            raw = self._raw_counts_device()
         counts, mean, std = normalize_counts(
             raw, log2_mode=self.log2, mean=self.mean, std=self.std,
         )
@@ -247,8 +324,7 @@ class KmerCounter:
             self.mean = np.asarray(mean)
         if self.std is True and std is not None:
             self.std = np.asarray(std)
-        self.counts = np.asarray(counts)
-        if self.std is not False and np.isnan(self.counts).any():
+        if self.std is not False and _has_nan(counts):
             print(
                 "\nWARNING: You have `np.nan` values in your counts "
                 "after standardization. This is likely due to "
@@ -258,6 +334,11 @@ class KmerCounter:
                 "precomputed normalization vectors from a larger "
                 "data set (e.g. GENCODE)."
             )
+        return counts
+
+    def get_counts(self):
+        """Generate the (normalized) count matrix for the fasta file."""
+        self.counts = np.asarray(self.get_counts_device())
         return self.counts
 
     # -- persistence --------------------------------------------------------

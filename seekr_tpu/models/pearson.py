@@ -16,16 +16,27 @@ from seekr_tpu.io.stream import STREAM_CELL_THRESHOLD as _BLOCK_THRESHOLD
 
 
 def pearson(counts1, counts2, row_standardize: bool = True, outfile: str | None = None) -> np.ndarray:
-    """Calculates a row-standardized Pearson correlation matrix on device."""
+    """Calculates a row-standardized Pearson correlation matrix on device.
+
+    Accepts host numpy OR device (jax) arrays; device inputs (e.g. from
+    ``KmerCounter.get_counts_device``) are consumed in place — only the
+    [m1, m2] result crosses to the host.
+    """
+    import jax
+
     from seekr_tpu.utils.logging import stage_timer
 
-    c1 = np.asarray(counts1, dtype=np.float32)
-    # np.asarray is a no-copy pass-through, so identical inputs (the
-    # self-similarity case) stay the SAME object and the blocked path's
-    # stream_pearson standardizes once and holds one device copy
-    c2 = c1 if counts2 is counts1 else np.asarray(counts2, dtype=np.float32)
-    with stage_timer("pearson", items=c1.shape[0] * c2.shape[0], unit="cells"):
-        if c1.shape[0] * c2.shape[0] > _BLOCK_THRESHOLD:
+    # device (jax) arrays pass through untouched; anything else (numpy,
+    # pandas DataFrame, list) is materialized as float32 numpy first.
+    # Identity is preserved so the self-similarity case standardizes once
+    # and holds one device copy (stream_pearson checks `is`).
+    same = counts2 is counts1
+    c1 = counts1 if isinstance(counts1, jax.Array) else np.asarray(counts1, dtype=np.float32)
+    c2 = c1 if same else (counts2 if isinstance(counts2, jax.Array)
+                          else np.asarray(counts2, dtype=np.float32))
+    m1, m2 = c1.shape[0], c2.shape[0]
+    with stage_timer("pearson", items=m1 * m2, unit="cells"):
+        if m1 * m2 > _BLOCK_THRESHOLD:
             dist = pearson_blocked(c1, c2, row_standardize=row_standardize)
         else:
             dist = np.asarray(pearson_device(c1, c2, row_standardize=row_standardize))

@@ -120,12 +120,12 @@ def _impl_choice(k: int) -> str:
     The round-2 Pallas kernel (ops.count_pallas, transposed one-hot layout)
     measures 5.5 Gbases/s on v5e vs 2.35 for the XLA scan path (m=8192,
     L=2048, k=6, net of dispatch overhead — see BASELINE.md), so it is the
-    DEFAULT on TPU for the k range it supports.  The XLA path remains the
-    default off-TPU (the kernel would run interpreted) and for k outside
-    [2, 8]: the k=9/10 hi-blocked kernel variant (count_pallas) is
-    correct but not yet certified faster than the XLA scan on hardware,
-    so it is opt-in via SEEKR_TPU_COUNT_IMPL=pallas.  Override with
-    SEEKR_TPU_COUNT_IMPL={pallas,xla}.
+    DEFAULT on TPU for the full k range it supports, [2, 10]: the k=9/10
+    hi-blocked variant measured 3x the XLA scan on v5e at ~96% of the bf16
+    FLOP peak (k=9: 0.359 vs 0.120 Gbases/s at m=512; k=10: 0.091 vs
+    0.032 at m=128; exp/kernel_k9_k10.py, round 3).  The XLA path remains
+    the default off-TPU (the kernel would run interpreted) and for k > 10.
+    Override with SEEKR_TPU_COUNT_IMPL={pallas,xla}.
     """
     forced = os.environ.get("SEEKR_TPU_COUNT_IMPL", "").lower()
     if forced == "xla":
@@ -134,7 +134,7 @@ def _impl_choice(k: int) -> str:
         # the kernel itself only supports 2 <= k <= 10; outside that range
         # honor the spirit of the override as far as possible, not crash
         return "pallas" if 2 <= k <= 10 else "xla"
-    if jax.default_backend() == "tpu" and 2 <= k <= 8:
+    if jax.default_backend() == "tpu" and 2 <= k <= 10:
         return "pallas"
     return "xla"
 

@@ -109,7 +109,9 @@ def _background_counts(inputseq, k_mer=4, log2="Log2.post",
     the reference (seekr/find_dist.py:148-153).
     """
     norm_counter = KmerCounter(inputseq, log2=log2, k=k_mer, silent=True)
-    norm_counter.get_counts()
+    # device path: computes + sets .mean/.std without fetching the
+    # normalized matrix (only the two [4^k] vectors cross to host)
+    norm_counter.get_counts_device()
     mean_path = f"{save_norm_prefix}_mean_{k_mer}mers.npy"
     std_path = f"{save_norm_prefix}_std_{k_mer}mers.npy"
     np.save(mean_path, norm_counter.mean)
@@ -121,8 +123,9 @@ def _background_counts(inputseq, k_mer=4, log2="Log2.post",
     # the norm-vector pass; reproduced faithfully
     counter = KmerCounter(inputseq, mean=mean_path, std=std_path, k=k_mer,
                           silent=True)
-    counter.make_count_file()
-    return counter.counts
+    # stays device-resident: every consumer (similarity_triu's
+    # stream_pearson, pearson_pairs) passes jax arrays through unchanged
+    return counter.get_counts_device()
 
 
 def similarity_triu(counts, mesh=None, block_rows: int = 4096) -> np.ndarray:

@@ -80,9 +80,13 @@ def find_pval(seq1file, seq2file, mean_path, std_path, k_mer, fitres,
                      log2=log2, silent=True)
     t2 = KmerCounter(seq2file, mean=mean_path, std=std_path, k=k_mer,
                      log2=log2, silent=True)
-    t1.make_count_file()
-    t2.make_count_file()
-    sim = pearson(t1.counts, t2.counts)
+    # device-resident counts: the reference calls make_count_file (with no
+    # outfile, so no artifact is written — seekr/kmer_counts.py:243-262);
+    # here the [m, 4^k] matrices stay on device and feed Pearson directly,
+    # so only the [m1, m2] similarity matrix ever crosses to the host
+    c1 = t1.get_counts_device()
+    c2 = t2.get_counts_device()
+    sim = pearson(c1, c2)
 
     # counters already read and parsed both fastas; re-Reader-ing them
     # would re-parse multi-hundred-MB files at background scale

@@ -181,3 +181,17 @@ def test_forced_pallas_dispatch_covers_k9_k10(monkeypatch):
     assert _impl_choice(9) == "pallas"
     assert _impl_choice(10) == "pallas"
     assert _impl_choice(11) == "xla"  # beyond the kernel: still safe
+
+
+def test_tpu_default_dispatch_is_pallas_through_k10(monkeypatch):
+    # round-3 measurement (exp/kernel_k9_k10.py, BASELINE.md): the
+    # hi-blocked kernel beats the XLA scan 3x at k=9/10 on v5e, so the
+    # TPU DEFAULT covers the kernel's whole [2, 10] range
+    import seekr_tpu.ops.count as count_mod
+
+    monkeypatch.delenv("SEEKR_TPU_COUNT_IMPL", raising=False)
+    monkeypatch.setattr(count_mod.jax, "default_backend", lambda: "tpu")
+    for k in range(2, 11):
+        assert count_mod._impl_choice(k) == "pallas", k
+    assert count_mod._impl_choice(11) == "xla"
+    assert count_mod._impl_choice(1) == "xla"
