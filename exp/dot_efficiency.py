@@ -8,11 +8,22 @@ had been measured through the kernel.  This times the isolated dot
 f32 accumulation) for M in {32, 64, 128, 256} at the kernel's chunk
 width, reporting effective TFLOP/s and % of the v5e bf16 peak.
 
-The isolated dot overstates absolute kernel rates (no one-hot build, no
-windowing) — only the RATIO e(64) / e(32) feeds the merge bound:
+Only the RATIO e(64) / e(32) feeds the merge bound:
 net two-row-merge speedup = e(64) / (2 * e(32)).
 
-Run: python exp/dot_efficiency.py [--w 2048] [--iters 200]
+MEASURED (v5e, 2026-08-19): a single isolated dot is dispatch-latency
+bound (~150 us regardless of M — first harness attempt, useless), and
+the batched form below is HBM-bound (each batch element re-reads its
+[W, 128] right operand): M=32 -> 7.35 TFLOP/s, M=64 -> 11.99,
+M=128 -> 21.1, M=256 -> 31.9.  In this regime the merge ratio
+e(64) / (2 * e(32)) = 0.82x — a net LOSS, consistent with the
+BASELINE.md analytical closure.  The kernel's VMEM-resident regime
+cannot be isolated outside the kernel itself; there the bound
+e(64) <= e(128) = 0.90 (measured via the k=7/8 kernels) caps the merge
+at +7% before its doubled one-hot build cost.  Question closed both
+ways: no two-row merge.
+
+Run: python exp/dot_efficiency.py [--w 2048] [--g 512]
 """
 
 from __future__ import annotations
@@ -33,47 +44,47 @@ import jax.numpy as jnp  # noqa: E402
 V5E_BF16_TFLOPS = 197.0
 
 
-@functools.partial(jax.jit, static_argnames=("reps",))
-def _dot_loop(h, l, reps: int):
-    """reps sequential dots (data dependence defeats CSE) summed."""
-    acc = jnp.zeros((h.shape[0], l.shape[1]), jnp.float32)
+@jax.jit
+def _batched_dot(h, l):
+    """[G, M, W] @ [G, W, N] batched dot — G independent M-tall dots.
 
-    def body(i, acc):
-        # fold the carry into the left operand's first element so XLA
-        # cannot hoist the dot out of the loop; the perturbation is
-        # subnormal-free and does not change the dot's cost
-        hh = h.at[0, 0].add(acc[0, 0].astype(jnp.bfloat16) * 0)
-        return acc + jax.lax.dot_general(
-            hh, l, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-
-    return jax.lax.fori_loop(0, reps, body, acc)
+    Mirrors the kernel's work unit (one [M, W] @ [W, 128] dot per row)
+    while amortizing dispatch/loop overhead over the G batch elements —
+    a single isolated dot is latency-bound (~150 us on this backend)
+    and measures nothing about the MXU (first harness attempt).
+    """
+    return jax.lax.dot_general(
+        h, l, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--w", type=int, default=2048)
     ap.add_argument("--n", type=int, default=128)
-    ap.add_argument("--iters", type=int, default=200)
+    ap.add_argument("--g", type=int, default=512, help="dots per dispatch")
+    ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--outer", type=int, default=5)
     args = ap.parse_args()
 
     rng = np.random.default_rng(0)
-    print(f"dot [M, {args.w}] @ [{args.w}, {args.n}] bf16->f32, "
-          f"{args.iters} in-graph reps, best of {args.outer}")
+    print(f"batched dot [G={args.g}, M, {args.w}] @ [G, {args.w}, {args.n}] "
+          f"bf16->f32, {args.iters} queued dispatches, best of {args.outer}")
     for m in (32, 64, 128, 256):
-        h = jnp.asarray(rng.integers(0, 2, (m, args.w)), jnp.bfloat16)
-        l = jnp.asarray(rng.integers(0, 2, (args.w, args.n)), jnp.bfloat16)
-        np.asarray(_dot_loop(h, l, args.iters)[0, :1])  # compile+warm
+        h = jnp.asarray(rng.integers(0, 2, (args.g, m, args.w)), jnp.bfloat16)
+        l = jnp.asarray(rng.integers(0, 2, (args.g, args.w, args.n)),
+                        jnp.bfloat16)
+        np.asarray(_batched_dot(h, l)[0, 0, :1])  # compile+warm
         best = float("inf")
         for _ in range(args.outer):
             t0 = time.perf_counter()
-            out = _dot_loop(h, l, args.iters)
-            np.asarray(out[0, :1])
+            for _ in range(args.iters):
+                out = _batched_dot(h, l)
+            np.asarray(out[0, 0, :1])
             best = min(best, (time.perf_counter() - t0) / args.iters)
-        flops = 2 * m * args.w * args.n
+        flops = 2 * args.g * m * args.w * args.n
         tflops = flops / best / 1e12
-        print(f"  M={m:4d}: {best*1e6:8.1f} us/dot  {tflops:7.2f} TFLOP/s "
+        print(f"  M={m:4d}: {best*1e3:8.2f} ms/batch  {tflops:7.2f} TFLOP/s "
               f"e(M) = {100 * tflops / V5E_BF16_TFLOPS:5.1f}% of bf16 peak")
 
 

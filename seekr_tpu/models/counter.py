@@ -302,7 +302,7 @@ class KmerCounter:
                         (tuple(p[1] for p in parts), jnp.asarray(dest)),
                         dict(m=m, keep=keep))
 
-    def get_counts_device(self):
+    def get_counts_device(self, nan_check: bool = True):
         """Normalized counts as a DEVICE array — no host round trip.
 
         Same math and warnings as ``get_counts`` (which is this plus one
@@ -310,6 +310,10 @@ class KmerCounter:
         device work (find_pval, kmer_leiden, the Pearson stage) so the
         [m, 4^k] matrix never crosses to the host.  ``self.counts`` is
         not populated — call ``get_counts`` for the host-numpy contract.
+
+        ``nan_check=False`` skips the NaN warning probe — the probe is a
+        blocking scalar fetch (a full pipeline sync), which latency-bound
+        repeated callers (the serving query path) cannot afford per call.
 
         Note: this routes through ``_raw_counts_device``; a subclass
         overriding only ``_raw_counts`` should override this too.
@@ -324,7 +328,7 @@ class KmerCounter:
             self.mean = np.asarray(mean)
         if self.std is True and std is not None:
             self.std = np.asarray(std)
-        if self.std is not False and _has_nan(counts):
+        if nan_check and self.std is not False and _has_nan(counts):
             print(
                 "\nWARNING: You have `np.nan` values in your counts "
                 "after standardization. This is likely due to "

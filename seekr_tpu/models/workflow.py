@@ -121,7 +121,9 @@ def run_workflow(seq1file, seq2file=None, background=None, k=6,
 
     with stage_timer("workflow/background"):
         bkg = KmerCounter(background, k=k, log2=log2, silent=True)
-        bkg.get_counts()
+        # device path: only the mean/std vectors are needed on host — the
+        # normalized background matrix itself never crosses
+        bkg.get_counts_device()
         mean = np.asarray(bkg.mean)
         std = np.asarray(bkg.std)
         if is_writer:
@@ -129,11 +131,12 @@ def run_workflow(seq1file, seq2file=None, background=None, k=6,
             np.save(os.path.join(outdir, f"std_{k}mers.npy"), std)
         # null sample: background self-similarity, upper triangle
         # (the second counter keeps default log2 like the reference
-        # find_dist quirk — see stats/find_dist.py)
+        # find_dist quirk — see stats/find_dist.py); counts stay on
+        # device straight into the blocked/sharded Pearson
         bkg_counted = KmerCounter(background, mean=mean, std=std, k=k,
                                   silent=True)
-        bkg_counted.get_counts()
-        sim_bkg = big_pearson(bkg_counted.counts, bkg_counted.counts)
+        bkg_dev = bkg_counted.get_counts_device()
+        sim_bkg = big_pearson(bkg_dev, bkg_dev)
         null_sample = triu_values(sim_bkg)
         if len(null_sample) > subset_size:
             rng = np.random.default_rng(seed)
@@ -143,20 +146,24 @@ def run_workflow(seq1file, seq2file=None, background=None, k=6,
     with stage_timer("workflow/counts"):
         c1 = KmerCounter(seq1file, mean=mean, std=std, k=k, log2=log2,
                          silent=True)
-        c1.get_counts()
+        # Pearson consumes the device copy; the host copy (needed for the
+        # counts CSV artifacts + return dict) is fetched exactly once
+        c1_dev = c1.get_counts_device()
+        c1.counts = np.asarray(c1_dev)
         headers1 = [h[1:] for h in c1.headers]
         if seq2file == seq1file:
-            c2, headers2 = c1, headers1
+            c2, c2_dev, headers2 = c1, c1_dev, headers1
         else:
             c2 = KmerCounter(seq2file, mean=mean, std=std, k=k, log2=log2,
                              silent=True)
-            c2.get_counts()
+            c2_dev = c2.get_counts_device()
+            c2.counts = np.asarray(c2_dev)
             headers2 = [h[1:] for h in c2.headers]
 
     with stage_timer("workflow/pearson", items=len(headers1) * len(headers2),
                      unit="cells"):
-        sim = (pearson(c1.counts, c2.counts) if mesh is None
-               else big_pearson(c1.counts, c2.counts))
+        sim = (pearson(c1_dev, c2_dev) if mesh is None
+               else big_pearson(c1_dev, c2_dev))
 
     with stage_timer("workflow/pvalues"):
         pvals = np.asarray(empirical_pvals(null_sample, sim),

@@ -84,6 +84,39 @@ def pearson_device(counts1, counts2, row_standardize: bool = True) -> jax.Array:
                     dict(row_standardize=row_standardize))
 
 
+def standardize_rows(counts) -> jax.Array:
+    """Row-standardized device copy (the Pearson left/right operand form).
+
+    For repeated-query serving: standardize a fixed target matrix ONCE
+    and score every query batch against it with
+    ``pearson_against_standardized`` — skips the per-call re-standardize
+    HBM pass over the (large) target matrix that ``pearson_device`` pays.
+    """
+    return aot_call(_row_standardize, (jnp.asarray(counts, jnp.float32),))
+
+
+@jax.jit
+def _pearson_vs_std_impl(c1, t_std):
+    c1 = _row_standardize(c1)
+    dist = jax.lax.dot_general(
+        c1, t_std,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=pearson_precision(),
+    )
+    return dist / c1.shape[1]
+
+
+def pearson_against_standardized(counts1, targets_std) -> jax.Array:
+    """[q, n] raw x [t, n] PRE-standardized -> [q, t] Pearson r matrix.
+
+    Bitwise-identical to ``pearson_device(counts1, targets)`` when
+    ``targets_std = standardize_rows(targets)`` — the standardize is the
+    same graph either way, just hoisted out of the per-query path.
+    """
+    return aot_call(_pearson_vs_std_impl, (counts1, targets_std))
+
+
 def pearson_pairs(counts, ii, jj, row_standardize: bool = True,
                   chunk: int = 65536) -> np.ndarray:
     """r-values of selected row pairs, without forming any r-matrix.

@@ -312,3 +312,58 @@ def test_long_plus_short_mixed_file(tmp_path):
         counter_mod._LONG_SEQ_THRESHOLD = orig
     expected = count_kmers_host([long_seq] + shorts, 3)
     np.testing.assert_allclose(c.counts, expected, rtol=1e-5, atol=1e-4)
+
+
+def test_get_counts_device_equals_host_path(example_fa, tmp_path):
+    # the device-resident path (round 3) must be BIT-identical to
+    # get_counts across normalization modes — find_pval/kmer_leiden/
+    # find_dist/serve all consume it now
+    import jax.numpy as jnp
+
+    from seekr_tpu import KmerCounter
+
+    for kwargs in (
+        dict(mean=False, std=False, log2="Log2.none"),
+        dict(mean=True, std=True, log2="Log2.post"),
+        dict(mean=True, std=True, log2="Log2.pre"),
+    ):
+        host = KmerCounter(example_fa, k=2, silent=True, **kwargs)
+        host.get_counts()
+        dev = KmerCounter(example_fa, k=2, silent=True, **kwargs)
+        out = dev.get_counts_device()
+        assert isinstance(out, jnp.ndarray)
+        np.testing.assert_array_equal(np.asarray(out), host.counts)
+        # computed norm vectors land on the counter in both paths
+        if kwargs["mean"] is True:
+            np.testing.assert_array_equal(np.asarray(dev.mean),
+                                          np.asarray(host.mean))
+            np.testing.assert_array_equal(np.asarray(dev.std),
+                                          np.asarray(host.std))
+        # get_counts_device does NOT populate the host .counts contract
+        assert dev.counts is None
+
+
+def test_device_path_mixed_long_short_scatter(tmp_path):
+    # the compiled assemble graph (trim+concat+scatter) must restore file
+    # order when long-seq rows and multiple length buckets interleave
+    from seekr_tpu import KmerCounter
+    from seekr_tpu.models import counter as counter_mod
+    from seekr_tpu.ops.count import count_kmers_host
+
+    rng = np.random.default_rng(7)
+    letters = np.array(list("AGTC"))
+    seqs = []
+    for i, n in enumerate((250, 20, 300, 64, 37, 310, 24)):
+        seqs.append("".join(letters[rng.integers(0, 4, n)]))
+    fa = tmp_path / "mix.fa"
+    fa.write_text("".join(f">s{i}\n{s}\n" for i, s in enumerate(seqs)))
+    orig = counter_mod._LONG_SEQ_THRESHOLD
+    counter_mod._LONG_SEQ_THRESHOLD = 200
+    try:
+        c = KmerCounter(str(fa), k=3, mean=False, std=False,
+                        log2="Log2.none", silent=True)
+        got = np.asarray(c._raw_counts_device())
+    finally:
+        counter_mod._LONG_SEQ_THRESHOLD = orig
+    expected = count_kmers_host(seqs, 3)
+    np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-4)

@@ -51,3 +51,19 @@ def test_outfile(tmp_path):
     out = str(tmp_path / "p.npy")
     r = pearson(a, a, outfile=out)
     assert np.allclose(np.load(out), r)
+
+
+def test_pearson_against_standardized_matches_pearson_device():
+    # serving fast path: standardize-once targets must be bitwise equal
+    # to the per-call pearson_device result
+    import numpy as np
+
+    from seekr_tpu.ops.pearson import (pearson_against_standardized,
+                                       pearson_device, standardize_rows)
+
+    rng = np.random.default_rng(11)
+    q = rng.normal(size=(7, 64)).astype(np.float32)
+    t = rng.normal(size=(23, 64)).astype(np.float32)
+    want = np.asarray(pearson_device(q, t))
+    got = np.asarray(pearson_against_standardized(q, standardize_rows(t)))
+    np.testing.assert_array_equal(got, want)

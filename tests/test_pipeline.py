@@ -74,14 +74,18 @@ def test_counts_flat_contract_and_norm_vectors():
     flat, mean_f, std_f = pipe.counts(bases, lengths)
     three, mean_3, std_3 = pipe.counts(bases, lengths, flat=False)
     assert np.asarray(flat).ndim == 2 and np.asarray(three).ndim == 3
+    # raw counts are bitwise identical across layouts (pinned in
+    # test_count_pallas); the NORMALIZE reductions (column mean/std,
+    # global min) tile differently over [m, 4^k] vs [m, n_hi, n_lo] on
+    # TPU — measured ~1.5e-6 rel at k=3, pure reduction-order float noise
     np.testing.assert_allclose(
         np.asarray(three).reshape(np.asarray(three).shape[0], -1),
-        np.asarray(flat), rtol=1e-6)
+        np.asarray(flat), rtol=1e-5, atol=1e-6)
     # mean/std come back flat [4^k] in BOTH modes
     for v in (mean_f, std_f, mean_3, std_3):
         assert np.asarray(v).shape == (4 ** k,)
     np.testing.assert_allclose(np.asarray(mean_f), np.asarray(mean_3),
-                               rtol=1e-6)
+                               rtol=1e-5, atol=1e-5)
 
 
 def test_forward_with_provided_norm_vectors():

@@ -86,4 +86,7 @@ def test_reference_style_end_to_end(tmp_path):
     c.get_counts()
     sim = np.asarray(pearson(c.counts, c.counts))
     assert sim.shape == (5, 5)
-    np.testing.assert_allclose(np.diag(sim), 1.0, rtol=1e-5)
+    # the package's documented Pearson budget: bf16x3 HIGH-precision GEMM
+    # is within 1.3e-5 of the f64 oracle on TPU (BASELINE.md precision
+    # sweep) — 1e-4 is the parity budget every pearson test asserts at
+    np.testing.assert_allclose(np.diag(sim), 1.0, rtol=1e-4)

@@ -165,3 +165,26 @@ def test_cli_serve_registered():
     flags = {o for a in parser._actions for o in a.option_strings}
     assert {"--socket", "-t", "-fr", "--no-warmup"} <= flags
     assert "seekr_tpu_serve" in cli._entry_commands()
+
+
+def test_query_padding_invisible(artifacts):
+    # batches are padded to a power of two to bound the compiled-shape
+    # space; the dummy rows must never leak into results (non-pow2 Q,
+    # both with targets and in the self-similarity mode)
+    tmp, target_seqs = artifacts
+    rng = np.random.default_rng(5)
+    queries = _seqs(rng, 3)  # pads to 4
+
+    svc = SeekrService(mean=str(tmp / "mean.npy"), std=str(tmp / "std.npy"),
+                       k=K, targets=str(tmp / "targets.fa"))
+    out = svc.query(queries, want=("sim",))
+    assert out["sim"].shape == (3, len(target_seqs))
+    want = _oracle_chain(queries, str(tmp / "targets.fa"),
+                         str(tmp / "mean.npy"), str(tmp / "std.npy"), tmp)
+    np.testing.assert_allclose(out["sim"], want, rtol=1e-4, atol=1e-5)
+
+    svc_self = SeekrService(mean=str(tmp / "mean.npy"),
+                            std=str(tmp / "std.npy"), k=K)
+    out = svc_self.query(queries, want=("sim",))
+    assert out["sim"].shape == (3, 3)
+    np.testing.assert_allclose(np.diag(out["sim"]), 1.0, rtol=1e-4)
