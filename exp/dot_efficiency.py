@@ -29,7 +29,6 @@ Run: python exp/dot_efficiency.py [--w 2048] [--g 512]
 from __future__ import annotations
 
 import argparse
-import functools
 import os
 import sys
 import time

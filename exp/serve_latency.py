@@ -74,8 +74,11 @@ def main():
         lat = np.sort(lat)
         p50 = lat[len(lat) // 2] * 1e3
         p95 = lat[int(len(lat) * 0.95)] * 1e3
+        # q/p50 is SEQUENCES per second (each query carries q of them);
+        # queries/s is 1/p50 — don't conflate the two in reports
         print(f"  Q={q:4d}: p50 {p50:8.1f} ms  p95 {p95:8.1f} ms  "
-              f"({q / lat[len(lat) // 2]:8.0f} queries/s at p50)")
+              f"({1e3 / p50:6.1f} queries/s, "
+              f"{q / lat[len(lat) // 2]:8.0f} seqs/s at p50)")
 
 
 if __name__ == "__main__":

@@ -232,6 +232,28 @@ def count_long_sequence(mesh: Mesh, k: int):
     return jax.jit(mapped)
 
 
+def _mesh_compatible(counts, mesh: Mesh):
+    """Make a count matrix safe to feed jits with out_shardings over mesh.
+
+    A COMMITTED device array whose devices are not exactly the mesh's
+    makes JAX raise "Received incompatible devices for jitted
+    computation" instead of resharding — even when its device IS one of
+    the mesh's (verified: device_put to dev0 + out_shardings over
+    (dev0, dev1) crashes).  Plain jit outputs (everything
+    KmerCounter.get_counts_device returns) are UNcommitted and reshard
+    freely; the fetch below only triggers for explicitly placed arrays
+    (user device_put, or executables loaded from the AOT store, whose
+    outputs carry the compile-time placement).  One [m, n] host crossing
+    in that case — a PCIe pass on real hardware, and only on the mesh
+    path (the single-device path keeps the matrix resident end-to-end).
+    """
+    if (isinstance(counts, jax.Array)
+            and getattr(counts, "committed", False)
+            and set(counts.sharding.device_set) != set(mesh.devices.flat)):
+        return np.asarray(counts)
+    return counts
+
+
 def stream_pearson_sharded(mesh: Mesh, counts, writer, block_rows: int = 4096,
                            counts2=None):
     """All-pairs Pearson of data-sharded count matrices, streamed to host.
@@ -259,6 +281,8 @@ def stream_pearson_sharded(mesh: Mesh, counts, writer, block_rows: int = 4096,
     repl = NamedSharding(mesh, P())
     n_data = mesh.shape[DATA_AXIS]
 
+    counts = _mesh_compatible(counts, mesh)
+    counts2 = None if counts2 is None else _mesh_compatible(counts2, mesh)
     m1 = int(np.shape(counts)[0])
     m2 = m1 if counts2 is None else int(np.shape(counts2)[0])
 

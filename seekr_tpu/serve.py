@@ -71,40 +71,45 @@ class SeekrService:
         self._lock = threading.Lock()
         self.queries_served = 0
 
-        # target counts live ON DEVICE for the process lifetime: a warm
-        # service uploads the background exactly once, and every query's
-        # Pearson consumes it in place (get_counts_device keeps the whole
-        # count+normalize chain device-resident too — only the [Q, T]
-        # similarity matrix ever crosses to the host per query)
-        self.target_counts = None
+        # the STANDARDIZED target matrix lives on device for the process
+        # lifetime: uploaded once, standardized once (every query's
+        # Pearson skips the re-standardize HBM pass — bitwise-identical,
+        # same graph, hoisted), and the raw normalized copy is NOT kept —
+        # at GENCODE scale it would hold 213 MB of HBM purely as a flag.
+        # get_counts_device keeps the whole count+normalize chain
+        # device-resident too, so only the [Q, T] similarity matrix ever
+        # crosses to the host per query.
         self.target_names = None
         self._targets_std = None
         if targets is not None:
+            from seekr_tpu.ops.pearson import standardize_rows
+
             if isinstance(targets, str):
                 counter = KmerCounter(targets, k=self.k, mean=self.mean,
                                       std=self.std, log2=log2, silent=True)
-                self.target_counts = counter.get_counts_device()
+                self._targets_std = standardize_rows(
+                    counter.get_counts_device())
                 self.target_names = [h[1:] for h in counter.headers]
             else:
-                self.target_counts = self._count(list(targets))
+                # nan_check on: this is the one-time load path — a std
+                # vector zero (k-mer absent from the background) would
+                # otherwise poison every future query silently
+                self._targets_std = standardize_rows(
+                    self._count(list(targets), nan_check=True))
                 self.target_names = [f"t{i}" for i in range(len(targets))]
-            # standardize the fixed targets ONCE: every query's Pearson
-            # skips the re-standardize HBM pass over the (large) target
-            # matrix (bitwise-identical result — same graph, hoisted)
-            from seekr_tpu.ops.pearson import standardize_rows
 
-            self._targets_std = standardize_rows(self.target_counts)
+    def _count(self, seqs: Sequence[str], nan_check: bool = False):
+        """Device-resident normalized counts of in-memory sequences.
 
-    def _count(self, seqs: Sequence[str]):
-        """Device-resident normalized counts of in-memory sequences."""
+        ``nan_check`` defaults OFF: the probe is a blocking device sync
+        per call, which the per-query path cannot afford — the one-time
+        target-load path turns it back on.
+        """
         counter = self._counter_cls(None, k=self.k, mean=self.mean,
                                     std=self.std, log2=self.log2,
                                     silent=True)
         counter.seqs = list(seqs)
-        # nan_check=False: the probe is a blocking device sync per call;
-        # with fixed provided norm vectors a NaN warning per query is
-        # noise (the target-load path keeps the check)
-        return counter.get_counts_device(nan_check=False)
+        return counter.get_counts_device(nan_check=nan_check)
 
     @staticmethod
     def _pad_batch(seqs: Sequence[str]):
@@ -151,16 +156,16 @@ class SeekrService:
             for q in sizes:
                 seqs = ["".join(letters[rng.integers(0, 4, size=L)])
                         for _ in range(q)]
-                sim = self._sim(self._count(self._pad_batch(seqs)),
-                                self.target_counts)
+                sim = self._sim(self._count(self._pad_batch(seqs)))
                 np.asarray(sim)
 
-    def _sim(self, qc, tc) -> np.ndarray:
-        """[Q, T] similarity; qc/tc are device arrays, only this crosses."""
+    def _sim(self, qc) -> np.ndarray:
+        """[Q, T] similarity vs the resident standardized targets (or
+        [Q, Q] self-similarity without targets); only this crosses."""
         from seekr_tpu.ops.pearson import (pearson_against_standardized,
                                            pearson_device)
 
-        if tc is None:
+        if self._targets_std is None:
             return np.asarray(pearson_device(qc, qc))
         return np.asarray(pearson_against_standardized(qc, self._targets_std))
 
@@ -201,8 +206,8 @@ class SeekrService:
             # power-of-two padding bounds the compiled-shape space (see
             # _pad_batch); the dummy rows are sliced off right here
             qc = self._count(self._pad_batch(seqs))
-            sim = self._sim(qc, self.target_counts)
-            sim = sim[:q] if self.target_counts is not None else sim[:q, :q]
+            sim = self._sim(qc)
+            sim = sim[:q] if self._targets_std is not None else sim[:q, :q]
             out = {"m": int(sim.shape[0]), "n": int(sim.shape[1])}
             if "sim" in want:
                 out["sim"] = sim

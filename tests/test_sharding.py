@@ -266,3 +266,35 @@ def test_distributed_pipeline_flat_false_kmer_divisibility_error():
     step = distributed_pipeline(mesh, k=2, flat=False)
     with pytest.raises(ValueError, match="n_hi"):
         step(bases, lengths)
+
+
+def test_stream_pearson_sharded_accepts_committed_device_arrays():
+    # a committed single-device array (user device_put, or an output of
+    # an AOT-store-loaded executable carrying its compile-time placement)
+    # must not crash the mesh path with "Received incompatible devices";
+    # _mesh_compatible fetches it to host first (jit outputs are
+    # uncommitted and pass through untouched)
+    import jax
+
+    from seekr_tpu.io.stream import ArrayCollector
+    from seekr_tpu.parallel.dist import stream_pearson_sharded
+    from seekr_tpu.parallel.mesh import make_mesh
+
+    devs = jax.devices()
+    if len(devs) < 2:
+        import pytest
+
+        pytest.skip("needs >=2 devices")
+    mesh = make_mesh(devs[:2])
+    rng = np.random.default_rng(3)
+    c = rng.normal(size=(6, 16)).astype(np.float32)
+    committed = jax.device_put(c, devs[0])
+    assert committed.committed
+
+    w = ArrayCollector()
+    stream_pearson_sharded(mesh, committed, w, block_rows=4)
+    got = w.result()
+    from seekr_tpu.ops.pearson import pearson_device
+
+    want = np.asarray(pearson_device(c, c))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
