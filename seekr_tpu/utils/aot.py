@@ -74,6 +74,35 @@ def _store_dir() -> str | None:
     return _DEFAULT_DIR if jax.default_backend() == "tpu" else None
 
 
+def _host_cpu_tag() -> str:
+    """Identify the host CPU's ISA surface (model + feature flags).
+
+    CPU-backend executables are machine code for THIS host's vector
+    extensions; device_kind is just "cpu", so without this tag a store
+    shared across machines (network home, container image) could load
+    an executable using instructions the current host lacks — and the
+    resulting SIGILL kills the process outright, it is not an exception
+    the probe call can catch.  TPU executables don't need it (device
+    kind pins the target), but the tag is included unconditionally:
+    host-side glue in any executable could in principle specialize too,
+    and a spurious recompile is always safe.
+    """
+    try:
+        import platform
+
+        tag = platform.machine()
+        with open("/proc/cpuinfo") as fh:
+            for line in fh:
+                if line.startswith(("flags", "Features")):
+                    tag += "|" + " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+                if line.startswith("model name"):
+                    tag += "|" + line.split(":", 1)[1].strip()
+        return hashlib.sha256(tag.encode()).hexdigest()[:16]
+    except Exception:
+        return "unknown-host"
+
+
 def _fingerprint() -> str:
     import jax
 
@@ -85,7 +114,7 @@ def _fingerprint() -> str:
         runtime = "?"
     return "|".join([_SCHEMA, jax.__version__, jax.default_backend(),
                      getattr(dev, "device_kind", "?"),
-                     str(jax.device_count()), runtime,
+                     str(jax.device_count()), runtime, _host_cpu_tag(),
                      # XLA flags change codegen without changing the HLO;
                      # jax's own persistent cache keys them for the same
                      # reason

@@ -207,3 +207,16 @@ def test_count_and_pearson_route_through_store(store):
     sim2 = np.asarray(pearson_device(counts2, counts2))
     np.testing.assert_array_equal(counts, counts2)
     np.testing.assert_array_equal(sim, sim2)
+
+
+def test_host_cpu_tag_in_fingerprint(monkeypatch):
+    # a different host ISA must produce different keys: a CPU-backend
+    # executable loaded on a host missing the compile host's vector
+    # extensions SIGILLs (uncatchable), so the fingerprint — not the
+    # probe call — has to be the guard
+    tag = aot._host_cpu_tag()
+    assert tag and tag != "unknown-host"
+    assert tag == aot._host_cpu_tag()  # stable within a host
+    assert tag in aot._fingerprint()
+    monkeypatch.setattr(aot, "_host_cpu_tag", lambda: "other-machine")
+    assert tag not in aot._fingerprint()
