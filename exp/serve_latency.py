@@ -37,6 +37,10 @@ def main():
     ap.add_argument("--batches", type=int, nargs="*", default=[1, 16, 128])
     ap.add_argument("--pvals", action="store_true",
                     help="include the p-value product in the query")
+    ap.add_argument("--topk", type=int, default=0,
+                    help="query want=['topk'] with this size instead of "
+                         "the full sim matrix (device-side selection; "
+                         "only [Q, topk] crosses to the host)")
     args = ap.parse_args()
 
     rng = np.random.default_rng(0)
@@ -52,6 +56,8 @@ def main():
         fitres = fit_distributions(rng.normal(0.0, 0.2, 2000), ["norm"],
                                    statsmethod="ks")[:1]
         want = ("sim", "pvals")
+    if args.topk:
+        want = ("topk", "topk_pvals") if args.pvals else ("topk",)
 
     t0 = time.perf_counter()
     print(f"loading service: {args.targets} targets ...", file=sys.stderr)
@@ -66,10 +72,11 @@ def main():
     for q in args.batches:
         batches = [synth_seqs(q, rng) for _ in range(args.queries)]
         lat = []
-        svc.query(batches[0], want=want)  # batch-shape warm
+        kw = dict(topk=args.topk) if args.topk else {}
+        svc.query(batches[0], want=want, **kw)  # batch-shape warm
         for seqs in batches:
             t0 = time.perf_counter()
-            svc.query(seqs, want=want)
+            svc.query(seqs, want=want, **kw)
             lat.append(time.perf_counter() - t0)
         lat = np.sort(lat)
         p50 = lat[len(lat) // 2] * 1e3

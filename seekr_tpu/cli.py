@@ -404,6 +404,10 @@ start:
 
   request : {"seqs": ["AGTC...", ...], "want": ["sim", "pvals"]}
   response: {"ok": true, "sim": [[...]], "pvals": [[...]], "m":Q, "n":T}
+  top-k   : {"seqs": [...], "want": ["topk"], "topk": 10} returns the
+            10 nearest targets per query (topk_sim / topk_idx /
+            topk_names, + topk_pvals via want=["topk_pvals"]) —
+            selected on device, so the full [Q, T] row never leaves it
   ops     : {"op": "ping"}, {"op": "shutdown"}
 
 Results are identical to the seekr_kmer_counts + seekr_pearson +
@@ -455,6 +459,104 @@ def console_serve(argv=None):
         svc.warmup()
     print(f"seekr_tpu_serve: listening on {args.socket}", flush=True)
     serve_forever(svc, args.socket)
+
+
+QUERY_DOC = """
+Query a running seekr_tpu_serve service (extension command).
+
+The client half of the serving pair: reads query sequences from a
+fasta, sends one request over the service's UNIX socket, and writes the
+results as CSV — no jax, no device, no artifacts needed on the client
+side.  Default output is the full [Q, T] similarity matrix with query
+headers as rows and target headers as columns; --topk N switches to the
+N nearest targets per query as tidy rows (query, rank, target, r) —
+selected on the device, so the full matrix never crosses the wire.
+
+Example:
+  $ seekr_tpu_serve mean.npy std.npy -k 6 -t gencode.fa --socket s.sock &
+  $ seekr_tpu_query queries.fa --socket s.sock -o sim.csv
+  $ seekr_tpu_query queries.fa --socket s.sock --topk 10 --pvals
+  $ seekr_tpu_query queries.fa --socket s.sock --npy /tmp/big  # .npy mode
+"""
+
+
+def console_query(argv=None):
+    parser = argparse.ArgumentParser(usage=QUERY_DOC,
+                                     formatter_class=_formatter())
+    parser.add_argument("query_fasta",
+                        help="fasta file with the query sequences.")
+    parser.add_argument("--socket", default="seekr_tpu.sock",
+                        help="UNIX socket path of the running service.")
+    parser.add_argument("-o", "--outfile", default=None,
+                        help="write the CSV here (default: stdout).")
+    parser.add_argument("--pvals", action="store_true",
+                        help="also request p-values (service must have "
+                             "been started with a fitres).")
+    parser.add_argument("--topk", default=0, type=int,
+                        help="return the N nearest targets per query "
+                             "instead of the full matrix.")
+    parser.add_argument("--npy", default=None,
+                        help="server-side artifact mode: full matrices "
+                             "are written by the SERVICE process as "
+                             "<prefix>_sim.npy / <prefix>_pvals.npy "
+                             "(skips JSON-encoding large results).")
+    parser.add_argument("--timeout", default=600.0, type=float,
+                        help="socket timeout in seconds.")
+    args = _parse_args_or_exit(parser, argv)
+
+    import pandas as pd
+
+    from seekr_tpu.io.fasta import Reader
+    from seekr_tpu.serve import request
+
+    reader = Reader(args.query_fasta)
+    seqs = reader.get_seqs()
+    names = [h[1:] for h in reader.get_headers()]
+
+    if args.topk:
+        want = ["topk", "topk_pvals"] if args.pvals else ["topk"]
+    else:
+        want = ["sim", "pvals"] if args.pvals else ["sim"]
+    payload = {"seqs": seqs, "want": want, "names": not args.topk}
+    if args.topk:
+        payload["topk"] = args.topk
+    if args.npy:
+        payload["outfile"] = args.npy
+    resp = request(args.socket, payload, timeout=args.timeout)
+    if not resp.get("ok"):
+        print(f"seekr_tpu_query: service error: {resp.get('error')}",
+              file=sys.stderr)
+        sys.exit(1)
+
+    if args.topk:
+        # tidy rows: one line per (query, rank) hit
+        targets = resp.get("topk_names") or resp["topk_idx"]
+        rows = []
+        for qi, (trow, rrow) in enumerate(zip(targets, resp["topk_sim"])):
+            for rank, (t, r) in enumerate(zip(trow, rrow)):
+                row = {"query": names[qi], "rank": rank, "target": t,
+                       "r": r}
+                if "topk_pvals" in resp:
+                    row["pval"] = resp["topk_pvals"][qi][rank]
+                rows.append(row)
+        df = pd.DataFrame(rows)
+        print(df.to_csv(args.outfile, index=False), end="")
+        return
+    if args.npy:
+        for key, path in resp.get("files", {}).items():
+            print(f"{key}: {path}")
+        return
+    cols = resp.get("target_names", names)
+    for key in ("sim", "pvals"):
+        if key in resp:
+            df = pd.DataFrame(resp[key], index=names, columns=cols)
+            dest = args.outfile
+            if dest and "pvals" in resp and "sim" in resp:
+                root, ext = os.path.splitext(dest)
+                dest = f"{root}_{key}{ext or '.csv'}"
+            out = df.to_csv(dest)
+            if out is not None:
+                print(out, end="")
 
 
 DOCTOR_DOC = """
@@ -1502,6 +1604,7 @@ def _entry_commands():
         "seekr_canonical_gencode": console_canonical_gencode,
         "seekr_tpu_pipeline": console_pipeline,
         "seekr_tpu_serve": console_serve,
+        "seekr_tpu_query": console_query,
         "seekr_tpu_doctor": console_doctor,
     }
 
@@ -1572,6 +1675,7 @@ COMMANDS = {
     "canonical_gencode": console_canonical_gencode,
     "pipeline": console_pipeline,
     "serve": console_serve,
+    "query": console_query,
     "doctor": console_doctor,
     "help": console_seekr_help,
 }

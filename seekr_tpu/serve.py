@@ -18,6 +18,11 @@ construction — binding a network port is the deployment layer's job):
     request:  {"seqs": ["AGTC..", ...], "want": ["sim", "pvals"]}
     response: {"ok": true, "sim": [[...]], "pvals": [[...]],
                "m": Q, "n": T}
+    top-k mode: {"seqs": [...], "want": ["topk", "topk_pvals"],
+                 "topk": 10} -> {"topk_sim": [[Q x 10]], "topk_idx":
+                 [[...]], "topk_names": [[...]], "topk_pvals": [[...]]}
+    (nearest-target selection runs ON DEVICE via lax.top_k — only the
+    [Q, topk] result crosses to the host, never the [Q, T] matrix)
     artifact mode (large results): add "outfile": "/path/prefix" and the
     matrices are written as <prefix>_sim.npy / <prefix>_pvals.npy with
     the paths returned in "files" instead of inline JSON
@@ -34,6 +39,7 @@ artifacts — pinned by tests/test_serve.py.
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import socket
@@ -44,6 +50,31 @@ from typing import Optional, Sequence
 import numpy as np
 
 _MAX_REQUEST = 256 << 20  # 256 MB of request line is a caller bug
+
+
+def _topk_impl_factory():
+    """Build the jitted device top-k lazily (keeps jax import off the
+    module path — the client-side ``request`` helper must stay usable in
+    processes that never touch a device)."""
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnames=("n", "mask_cols"))
+    def _topk(sim, q, n, mask_cols):
+        if mask_cols:
+            # self-similarity mode: the padded dummy COLUMNS are copies
+            # of a real row (see _pad_batch) and would score as hits —
+            # mask them to -inf so top_k can only pick real targets.
+            # q is a traced scalar: one executable serves every batch
+            # size within a padded shape.
+            cols = jnp.arange(sim.shape[1], dtype=jnp.int32) < q
+            sim = jnp.where(cols[None, :], sim, -jnp.inf)
+        return jax.lax.top_k(sim, n)
+
+    return _topk
+
+
+_TOPK_IMPL = None
 
 
 class SeekrService:
@@ -138,13 +169,15 @@ class SeekrService:
             padded *= 2
         return list(seqs) + [seqs[-1]] * (padded - q)
 
-    def warmup(self, lengths=(512, 2048), max_batch: int = 16) -> None:
+    def warmup(self, lengths=(512, 2048), max_batch: int = 16,
+               topk: int = 10) -> None:
         """Compile (or AOT-load) the bucket executables before traffic.
 
         Covers query batches up to ``max_batch`` at the given sequence
         lengths: batch padding (power-of-two rows) plus length bucketing
-        make this the whole compile space for such traffic.  With a warm
-        AOT store the loop loads executables instead of compiling.
+        make this the whole compile space for such traffic (including
+        the device top-k executable for sizes up to ``topk``).  With a
+        warm AOT store the loop loads executables instead of compiling.
         """
         rng = np.random.default_rng(0)
         letters = np.array(list("AGTC"))
@@ -156,18 +189,52 @@ class SeekrService:
             for q in sizes:
                 seqs = ["".join(letters[rng.integers(0, 4, size=L)])
                         for _ in range(q)]
-                sim = self._sim(self._count(self._pad_batch(seqs)))
-                np.asarray(sim)
+                sim_dev = self._sim_device(self._count(self._pad_batch(seqs)))
+                np.asarray(sim_dev)
+                if topk:
+                    self._topk_device(sim_dev, q, topk)
 
-    def _sim(self, qc) -> np.ndarray:
-        """[Q, T] similarity vs the resident standardized targets (or
-        [Q, Q] self-similarity without targets); only this crosses."""
+    def _sim_device(self, qc):
+        """DEVICE [Q, T] similarity vs the resident standardized targets
+        (or [Q, Q] self-similarity without targets) — nothing crosses."""
         from seekr_tpu.ops.pearson import (pearson_against_standardized,
                                            pearson_device)
 
         if self._targets_std is None:
-            return np.asarray(pearson_device(qc, qc))
-        return np.asarray(pearson_against_standardized(qc, self._targets_std))
+            return pearson_device(qc, qc)
+        return pearson_against_standardized(qc, self._targets_std)
+
+    def _sim(self, qc) -> np.ndarray:
+        return np.asarray(self._sim_device(qc))
+
+    def _topk_device(self, sim_dev, q: int, topk: int):
+        """Top-``topk`` targets per real query row, selected ON DEVICE.
+
+        Only [q, topk] values + indices cross to the host instead of the
+        full [Q, T] matrix — the fetch (and on real hardware the PCIe
+        pass) shrinks by T/topk, which dominates large-batch query
+        latency (BASELINE.md serving table).  top_k runs at the next
+        power of two >= topk (then slices) so the compiled-executable
+        space stays O(log T) across requested sizes; ties break toward
+        the lower index (lax.top_k), deterministically.
+        """
+        from seekr_tpu.utils.aot import aot_call
+
+        global _TOPK_IMPL
+        if _TOPK_IMPL is None:
+            _TOPK_IMPL = _topk_impl_factory()
+        self_sim = self._targets_std is None
+        t_cols = int(sim_dev.shape[1])
+        # in self-similarity mode only the first q columns are real
+        n_req = max(1, min(int(topk), q if self_sim else t_cols))
+        n_run = 1
+        while n_run < n_req:
+            n_run *= 2
+        n_run = min(n_run, t_cols)
+        vals, idx = aot_call(_TOPK_IMPL, (sim_dev, q),
+                             dict(n=n_run, mask_cols=self_sim))
+        return (np.asarray(vals)[:q, :n_req],
+                np.asarray(idx)[:q, :n_req])
 
     def _pvals(self, sim: np.ndarray) -> np.ndarray:
         if self.fitres is None:
@@ -188,31 +255,54 @@ class SeekrService:
             cdf = getattr(spstats, distname)(*params).cdf(sim)
         return (1.0 - cdf).astype(sim.dtype)
 
-    def query(self, seqs: Sequence[str], want: Sequence[str] = ("sim",)):
-        """Score a query batch; returns {"sim": [Q, T], "pvals": [Q, T]}.
+    def query(self, seqs: Sequence[str], want: Sequence[str] = ("sim",),
+              topk: int = 10):
+        """Score a query batch against the resident targets.
 
-        T = preloaded target count (or Q for self-similarity).  Thread-
-        safe: one device computation at a time (queries queue briefly;
-        the device itself is serial anyway).
+        ``want`` items (combine freely):
+          sim         full [Q, T] similarity matrix
+          pvals       full [Q, T] p-value matrix (needs fitres)
+          topk        topk_sim/topk_idx [Q, topk]: the best ``topk``
+                      targets per query, selected on device — the full
+                      matrix never crosses to the host
+          topk_pvals  p-values of the top-k values (implies topk)
+
+        T = preloaded target count (or Q for self-similarity, where
+        top-k draws from the batch's real rows only).  Thread-safe: one
+        device computation at a time (queries queue briefly; the device
+        itself is serial anyway).
         """
-        unknown = set(want) - {"sim", "pvals"}
+        want = set(want)
+        unknown = want - {"sim", "pvals", "topk", "topk_pvals"}
         if unknown:
             raise ValueError(f"unknown want items: {sorted(unknown)} "
-                             "(supported: sim, pvals)")
+                             "(supported: sim, pvals, topk, topk_pvals)")
         if not seqs:
             raise ValueError("empty query batch")
+        if "topk_pvals" in want:
+            want.add("topk")
         with self._lock:
             q = len(seqs)
             # power-of-two padding bounds the compiled-shape space (see
-            # _pad_batch); the dummy rows are sliced off right here
+            # _pad_batch); the dummy rows are sliced off before returning
             qc = self._count(self._pad_batch(seqs))
-            sim = self._sim(qc)
-            sim = sim[:q] if self._targets_std is not None else sim[:q, :q]
-            out = {"m": int(sim.shape[0]), "n": int(sim.shape[1])}
-            if "sim" in want:
-                out["sim"] = sim
-            if "pvals" in want:
-                out["pvals"] = self._pvals(sim)
+            sim_dev = self._sim_device(qc)
+            out = {"m": q, "n": (int(sim_dev.shape[1])
+                                 if self._targets_std is not None else q)}
+            if "topk" in want:
+                vals, idx = self._topk_device(sim_dev, q, topk)
+                out["topk_sim"] = vals
+                out["topk_idx"] = idx
+                if "topk_pvals" in want:
+                    out["topk_pvals"] = self._pvals(vals)
+            if "sim" in want or "pvals" in want:
+                sim = np.asarray(sim_dev)
+                sim = (sim[:q] if self._targets_std is not None
+                       else sim[:q, :q])
+                if "sim" in want:
+                    out["sim"] = sim
+                if "pvals" in want:
+                    out["pvals"] = self._pvals(sim)
             self.queries_served += 1
             return out
 
@@ -251,8 +341,22 @@ class _Handler(socketserver.StreamRequestHandler):
             return {"ok": True, "_shutdown": True}
         if op != "query":
             return {"ok": False, "error": f"unknown op {op!r}"}
-        out = svc.query(req["seqs"], want=tuple(req.get("want", ["sim"])))
+        out = svc.query(req["seqs"], want=tuple(req.get("want", ["sim"])),
+                        topk=int(req.get("topk", 10)))
         resp = {"ok": True, "m": out["m"], "n": out["n"]}
+        if req.get("names") and svc.target_names is not None:
+            # full target-name list on demand (clients labeling full
+            # sim/pvals CSV columns); not in every response — at GENCODE
+            # scale the list is megabytes of JSON
+            resp["target_names"] = svc.target_names
+        # top-k results are small ([Q, topk]) — always inline, with
+        # indices resolved to target names when the service has them
+        for key in ("topk_sim", "topk_idx", "topk_pvals"):
+            if key in out:
+                resp[key] = np.asarray(out[key]).tolist()
+        if "topk_idx" in out and svc.target_names is not None:
+            resp["topk_names"] = [[svc.target_names[j] for j in row]
+                                  for row in out["topk_idx"]]
         outfile = req.get("outfile")
         if outfile:
             # artifact mode: large results go to disk as the standard

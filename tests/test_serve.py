@@ -188,3 +188,139 @@ def test_query_padding_invisible(artifacts):
     out = svc_self.query(queries, want=("sim",))
     assert out["sim"].shape == (3, 3)
     np.testing.assert_allclose(np.diag(out["sim"]), 1.0, rtol=1e-4)
+
+
+def test_topk_matches_full_sim(artifacts):
+    # device top-k must agree with sorting the full sim matrix: same
+    # values, same (distinct-value) indices, pvals of exactly those
+    tmp, target_seqs = artifacts
+    queries = _seqs(np.random.default_rng(7), 3)  # pads to 4
+    svc = SeekrService(str(tmp / "mean.npy"), str(tmp / "std.npy"), k=K,
+                       targets=str(tmp / "targets.fa"),
+                       fitres=[("norm", 0.01, (0.0, 0.25))])
+    out = svc.query(queries, want=("sim", "topk", "topk_pvals"), topk=3)
+    sim = np.asarray(out["sim"])
+    assert out["topk_sim"].shape == (3, 3) == out["topk_idx"].shape
+
+    order = np.argsort(-sim, axis=1, kind="stable")[:, :3]
+    np.testing.assert_allclose(out["topk_sim"],
+                               np.take_along_axis(sim, order, axis=1),
+                               rtol=1e-6, atol=1e-7)
+    # indices comparable only where values are distinct (ties: both
+    # break toward the lower index, but float noise can flip order)
+    np.testing.assert_array_equal(out["topk_idx"], order)
+
+    from scipy import stats as spstats
+
+    want_p = 1.0 - spstats.norm(0.0, 0.25).cdf(out["topk_sim"])
+    np.testing.assert_allclose(out["topk_pvals"],
+                               want_p.astype(np.float32),
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_topk_self_similarity_never_returns_pad_rows(artifacts):
+    # self-sim mode: the padded dummy columns are COPIES of the last
+    # real row, so unmasked top-k would "find" them; every returned
+    # index must be < q, and topk clamps to q
+    tmp, _ = artifacts
+    svc = SeekrService(str(tmp / "mean.npy"), str(tmp / "std.npy"), k=K)
+    queries = _seqs(np.random.default_rng(8), 3)  # pads to 4
+    out = svc.query(queries, want=("topk",), topk=100)
+    assert out["topk_sim"].shape == (3, 3)  # clamped to q real columns
+    assert (np.asarray(out["topk_idx"]) < 3).all()
+    # row's best self-match is itself (r = 1.0)
+    np.testing.assert_array_equal(out["topk_idx"][:, 0], np.arange(3))
+    np.testing.assert_allclose(out["topk_sim"][:, 0], 1.0, rtol=1e-4)
+
+
+def test_topk_clamps_to_target_count(artifacts):
+    tmp, target_seqs = artifacts
+    svc = SeekrService(str(tmp / "mean.npy"), str(tmp / "std.npy"), k=K,
+                       targets=str(tmp / "targets.fa"))
+    out = svc.query(_seqs(np.random.default_rng(9), 2), want=("topk",),
+                    topk=999)
+    assert out["topk_sim"].shape == (2, len(target_seqs))
+    # a full-width top-k is the full row, sorted
+    full = svc.query(_seqs(np.random.default_rng(9), 2), want=("sim",))
+    np.testing.assert_allclose(np.asarray(out["topk_sim"]),
+                               -np.sort(-np.asarray(full["sim"]), axis=1),
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_topk_socket_protocol(artifacts, tmp_path):
+    tmp, _ = artifacts
+    svc = SeekrService(str(tmp / "mean.npy"), str(tmp / "std.npy"), k=K,
+                       targets=str(tmp / "targets.fa"))
+    sock = str(tmp_path / "seekr_topk.sock")
+    ready = threading.Event()
+    t = threading.Thread(target=serve_forever, args=(svc, sock, ready),
+                         daemon=True)
+    t.start()
+    assert ready.wait(30)
+    queries = _seqs(np.random.default_rng(10), 2)
+    resp = request(sock, {"seqs": queries, "want": ["topk"], "topk": 2})
+    assert resp["ok"] and "sim" not in resp
+    assert len(resp["topk_sim"]) == 2 and len(resp["topk_sim"][0]) == 2
+    assert resp["topk_names"] == [[f"t{j}" for j in row]
+                                  for row in resp["topk_idx"]]
+    full = request(sock, {"seqs": queries, "want": ["sim"]})
+    want = -np.sort(-np.asarray(full["sim"]), axis=1)[:, :2]
+    np.testing.assert_allclose(np.asarray(resp["topk_sim"]), want,
+                               rtol=1e-6, atol=1e-7)
+    request(sock, {"op": "shutdown"})
+    t.join(timeout=30)
+
+
+def test_cli_query_client_round_trip(artifacts, tmp_path, capsys):
+    # the client command: fasta in, CSV out, no device needed client-side
+    tmp, target_seqs = artifacts
+    svc = SeekrService(str(tmp / "mean.npy"), str(tmp / "std.npy"), k=K,
+                       targets=str(tmp / "targets.fa"))
+    sock = str(tmp_path / "q.sock")
+    ready = threading.Event()
+    t = threading.Thread(target=serve_forever, args=(svc, sock, ready),
+                         daemon=True)
+    t.start()
+    assert ready.wait(30)
+
+    queries = _seqs(np.random.default_rng(11), 3)
+    qfa = tmp_path / "queries.fa"
+    qfa.write_text("\n".join(f">q{i}\n{s}" for i, s in enumerate(queries))
+                   + "\n")
+    from seekr_tpu import cli
+
+    # full matrix to a csv file, labeled by query/target headers
+    out_csv = tmp_path / "sim.csv"
+    cli.console_query([str(qfa), "--socket", sock, "-o", str(out_csv)])
+    import pandas as pd
+
+    df = pd.read_csv(out_csv, index_col=0)
+    assert list(df.index) == ["q0", "q1", "q2"]
+    assert list(df.columns) == [f"t{i}" for i in range(len(target_seqs))]
+    want = _oracle_chain(queries, tmp / "targets.fa",
+                         np.load(tmp / "mean.npy"), np.load(tmp / "std.npy"),
+                         tmp)
+    np.testing.assert_allclose(df.values, want, rtol=1e-5, atol=1e-6)
+
+    # topk tidy rows to stdout
+    capsys.readouterr()
+    cli.console_query([str(qfa), "--socket", sock, "--topk", "2"])
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert lines[0] == "query,rank,target,r"
+    assert len(lines) == 1 + 3 * 2
+    first = lines[1].split(",")
+    best = int(np.argmax(want[0]))
+    assert first[:3] == ["q0", "0", f"t{best}"]
+    np.testing.assert_allclose(float(first[3]), want[0, best], rtol=1e-5)
+
+    request(sock, {"op": "shutdown"})
+    t.join(timeout=30)
+
+
+def test_cli_query_registered():
+    from seekr_tpu import cli
+
+    parser = cli._collect_parser(cli.console_query)
+    flags = {o for a in parser._actions for o in a.option_strings}
+    assert {"--socket", "--topk", "--pvals", "--npy", "-o"} <= flags
+    assert "seekr_tpu_query" in cli._entry_commands()
