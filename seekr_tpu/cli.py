@@ -444,6 +444,9 @@ def console_serve(argv=None):
                         help="UNIX socket path to listen on.")
     parser.add_argument("--no-warmup", action="store_true",
                         help="skip executable pre-compilation.")
+    parser.add_argument("--no-coalesce", action="store_true",
+                        help="serve each request as its own device batch "
+                             "instead of merging concurrent requests.")
     args = _parse_args_or_exit(parser, argv)
     _enable_xla_cache()
 
@@ -453,7 +456,8 @@ def console_serve(argv=None):
     if args.fitres_file:
         fitres = parse_fitres_csv(args.fitres_file, args.fitres_type)
     svc = SeekrService(args.mean_path, args.std_path, k=int(args.kmer),
-                       log2=args.log2, targets=args.targets, fitres=fitres)
+                       log2=args.log2, targets=args.targets, fitres=fitres,
+                       coalesce=not args.no_coalesce)
     if not args.no_warmup:
         print("seekr_tpu_serve: warming executables...", flush=True)
         svc.warmup()

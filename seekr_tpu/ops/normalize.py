@@ -91,3 +91,54 @@ def normalize_counts(
              compute_mean=compute_mean, compute_std=compute_std),
     )
     return out, (mean_out if use_mean else None), (std_out if use_std else None)
+
+
+@functools.partial(jax.jit, static_argnames=("log2_mode", "n_segments"))
+def _normalize_segmented_impl(counts, mean_arr, std_arr, seg_ids, *,
+                              log2_mode, n_segments):
+    counts = counts.astype(jnp.float32)
+    if log2_mode == LOG2_PRE:
+        counts = accurate_log2(counts + 1.0)
+    counts = counts - mean_arr.astype(jnp.float32)
+    counts = counts / std_arr.astype(jnp.float32)
+    if log2_mode == LOG2_POST:
+        # per-SEGMENT |min| shift: each segment gets exactly the shift
+        # the global-min epilogue would give it alone.  min-of-row-mins
+        # is the same float as one global min (min never rounds), so a
+        # segment's rows are BITWISE what _normalize_impl produces for
+        # that segment as its own matrix — the property the coalescing
+        # service is built on (serve.py).
+        row_min = jnp.min(counts, axis=1)
+        seg_min = jax.ops.segment_min(row_min, seg_ids,
+                                      num_segments=n_segments)
+        counts = counts + jnp.abs(seg_min)[seg_ids][:, None]
+        counts = accurate_log2(counts + 1.0)
+    return counts
+
+
+def normalize_counts_segmented(counts, seg_ids, n_segments: int, *,
+                               log2_mode: str = LOG2_POST, mean, std):
+    """Normalize independent row SEGMENTS of one matrix in one pass.
+
+    For request coalescing (serve.py): several queries' rows are counted
+    and normalized as one device batch, but Log2.post's global-|min|
+    shift must not leak between requests — each segment is shifted by
+    its own min, making every row bitwise-identical to normalizing its
+    request alone.  ``mean``/``std`` must be PROVIDED vectors: computed
+    column statistics over a coalesced batch would mix requests by
+    construction (no segmented analog is offered on purpose — computed
+    stats belong to corpus runs, not serving).
+
+    ``seg_ids`` is a [rows] int array mapping each row to its request;
+    ``n_segments`` is static — pad it (empty segments are harmless) to
+    keep the compiled-shape space bounded.
+    """
+    if mean is True or std is True or mean is False or std is False:
+        raise ValueError("normalize_counts_segmented requires provided "
+                         "mean/std vectors (got computed/skipped)")
+    return aot_call(
+        _normalize_segmented_impl,
+        (jnp.asarray(counts), jnp.asarray(mean), jnp.asarray(std),
+         jnp.asarray(seg_ids, jnp.int32)),
+        dict(log2_mode=log2_mode, n_segments=int(n_segments)),
+    )

@@ -77,16 +77,32 @@ def _topk_impl_factory():
 _TOPK_IMPL = None
 
 
+class _PendingQuery:
+    """One in-flight request in the coalescing queue (see query())."""
+
+    __slots__ = ("seqs", "want", "topk", "done", "result", "error")
+
+    def __init__(self, seqs, want, topk):
+        self.seqs = seqs
+        self.want = want
+        self.topk = topk
+        self.done = threading.Event()
+        self.result = None
+        self.error = None
+
+
 class SeekrService:
     """Preloaded background + warm executables; thread-safe queries."""
 
     def __init__(self, mean, std, k: int = 6, log2: str = "Log2.post",
-                 targets=None, fitres=None):
+                 targets=None, fitres=None, coalesce: bool = True):
         """mean/std: .npy path or [4^k] array (the background norm
         vectors).  targets: fasta path or list of sequences — queries
         are scored against these (default: against the query batch
         itself).  fitres: find_dist output (list of fitted tuples or a
-        raw r-value array) enabling "pvals"."""
+        raw r-value array) enabling "pvals".  coalesce: merge requests
+        that arrive while the device is busy into one device batch
+        (targets mode only; results are bitwise-identical either way)."""
         from seekr_tpu.models.counter import KmerCounter
 
         self.k = int(k)
@@ -100,7 +116,15 @@ class SeekrService:
         self.fitres = fitres
         self._counter_cls = KmerCounter
         self._lock = threading.Lock()
+        self.coalesce = bool(coalesce)
+        # one merged device batch never exceeds this many query rows
+        # (pre-padding): bounds the compiled-shape space and the HBM
+        # high-water mark under heavy fan-in
+        self.max_coalesce_rows = 512
+        self._queue: list = []
+        self._queue_lock = threading.Lock()
         self.queries_served = 0
+        self.device_batches = 0  # device passes actually run (telemetry)
 
         # the STANDARDIZED target matrix lives on device for the process
         # lifetime: uploaded once, standardized once (every query's
@@ -141,6 +165,15 @@ class SeekrService:
                                     silent=True)
         counter.seqs = list(seqs)
         return counter.get_counts_device(nan_check=nan_check)
+
+    def _count_raw(self, seqs: Sequence[str]):
+        """Device-resident RAW counts-per-kb (no normalize epilogue) —
+        the coalesced path applies the segmented epilogue itself."""
+        counter = self._counter_cls(None, k=self.k, mean=self.mean,
+                                    std=self.std, log2=self.log2,
+                                    silent=True)
+        counter.seqs = list(seqs)
+        return counter._raw_counts_device()
 
     @staticmethod
     def _pad_batch(seqs: Sequence[str]):
@@ -281,30 +314,160 @@ class SeekrService:
             raise ValueError("empty query batch")
         if "topk_pvals" in want:
             want.add("topk")
-        with self._lock:
-            q = len(seqs)
-            # power-of-two padding bounds the compiled-shape space (see
-            # _pad_batch); the dummy rows are sliced off before returning
-            qc = self._count(self._pad_batch(seqs))
-            sim_dev = self._sim_device(qc)
-            out = {"m": q, "n": (int(sim_dev.shape[1])
-                                 if self._targets_std is not None else q)}
-            if "topk" in want:
-                vals, idx = self._topk_device(sim_dev, q, topk)
-                out["topk_sim"] = vals
-                out["topk_idx"] = idx
-                if "topk_pvals" in want:
-                    out["topk_pvals"] = self._pvals(vals)
-            if "sim" in want or "pvals" in want:
-                sim = np.asarray(sim_dev)
-                sim = (sim[:q] if self._targets_std is not None
-                       else sim[:q, :q])
-                if "sim" in want:
-                    out["sim"] = sim
-                if "pvals" in want:
-                    out["pvals"] = self._pvals(sim)
-            self.queries_served += 1
+        if want & {"pvals", "topk_pvals"} and self.fitres is None:
+            raise ValueError("service started without fitres: pvals "
+                             "unavailable (pass fitres= / --fitres)")
+        if self._targets_std is None or not self.coalesce:
+            # self-similarity answers depend on the batch itself and
+            # cannot be merged with other requests; serial path
+            with self._lock:
+                out = self._serve_one(list(seqs), want, topk)
+                self.queries_served += 1
+                self.device_batches += 1
             return out
+        # request coalescing (leader/follower): enqueue, then take the
+        # device lock.  Whichever thread gets it first drains EVERYTHING
+        # queued meanwhile — including requests from other connections —
+        # into one device batch; threads arriving to find their answer
+        # already computed just return it.  Requests therefore merge
+        # exactly when the device is the bottleneck, with no added
+        # latency when it is idle (no timer, no background thread).
+        item = _PendingQuery(list(seqs), want, int(topk))
+        with self._queue_lock:
+            self._queue.append(item)
+        with self._lock:
+            # leader loop: drain FIFO batches of up to max_coalesce_rows
+            # (always >= 1 item) until our own request has been served —
+            # an unbounded merge could jump to a padded shape no warmup
+            # ever covered (fresh compile + HBM spike mid-traffic).
+            # Items left queued after our own is done are picked up by
+            # their owner threads, which are next in line for the lock.
+            while not item.done.is_set():
+                with self._queue_lock:
+                    batch, rows = [], 0
+                    while self._queue and (not batch or
+                                           rows + len(self._queue[0].seqs)
+                                           <= self.max_coalesce_rows):
+                        nxt = self._queue.pop(0)
+                        batch.append(nxt)
+                        rows += len(nxt.seqs)
+                self._serve_coalesced(batch)
+        item.done.wait()
+        if item.error is not None:
+            raise item.error
+        return item.result
+
+    def _serve_one(self, seqs, want, topk):
+        """One request through the device, caller holds the lock."""
+        q = len(seqs)
+        # power-of-two padding bounds the compiled-shape space (see
+        # _pad_batch); the dummy rows are sliced off before returning
+        qc = self._count(self._pad_batch(seqs))
+        sim_dev = self._sim_device(qc)
+        out = {"m": q, "n": (int(sim_dev.shape[1])
+                             if self._targets_std is not None else q)}
+        if "topk" in want:
+            vals, idx = self._topk_device(sim_dev, q, topk)
+            out["topk_sim"] = vals
+            out["topk_idx"] = idx
+            if "topk_pvals" in want:
+                out["topk_pvals"] = self._pvals(vals)
+        if "sim" in want or "pvals" in want:
+            sim = np.asarray(sim_dev)
+            sim = (sim[:q] if self._targets_std is not None
+                   else sim[:q, :q])
+            if "sim" in want:
+                out["sim"] = sim
+            if "pvals" in want:
+                out["pvals"] = self._pvals(sim)
+        return out
+
+    def _serve_coalesced(self, batch):
+        """Answer every queued request with ONE device pass.
+
+        All requests' rows are counted together and normalized with the
+        SEGMENTED Log2.post epilogue (ops.normalize), so each request's
+        global-|min| shift sees only its own rows — the one cross-row
+        coupling in the pipeline.  Counting and the shift are bitwise
+        what the serial path computes per request; the Pearson GEMM may
+        retile for the merged row count, so sim can differ from serial
+        at float-reassociation (ulp) level — same math, same precision
+        path (pinned by tests/test_serve.py).
+        """
+        try:
+            if len(batch) == 1:
+                item = batch[0]
+                try:
+                    item.result = self._serve_one(item.seqs, item.want,
+                                                  item.topk)
+                    self.queries_served += 1
+                except Exception as err:  # noqa: BLE001 — boundary
+                    item.error = err
+                self.device_batches += 1
+                return
+            all_seqs, spans = [], []
+            for item in batch:
+                spans.append((len(all_seqs), len(item.seqs)))
+                all_seqs.extend(item.seqs)
+            padded = self._pad_batch(all_seqs)
+            seg_ids = np.empty(len(padded), np.int32)
+            for si, (start, ln) in enumerate(spans):
+                seg_ids[start:start + ln] = si
+            # pad rows are copies of the LAST sequence: same segment as
+            # its owner, where a duplicate row cannot change the min
+            seg_ids[len(all_seqs):] = len(batch) - 1
+            n_segments = 1
+            while n_segments < len(batch):
+                n_segments *= 2
+
+            from seekr_tpu.ops.normalize import normalize_counts_segmented
+            from seekr_tpu.ops.pearson import pearson_against_standardized
+
+            counts = normalize_counts_segmented(
+                self._count_raw(padded), seg_ids, n_segments,
+                log2_mode=self.log2, mean=self.mean, std=self.std)
+            sim_dev = pearson_against_standardized(counts,
+                                                   self._targets_std)
+            t_cols = int(sim_dev.shape[1])
+
+            vals = idx = None
+            topk_items = [it for it in batch if "topk" in it.want]
+            if topk_items:
+                # one device top-k at the largest size any request wants;
+                # smaller requests take a prefix of the sorted row
+                n_max = max(max(1, min(it.topk, t_cols))
+                            for it in topk_items)
+                vals, idx = self._topk_device(sim_dev, len(padded), n_max)
+            sim_np = (np.asarray(sim_dev)
+                      if any(it.want & {"sim", "pvals"} for it in batch)
+                      else None)
+            for item, (start, ln) in zip(batch, spans):
+                try:
+                    out = {"m": ln, "n": t_cols}
+                    if "topk" in item.want:
+                        n_req = max(1, min(item.topk, t_cols))
+                        out["topk_sim"] = vals[start:start + ln, :n_req]
+                        out["topk_idx"] = idx[start:start + ln, :n_req]
+                        if "topk_pvals" in item.want:
+                            out["topk_pvals"] = self._pvals(out["topk_sim"])
+                    if item.want & {"sim", "pvals"}:
+                        s = sim_np[start:start + ln]
+                        if "sim" in item.want:
+                            out["sim"] = s
+                        if "pvals" in item.want:
+                            out["pvals"] = self._pvals(s)
+                    item.result = out
+                    self.queries_served += 1
+                except Exception as err:  # noqa: BLE001 — boundary
+                    item.error = err
+            self.device_batches += 1
+        except Exception as err:  # noqa: BLE001 — device/compile failure
+            for item in batch:
+                if item.result is None and item.error is None:
+                    item.error = err
+        finally:
+            for item in batch:
+                item.done.set()
 
 
 class _Handler(socketserver.StreamRequestHandler):

@@ -367,3 +367,35 @@ def test_device_path_mixed_long_short_scatter(tmp_path):
         counter_mod._LONG_SEQ_THRESHOLD = orig
     expected = count_kmers_host(seqs, 3)
     np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-4)
+
+
+def test_normalize_segmented_bitwise_per_block():
+    # request coalescing (serve.py) rests on this: each segment of one
+    # merged matrix must be BITWISE what the plain epilogue gives that
+    # segment alone — min-of-row-mins is exactly the global min, and
+    # everything else is row-local (all 3 log2 modes)
+    from seekr_tpu.ops.normalize import (normalize_counts,
+                                         normalize_counts_segmented)
+
+    rng = np.random.default_rng(0)
+    m, n = 11, 64
+    counts = rng.uniform(0, 50, (m, n)).astype(np.float32)
+    mean = rng.uniform(0, 2, n)
+    std = rng.uniform(0.5, 2, n)
+    sizes = [3, 1, 5, 2]
+    seg_ids = np.repeat(np.arange(4), sizes)
+    for mode in ("Log2.post", "Log2.pre", "Log2.none"):
+        seg = np.asarray(normalize_counts_segmented(
+            counts, seg_ids, 8, log2_mode=mode, mean=mean, std=std))
+        off = 0
+        for s in sizes:
+            blk, _, _ = normalize_counts(counts[off:off + s],
+                                         log2_mode=mode, mean=mean, std=std)
+            np.testing.assert_array_equal(seg[off:off + s], np.asarray(blk),
+                                          err_msg=f"{mode} block at {off}")
+            off += s
+    # computed/skipped stats are a corpus concern, not a serving one
+    import pytest
+
+    with pytest.raises(ValueError, match="provided"):
+        normalize_counts_segmented(counts, seg_ids, 8, mean=True, std=std)

@@ -324,3 +324,161 @@ def test_cli_query_registered():
     flags = {o for a in parser._actions for o in a.option_strings}
     assert {"--socket", "--topk", "--pvals", "--npy", "-o"} <= flags
     assert "seekr_tpu_query" in cli._entry_commands()
+
+
+def test_coalesced_queries_match_serial(artifacts):
+    # hold the device lock, fire concurrent requests with MIXED wants
+    # (full sim, topk of different sizes, pvals), release: one leader
+    # must answer all of them in ONE device pass, each result matching
+    # the serial (coalesce=False) path
+    tmp, target_seqs = artifacts
+    fitres = [("norm", 0.01, (0.0, 0.25))]
+    svc = SeekrService(str(tmp / "mean.npy"), str(tmp / "std.npy"), k=K,
+                       targets=str(tmp / "targets.fa"), fitres=fitres)
+    ref = SeekrService(str(tmp / "mean.npy"), str(tmp / "std.npy"), k=K,
+                       targets=str(tmp / "targets.fa"), fitres=fitres,
+                       coalesce=False)
+    rng = np.random.default_rng(12)
+    reqs = [
+        (_seqs(rng, 2), ("sim",), 10),
+        (_seqs(rng, 3), ("topk",), 2),
+        (_seqs(rng, 1), ("topk", "topk_pvals"), 4),
+        (_seqs(rng, 4), ("sim", "pvals"), 10),
+    ]
+    results = [None] * len(reqs)
+
+    def run(i):
+        seqs, want, topk = reqs[i]
+        results[i] = svc.query(seqs, want=want, topk=topk)
+
+    svc._lock.acquire()
+    try:
+        threads = [threading.Thread(target=run, args=(i,))
+                   for i in range(len(reqs))]
+        for t in threads:
+            t.start()
+        deadline = 30.0
+        import time
+
+        t0 = time.monotonic()
+        while len(svc._queue) < len(reqs):
+            assert time.monotonic() - t0 < deadline, "requests never queued"
+            time.sleep(0.01)
+    finally:
+        svc._lock.release()
+    for t in threads:
+        t.join(timeout=60)
+        assert not t.is_alive()
+
+    assert svc.device_batches == 1  # ONE pass answered all four
+    assert svc.queries_served == len(reqs)
+    for (seqs, want, topk), got in zip(reqs, results):
+        want_out = ref.query(seqs, want=want, topk=topk)
+        assert got["m"] == want_out["m"] and got["n"] == want_out["n"]
+        for key in ("sim", "pvals", "topk_sim", "topk_pvals"):
+            if key in want_out:
+                # counting + the segmented Log2.post shift are bitwise;
+                # the merged Pearson GEMM may retile (ulp differences)
+                np.testing.assert_allclose(got[key], want_out[key],
+                                           rtol=1e-5, atol=1e-7,
+                                           err_msg=key)
+        if "topk_idx" in want_out:
+            np.testing.assert_array_equal(got["topk_idx"],
+                                          want_out["topk_idx"])
+
+
+def test_coalesced_single_request_is_serial_path(artifacts):
+    # an uncontended service must not pay the coalescing machinery:
+    # one request = one device batch through the serial internals
+    tmp, _ = artifacts
+    svc = SeekrService(str(tmp / "mean.npy"), str(tmp / "std.npy"), k=K,
+                       targets=str(tmp / "targets.fa"))
+    queries = _seqs(np.random.default_rng(13), 3)
+    out = svc.query(queries, want=("sim",))
+    assert svc.device_batches == 1 and svc.queries_served == 1
+    want = _oracle_chain(queries, tmp / "targets.fa",
+                         np.load(tmp / "mean.npy"), np.load(tmp / "std.npy"),
+                         tmp)
+    np.testing.assert_allclose(out["sim"], want, rtol=1e-5, atol=1e-6)
+
+
+def test_coalesced_hammer_consistency(artifacts):
+    # 6 threads x 4 queries each, no orchestration: every response must
+    # equal its serial oracle regardless of how requests merged
+    tmp, _ = artifacts
+    svc = SeekrService(str(tmp / "mean.npy"), str(tmp / "std.npy"), k=K,
+                       targets=str(tmp / "targets.fa"))
+    ref = SeekrService(str(tmp / "mean.npy"), str(tmp / "std.npy"), k=K,
+                       targets=str(tmp / "targets.fa"), coalesce=False)
+    per_thread = 4
+    errs, outs = [], {}
+
+    def run(tid):
+        rng = np.random.default_rng(100 + tid)
+        try:
+            mine = []
+            for _ in range(per_thread):
+                seqs = _seqs(rng, int(rng.integers(1, 4)))
+                mine.append((seqs, svc.query(seqs, want=("topk",), topk=3)))
+            outs[tid] = mine
+        except Exception as err:  # noqa: BLE001
+            errs.append(err)
+
+    threads = [threading.Thread(target=run, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+        assert not t.is_alive()
+    assert not errs
+    assert svc.queries_served == 6 * per_thread
+    for mine in outs.values():
+        for seqs, got in mine:
+            want_out = ref.query(seqs, want=("topk",), topk=3)
+            np.testing.assert_allclose(got["topk_sim"],
+                                       want_out["topk_sim"],
+                                       rtol=1e-5, atol=1e-7)
+            np.testing.assert_array_equal(got["topk_idx"],
+                                          want_out["topk_idx"])
+
+
+def test_coalesce_row_cap_splits_batches(artifacts):
+    # with the cap forced tiny, a burst must split into several device
+    # passes — every leader loops until its own item is done, so no
+    # request can strand behind the cap
+    tmp, _ = artifacts
+    svc = SeekrService(str(tmp / "mean.npy"), str(tmp / "std.npy"), k=K,
+                       targets=str(tmp / "targets.fa"))
+    ref = SeekrService(str(tmp / "mean.npy"), str(tmp / "std.npy"), k=K,
+                       targets=str(tmp / "targets.fa"), coalesce=False)
+    svc.max_coalesce_rows = 3
+    rng = np.random.default_rng(14)
+    reqs = [_seqs(rng, 2) for _ in range(5)]  # 10 rows > 3-row cap
+    results = [None] * len(reqs)
+
+    def run(i):
+        results[i] = svc.query(reqs[i], want=("topk",), topk=2)
+
+    svc._lock.acquire()
+    try:
+        threads = [threading.Thread(target=run, args=(i,))
+                   for i in range(len(reqs))]
+        for t in threads:
+            t.start()
+        import time
+
+        t0 = time.monotonic()
+        while len(svc._queue) < len(reqs):
+            assert time.monotonic() - t0 < 30
+            time.sleep(0.01)
+    finally:
+        svc._lock.release()
+    for t in threads:
+        t.join(timeout=60)
+        assert not t.is_alive()
+    assert svc.device_batches >= 5  # 2-row requests can't pair under cap 3
+    assert svc.queries_served == 5
+    for seqs, got in zip(reqs, results):
+        want_out = ref.query(seqs, want=("topk",), topk=2)
+        np.testing.assert_allclose(got["topk_sim"], want_out["topk_sim"],
+                                   rtol=1e-5, atol=1e-7)
