@@ -226,6 +226,29 @@ class SeekrService:
                 np.asarray(sim_dev)
                 if topk:
                     self._topk_device(sim_dev, q, topk)
+        if self.coalesce and self._targets_std is not None:
+            # the coalesced path's segmented epilogue compiles per
+            # (padded rows, n_segments): cover the (q, segments<=q)
+            # power-of-two grid so the first real merge is warm too
+            from seekr_tpu.ops.normalize import normalize_counts_segmented
+
+            for q in sizes:
+                if q < 2:
+                    continue
+                seqs = ["".join(letters[rng.integers(0, 4, size=lengths[0])])
+                        for _ in range(q)]
+                raw = self._count_raw(self._pad_batch(seqs))
+                segs = 2
+                while segs <= q:
+                    seg_ids = np.minimum(np.arange(len(seqs), dtype=np.int32)
+                                         * segs // len(seqs), segs - 1)
+                    seg_ids = np.concatenate(
+                        [seg_ids, np.full(len(raw) - len(seqs), segs - 1,
+                                          np.int32)])
+                    np.asarray(normalize_counts_segmented(
+                        raw, seg_ids, segs, log2_mode=self.log2,
+                        mean=self.mean, std=self.std)[:1, :1])
+                    segs *= 2
 
     def _sim_device(self, qc):
         """DEVICE [Q, T] similarity vs the resident standardized targets
