@@ -544,7 +544,9 @@ def console_query(argv=None):
                     row["pval"] = resp["topk_pvals"][qi][rank]
                 rows.append(row)
         df = pd.DataFrame(rows)
-        print(df.to_csv(args.outfile, index=False), end="")
+        out = df.to_csv(args.outfile, index=False)
+        if out is not None:  # to_csv(path) returns None; stdout mode only
+            print(out, end="")
         return
     if args.npy:
         for key, path in resp.get("files", {}).items():

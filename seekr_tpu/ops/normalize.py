@@ -133,6 +133,8 @@ def normalize_counts_segmented(counts, seg_ids, n_segments: int, *,
     ``n_segments`` is static — pad it (empty segments are harmless) to
     keep the compiled-shape space bounded.
     """
+    if log2_mode not in (LOG2_PRE, LOG2_POST, LOG2_NONE):
+        raise ValueError("log2 must be one of ['Log2.pre', 'Log2.post', 'Log2.none']")
     if mean is True or std is True or mean is False or std is False:
         raise ValueError("normalize_counts_segmented requires provided "
                          "mean/std vectors (got computed/skipped)")

@@ -119,7 +119,9 @@ class SeekrService:
         self.coalesce = bool(coalesce)
         # one merged device batch never exceeds this many query rows
         # (pre-padding): bounds the compiled-shape space and the HBM
-        # high-water mark under heavy fan-in
+        # high-water mark under heavy fan-in.  warmup() tightens this
+        # to the largest shape it actually compiled, so a warmed
+        # service can never hit a fresh backend compile mid-burst.
         self.max_coalesce_rows = 512
         self._queue: list = []
         self._queue_lock = threading.Lock()
@@ -229,7 +231,13 @@ class SeekrService:
         if self.coalesce and self._targets_std is not None:
             # the coalesced path's segmented epilogue compiles per
             # (padded rows, n_segments): cover the (q, segments<=q)
-            # power-of-two grid so the first real merge is warm too
+            # power-of-two grid so the first real merge is warm too —
+            # and cap merges at the largest shape warmed here, so a
+            # fan-in burst can never force a fresh backend compile
+            # while holding the device lock (raise max_batch to allow
+            # bigger merges)
+            self.max_coalesce_rows = min(self.max_coalesce_rows,
+                                         max(sizes))
             from seekr_tpu.ops.normalize import normalize_counts_segmented
 
             for q in sizes:
@@ -259,9 +267,6 @@ class SeekrService:
         if self._targets_std is None:
             return pearson_device(qc, qc)
         return pearson_against_standardized(qc, self._targets_std)
-
-    def _sim(self, qc) -> np.ndarray:
-        return np.asarray(self._sim_device(qc))
 
     def _topk_device(self, sim_dev, q: int, topk: int):
         """Top-``topk`` targets per real query row, selected ON DEVICE.
@@ -358,24 +363,35 @@ class SeekrService:
         item = _PendingQuery(list(seqs), want, int(topk))
         with self._queue_lock:
             self._queue.append(item)
-        with self._lock:
-            # leader loop: drain FIFO batches of up to max_coalesce_rows
-            # (always >= 1 item) until our own request has been served —
-            # an unbounded merge could jump to a padded shape no warmup
-            # ever covered (fresh compile + HBM spike mid-traffic).
-            # Items left queued after our own is done are picked up by
-            # their owner threads, which are next in line for the lock.
-            while not item.done.is_set():
-                with self._queue_lock:
-                    batch, rows = [], 0
-                    while self._queue and (not batch or
-                                           rows + len(self._queue[0].seqs)
-                                           <= self.max_coalesce_rows):
-                        nxt = self._queue.pop(0)
-                        batch.append(nxt)
-                        rows += len(nxt.seqs)
-                self._serve_coalesced(batch)
-        item.done.wait()
+        # an item is set done only UNDER the device lock, so while we
+        # hold the lock with our item undone, it is provably still
+        # queued.  The timed acquire keeps followers responsive: a
+        # thread whose answer lands while it is contending returns
+        # within the poll interval instead of waiting behind the NEXT
+        # leader's whole device pass (Lock wakeup is not FIFO).
+        while not item.done.is_set():
+            if not self._lock.acquire(timeout=0.01):
+                continue
+            try:
+                # leader loop: drain FIFO batches of up to
+                # max_coalesce_rows (always >= 1 item) until our own
+                # request has been served — an unbounded merge could
+                # jump to a padded shape no warmup ever covered (fresh
+                # compile + HBM spike mid-traffic).  Items left queued
+                # after ours is done are picked up by their owners.
+                while not item.done.is_set():
+                    with self._queue_lock:
+                        batch, rows = [], 0
+                        while self._queue and (
+                                not batch or
+                                rows + len(self._queue[0].seqs)
+                                <= self.max_coalesce_rows):
+                            nxt = self._queue.pop(0)
+                            batch.append(nxt)
+                            rows += len(nxt.seqs)
+                    self._serve_coalesced(batch)
+            finally:
+                self._lock.release()
         if item.error is not None:
             raise item.error
         return item.result
@@ -484,10 +500,20 @@ class SeekrService:
                 except Exception as err:  # noqa: BLE001 — boundary
                     item.error = err
             self.device_batches += 1
-        except Exception as err:  # noqa: BLE001 — device/compile failure
+        except Exception:  # noqa: BLE001 — merged-pass failure
+            # one bad request must not poison its batchmates: replay
+            # each item alone (serial semantics) so only the offender
+            # errors.  Rare path — the device lock is still held.
             for item in batch:
-                if item.result is None and item.error is None:
+                if item.result is not None or item.error is not None:
+                    continue
+                try:
+                    item.result = self._serve_one(item.seqs, item.want,
+                                                  item.topk)
+                    self.queries_served += 1
+                except Exception as err:  # noqa: BLE001 — boundary
                     item.error = err
+                self.device_batches += 1
         finally:
             for item in batch:
                 item.done.set()

@@ -90,7 +90,13 @@ def _host_cpu_tag() -> str:
     try:
         import platform
 
-        tag = platform.machine()
+        tag = platform.machine() or "unknown-arch"
+    except Exception:
+        tag = "unknown-arch"
+    try:
+        # feature flags distinguish ISA levels within an arch (AVX-512
+        # vs not); absent /proc (macOS, Windows) the arch alone still
+        # separates the dangerous cross-ISA case (x86_64 vs arm64)
         with open("/proc/cpuinfo") as fh:
             for line in fh:
                 if line.startswith(("flags", "Features")):
@@ -98,9 +104,9 @@ def _host_cpu_tag() -> str:
                     break
                 if line.startswith("model name"):
                     tag += "|" + line.split(":", 1)[1].strip()
-        return hashlib.sha256(tag.encode()).hexdigest()[:16]
     except Exception:
-        return "unknown-host"
+        pass
+    return hashlib.sha256(tag.encode()).hexdigest()[:16]
 
 
 def _fingerprint() -> str:

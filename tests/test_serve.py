@@ -190,6 +190,19 @@ def test_query_padding_invisible(artifacts):
     np.testing.assert_allclose(np.diag(out["sim"]), 1.0, rtol=1e-4)
 
 
+def _assert_topk_idx_equal(got_idx, want_sim, want_idx, tol=1e-6):
+    """Indices must match wherever values are distinct beyond the
+    cross-path GEMM-retiling noise; near-ties may legally reorder."""
+    got_idx, want_idx = np.asarray(got_idx), np.asarray(want_idx)
+    want_sim = np.asarray(want_sim)
+    mask = np.ones(want_idx.shape, bool)
+    if want_sim.shape[1] > 1:
+        near = np.abs(np.diff(want_sim, axis=1)) <= tol
+        mask[:, :-1] &= ~near
+        mask[:, 1:] &= ~near
+    np.testing.assert_array_equal(got_idx[mask], want_idx[mask])
+
+
 def test_topk_matches_full_sim(artifacts):
     # device top-k must agree with sorting the full sim matrix: same
     # values, same (distinct-value) indices, pvals of exactly those
@@ -383,8 +396,8 @@ def test_coalesced_queries_match_serial(artifacts):
                                            rtol=1e-5, atol=1e-7,
                                            err_msg=key)
         if "topk_idx" in want_out:
-            np.testing.assert_array_equal(got["topk_idx"],
-                                          want_out["topk_idx"])
+            _assert_topk_idx_equal(got["topk_idx"], want_out["topk_sim"],
+                                   want_out["topk_idx"])
 
 
 def test_coalesced_single_request_is_serial_path(artifacts):
@@ -438,8 +451,8 @@ def test_coalesced_hammer_consistency(artifacts):
             np.testing.assert_allclose(got["topk_sim"],
                                        want_out["topk_sim"],
                                        rtol=1e-5, atol=1e-7)
-            np.testing.assert_array_equal(got["topk_idx"],
-                                          want_out["topk_idx"])
+            _assert_topk_idx_equal(got["topk_idx"], want_out["topk_sim"],
+                                   want_out["topk_idx"])
 
 
 def test_coalesce_row_cap_splits_batches(artifacts):
