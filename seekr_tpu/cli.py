@@ -413,6 +413,11 @@ start:
 Results are identical to the seekr_kmer_counts + seekr_pearson +
 seekr_find_pval artifact chain for the same inputs.
 
+With -dp N the standardized target corpus is row-sharded over N mesh
+devices (a corpus too big for one chip's HBM lives as ~T/N rows per
+chip) and top-k runs as a two-stage distributed selection: each device
+ranks its local shard and only the candidate rows cross the ICI.
+
 Example:
   $ seekr_tpu_serve mean.npy std.npy -k 6 -t gencode.fa \\
         -fr fitres.csv --socket /tmp/seekr.sock
@@ -447,17 +452,43 @@ def console_serve(argv=None):
     parser.add_argument("--no-coalesce", action="store_true",
                         help="serve each request as its own device batch "
                              "instead of merging concurrent requests.")
+    parser.add_argument("-dp", "--data_parallel", default=None, type=int,
+                        help="devices on the mesh 'data' axis; >1 shards "
+                             "the standardized target corpus one row "
+                             "block per device and serves top-k as a "
+                             "two-stage distributed selection — corpora "
+                             "too big for one chip's HBM (extension).")
+    parser.add_argument("--coordinator", default=None,
+                        help="host0 address for multi-host bootstrap, e.g. "
+                             "host0:8476 (extension).")
+    parser.add_argument("--num_processes", default=None, type=int,
+                        help="total processes for multi-host bootstrap "
+                             "(extension).")
+    parser.add_argument("--process_id", default=None, type=int,
+                        help="this process's id for multi-host bootstrap "
+                             "(extension).")
     args = _parse_args_or_exit(parser, argv)
     _enable_xla_cache()
 
     from seekr_tpu.serve import SeekrService, serve_forever
 
+    mesh = None
+    if args.data_parallel or (args.num_processes or 0) > 1:
+        from seekr_tpu.parallel.mesh import build_mesh_from_flags
+
+        mesh = build_mesh_from_flags(args.data_parallel,
+                                     coordinator=args.coordinator,
+                                     num_processes=args.num_processes,
+                                     process_id=args.process_id)
+        if mesh is not None and not args.targets:
+            parser.error("-dp requires -t/--targets: the sharded corpus "
+                         "is the thing being distributed")
     fitres = None
     if args.fitres_file:
         fitres = parse_fitres_csv(args.fitres_file, args.fitres_type)
     svc = SeekrService(args.mean_path, args.std_path, k=int(args.kmer),
                        log2=args.log2, targets=args.targets, fitres=fitres,
-                       coalesce=not args.no_coalesce)
+                       coalesce=not args.no_coalesce, mesh=mesh)
     if not args.no_warmup:
         print("seekr_tpu_serve: warming executables...", flush=True)
         svc.warmup()

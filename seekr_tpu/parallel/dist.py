@@ -332,3 +332,95 @@ def shard_long_sequence(digits: np.ndarray, k: int, n_dev: int) -> Tuple[np.ndar
     from seekr_tpu.ops.count import split_long_digits
 
     return split_long_digits(digits, k, n_dev)
+
+
+def make_sharded_scorer(mesh: Mesh, targets_std):
+    """Serving at pod scale: targets row-sharded over EVERY mesh device.
+
+    ``targets_std`` is the [T, n_cols] ROW-STANDARDIZED target matrix
+    (ops.pearson.standardize_rows).  It is zero-padded to a device-count
+    multiple and placed one row shard per device, so a corpus too big
+    for one chip's HBM lives as ~T/D rows per chip.  Returns
+    ``(sim_fn, topk_fn, t_real)``:
+
+      * ``sim_fn(qc) -> [Q, T]`` full similarity (replicated output);
+        queries are row-standardized inside the jit — the same graph as
+        ``ops.pearson.pearson_against_standardized``.
+      * ``topk_fn(qc, n) -> ([Q, n'] values, [Q, n'] GLOBAL indices)``,
+        n' = min(n, T), via the classic two-stage distributed top-k:
+        each device ranks its local shard (shard_map; pad rows masked
+        to -inf via their global row ids) and only [Q, min(n, T/D)]
+        candidates per device cross the ICI — never the [Q, T/D] local
+        similarity row.  A final top_k merges the candidate columns.
+        One shard can contribute at most T/D rows to any global top-n,
+        so the candidate set is always sufficient.
+
+    The reference serves nothing and scales to nothing (SURVEY section 2
+    "Parallelism strategies in the reference: NONE"); this is the
+    serving analog of ``distributed_pipeline``'s corpus math.
+    """
+    from seekr_tpu.ops.pearson import _row_standardize
+
+    n_dev = int(mesh.size)
+    t_real, n_cols = (int(d) for d in np.shape(targets_std))
+    t_loc = -(-t_real // n_dev)
+    padded = np.zeros((t_loc * n_dev, n_cols), np.float32)
+    padded[:t_real] = np.asarray(targets_std, np.float32)
+    axes = tuple(mesh.axis_names)
+    tstd = jax.device_put(padded, NamedSharding(mesh, P(axes, None)))
+
+    def _sim_impl(qc, t):
+        q = _row_standardize(jnp.asarray(qc, jnp.float32))
+        sim = jax.lax.dot_general(
+            q, t, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=pearson_precision(),
+        ) / n_cols
+        return sim[:, :t_real]
+
+    _sim_jit = jax.jit(_sim_impl, out_shardings=NamedSharding(mesh, P()))
+
+    def sim_fn(qc):
+        return _sim_jit(qc, tstd)
+
+    def _build_topk(n_out, n_local):
+        def local(q, t_shard):
+            sim = jax.lax.dot_general(
+                q, t_shard, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=pearson_precision(),
+            ) / n_cols
+            dev = jnp.int32(0)
+            for name in axes:  # row-major over the axis tuple = the
+                dev = dev * mesh.shape[name] + jax.lax.axis_index(name)
+            base = dev * t_loc
+            gid = base + jax.lax.iota(jnp.int32, t_loc)
+            sim = jnp.where((gid < t_real)[None, :], sim, -jnp.inf)
+            vals, idx = jax.lax.top_k(sim, n_local)
+            return vals, jnp.take(gid, idx)
+
+        mapped = jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(P(None, None), P(axes, None)),
+            out_specs=(P(None, axes), P(None, axes)),
+        )
+
+        @jax.jit
+        def topk_impl(qc, t):
+            q = _row_standardize(jnp.asarray(qc, jnp.float32))
+            cand_v, cand_i = mapped(q, t)  # [Q, n_local * n_dev]
+            vals, pos = jax.lax.top_k(cand_v, n_out)
+            return vals, jnp.take_along_axis(cand_i, pos, axis=1)
+
+        return topk_impl
+
+    topk_cache: dict = {}
+
+    def topk_fn(qc, n: int):
+        n_out = max(1, min(int(n), t_real))
+        fn = topk_cache.get(n_out)
+        if fn is None:
+            fn = topk_cache[n_out] = _build_topk(n_out, min(n_out, t_loc))
+        return fn(qc, tstd)
+
+    return sim_fn, topk_fn, t_real

@@ -95,14 +95,19 @@ class SeekrService:
     """Preloaded background + warm executables; thread-safe queries."""
 
     def __init__(self, mean, std, k: int = 6, log2: str = "Log2.post",
-                 targets=None, fitres=None, coalesce: bool = True):
+                 targets=None, fitres=None, coalesce: bool = True,
+                 mesh=None):
         """mean/std: .npy path or [4^k] array (the background norm
         vectors).  targets: fasta path or list of sequences — queries
         are scored against these (default: against the query batch
         itself).  fitres: find_dist output (list of fitted tuples or a
         raw r-value array) enabling "pvals".  coalesce: merge requests
         that arrive while the device is busy into one device batch
-        (targets mode only; results are bitwise-identical either way)."""
+        (targets mode only; results identical either way).  mesh: a
+        jax.sharding.Mesh — the standardized targets are row-sharded
+        over EVERY mesh device (a corpus too big for one chip's HBM
+        lives as ~T/D rows per chip) and top-k runs as a two-stage
+        distributed selection (parallel.dist.make_sharded_scorer)."""
         from seekr_tpu.models.counter import KmerCounter
 
         self.k = int(k)
@@ -138,22 +143,39 @@ class SeekrService:
         # crosses to the host per query.
         self.target_names = None
         self._targets_std = None
+        self._scorer_sim = None
+        self._scorer_topk = None
+        self._has_targets = targets is not None
+        self._n_targets = 0
+        if mesh is not None and targets is None:
+            raise ValueError("mesh serving requires targets: the sharded "
+                             "corpus IS the thing being distributed")
         if targets is not None:
             from seekr_tpu.ops.pearson import standardize_rows
 
             if isinstance(targets, str):
                 counter = KmerCounter(targets, k=self.k, mean=self.mean,
                                       std=self.std, log2=log2, silent=True)
-                self._targets_std = standardize_rows(
-                    counter.get_counts_device())
+                tstd = standardize_rows(counter.get_counts_device())
                 self.target_names = [h[1:] for h in counter.headers]
             else:
                 # nan_check on: this is the one-time load path — a std
                 # vector zero (k-mer absent from the background) would
                 # otherwise poison every future query silently
-                self._targets_std = standardize_rows(
+                tstd = standardize_rows(
                     self._count(list(targets), nan_check=True))
                 self.target_names = [f"t{i}" for i in range(len(targets))]
+            self._n_targets = len(self.target_names)
+            if mesh is not None:
+                from seekr_tpu.parallel.dist import make_sharded_scorer
+
+                # one host crossing at load time: device_put needs the
+                # host buffer to lay the shards out (the resident copy
+                # on the default device is dropped afterwards)
+                self._scorer_sim, self._scorer_topk, _ = \
+                    make_sharded_scorer(mesh, np.asarray(tstd))
+            else:
+                self._targets_std = tstd
 
     def _count(self, seqs: Sequence[str], nan_check: bool = False):
         """Device-resident normalized counts of in-memory sequences.
@@ -224,11 +246,15 @@ class SeekrService:
             for q in sizes:
                 seqs = ["".join(letters[rng.integers(0, 4, size=L)])
                         for _ in range(q)]
-                sim_dev = self._sim_device(self._count(self._pad_batch(seqs)))
+                qc = self._count(self._pad_batch(seqs))
+                sim_dev = self._sim_device(qc)
                 np.asarray(sim_dev)
                 if topk:
-                    self._topk_device(sim_dev, q, topk)
-        if self.coalesce and self._targets_std is not None:
+                    if self._scorer_topk is not None:
+                        self._mesh_topk(qc, q, topk)
+                    else:
+                        self._topk_device(sim_dev, q, topk)
+        if self.coalesce and self._has_targets:
             # the coalesced path's segmented epilogue compiles per
             # (padded rows, n_segments): cover the (q, segments<=q)
             # power-of-two grid so the first real merge is warm too —
@@ -264,9 +290,25 @@ class SeekrService:
         from seekr_tpu.ops.pearson import (pearson_against_standardized,
                                            pearson_device)
 
-        if self._targets_std is None:
+        if not self._has_targets:
             return pearson_device(qc, qc)
+        if self._scorer_sim is not None:  # mesh-sharded corpus
+            return self._scorer_sim(qc)
         return pearson_against_standardized(qc, self._targets_std)
+
+    def _mesh_topk(self, qc, q: int, topk: int):
+        """Two-stage distributed top-k over the mesh-sharded corpus —
+        straight from the normalized counts; the full [Q, T] row never
+        exists on any single device.  Same power-of-two executable
+        bounding and slicing contract as _topk_device."""
+        n_req = max(1, min(int(topk), self._n_targets))
+        n_run = 1
+        while n_run < n_req:
+            n_run *= 2
+        n_run = min(n_run, self._n_targets)
+        vals, idx = self._scorer_topk(qc, n_run)
+        return (np.asarray(vals)[:q, :n_req],
+                np.asarray(idx)[:q, :n_req])
 
     def _topk_device(self, sim_dev, q: int, topk: int):
         """Top-``topk`` targets per real query row, selected ON DEVICE.
@@ -284,7 +326,7 @@ class SeekrService:
         global _TOPK_IMPL
         if _TOPK_IMPL is None:
             _TOPK_IMPL = _topk_impl_factory()
-        self_sim = self._targets_std is None
+        self_sim = not self._has_targets
         t_cols = int(sim_dev.shape[1])
         # in self-similarity mode only the first q columns are real
         n_req = max(1, min(int(topk), q if self_sim else t_cols))
@@ -345,7 +387,7 @@ class SeekrService:
         if want & {"pvals", "topk_pvals"} and self.fitres is None:
             raise ValueError("service started without fitres: pvals "
                              "unavailable (pass fitres= / --fitres)")
-        if self._targets_std is None or not self.coalesce:
+        if not self._has_targets or not self.coalesce:
             # self-similarity answers depend on the batch itself and
             # cannot be merged with other requests; serial path
             with self._lock:
@@ -402,19 +444,26 @@ class SeekrService:
         # power-of-two padding bounds the compiled-shape space (see
         # _pad_batch); the dummy rows are sliced off before returning
         qc = self._count(self._pad_batch(seqs))
-        sim_dev = self._sim_device(qc)
-        out = {"m": q, "n": (int(sim_dev.shape[1])
-                             if self._targets_std is not None else q)}
+        out = {"m": q, "n": self._n_targets if self._has_targets else q}
+        # the full [Q, T] matrix is needed for sim/pvals, and for top-k
+        # only on the single-device path (the mesh scorer selects
+        # straight from the counts, shard by shard)
+        sim_dev = None
+        if (want & {"sim", "pvals"}
+                or ("topk" in want and self._scorer_topk is None)):
+            sim_dev = self._sim_device(qc)
         if "topk" in want:
-            vals, idx = self._topk_device(sim_dev, q, topk)
+            if self._scorer_topk is not None:
+                vals, idx = self._mesh_topk(qc, q, topk)
+            else:
+                vals, idx = self._topk_device(sim_dev, q, topk)
             out["topk_sim"] = vals
             out["topk_idx"] = idx
             if "topk_pvals" in want:
                 out["topk_pvals"] = self._pvals(vals)
         if "sim" in want or "pvals" in want:
             sim = np.asarray(sim_dev)
-            sim = (sim[:q] if self._targets_std is not None
-                   else sim[:q, :q])
+            sim = sim[:q] if self._has_targets else sim[:q, :q]
             if "sim" in want:
                 out["sim"] = sim
             if "pvals" in want:
@@ -460,26 +509,29 @@ class SeekrService:
                 n_segments *= 2
 
             from seekr_tpu.ops.normalize import normalize_counts_segmented
-            from seekr_tpu.ops.pearson import pearson_against_standardized
 
             counts = normalize_counts_segmented(
                 self._count_raw(padded), seg_ids, n_segments,
                 log2_mode=self.log2, mean=self.mean, std=self.std)
-            sim_dev = pearson_against_standardized(counts,
-                                                   self._targets_std)
-            t_cols = int(sim_dev.shape[1])
+            t_cols = self._n_targets
 
-            vals = idx = None
             topk_items = [it for it in batch if "topk" in it.want]
+            need_full = any(it.want & {"sim", "pvals"} for it in batch)
+            sim_dev = None
+            if need_full or (topk_items and self._scorer_topk is None):
+                sim_dev = self._sim_device(counts)
+            vals = idx = None
             if topk_items:
                 # one device top-k at the largest size any request wants;
                 # smaller requests take a prefix of the sorted row
                 n_max = max(max(1, min(it.topk, t_cols))
                             for it in topk_items)
-                vals, idx = self._topk_device(sim_dev, len(padded), n_max)
-            sim_np = (np.asarray(sim_dev)
-                      if any(it.want & {"sim", "pvals"} for it in batch)
-                      else None)
+                if self._scorer_topk is not None:
+                    vals, idx = self._mesh_topk(counts, len(padded), n_max)
+                else:
+                    vals, idx = self._topk_device(sim_dev, len(padded),
+                                                  n_max)
+            sim_np = np.asarray(sim_dev) if need_full else None
             for item, (start, ln) in zip(batch, spans):
                 try:
                     out = {"m": ln, "n": t_cols}

@@ -495,3 +495,100 @@ def test_coalesce_row_cap_splits_batches(artifacts):
         want_out = ref.query(seqs, want=("topk",), topk=2)
         np.testing.assert_allclose(got["topk_sim"], want_out["topk_sim"],
                                    rtol=1e-5, atol=1e-7)
+
+
+def _mesh():
+    import jax
+
+    from seekr_tpu.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs a multi-device mesh")
+    return make_mesh()
+
+
+def test_mesh_service_matches_single_device(artifacts):
+    """mesh= serving: corpus row-sharded over every device, top-k as a
+    two-stage distributed selection — answers identical to the
+    single-device service (parallel.dist.make_sharded_scorer)."""
+    tmp, _ = artifacts
+    svc_m = SeekrService(str(tmp / "mean.npy"), str(tmp / "std.npy"), k=K,
+                         targets=str(tmp / "targets.fa"),
+                         fitres=[("norm", 0.01, (0.0, 0.25))], mesh=_mesh())
+    svc_s = SeekrService(str(tmp / "mean.npy"), str(tmp / "std.npy"), k=K,
+                         targets=str(tmp / "targets.fa"),
+                         fitres=[("norm", 0.01, (0.0, 0.25))])
+    queries = _seqs(np.random.default_rng(21), 4)
+    om = svc_m.query(queries, want=("sim", "topk", "topk_pvals"), topk=3)
+    ow = svc_s.query(queries, want=("sim", "topk", "topk_pvals"), topk=3)
+    np.testing.assert_allclose(om["sim"], ow["sim"], rtol=1e-5, atol=1e-6)
+    assert np.array_equal(om["topk_idx"], ow["topk_idx"])
+    np.testing.assert_allclose(om["topk_sim"], ow["topk_sim"],
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(om["topk_pvals"], ow["topk_pvals"],
+                               rtol=1e-5, atol=1e-6)
+    assert svc_m.target_names == svc_s.target_names
+    # warmup covers the mesh executables (sharded sim + distributed
+    # top-k) without touching the single-device top-k path
+    svc_m.warmup(lengths=(64,), max_batch=2, topk=2)
+
+
+def test_mesh_service_requires_targets(artifacts):
+    tmp, _ = artifacts
+    with pytest.raises(ValueError, match="mesh serving requires targets"):
+        SeekrService(str(tmp / "mean.npy"), str(tmp / "std.npy"), k=K,
+                     mesh=_mesh())
+
+
+def test_mesh_coalesced_matches_serial(artifacts):
+    """Requests coalesced into one device batch on the MESH service give
+    the same answers as the serial single-device path."""
+    tmp, _ = artifacts
+    svc_m = SeekrService(str(tmp / "mean.npy"), str(tmp / "std.npy"), k=K,
+                         targets=str(tmp / "targets.fa"), mesh=_mesh())
+    svc_s = SeekrService(str(tmp / "mean.npy"), str(tmp / "std.npy"), k=K,
+                         targets=str(tmp / "targets.fa"), coalesce=False)
+    rng = np.random.default_rng(22)
+    reqs = [_seqs(rng, 2) for _ in range(6)]
+    results = [None] * len(reqs)
+
+    def run(i):
+        results[i] = svc_m.query(reqs[i], want=("topk", "sim"), topk=2)
+
+    # hold the device lock so every request queues, then release: one
+    # leader drains the whole burst in merged device passes
+    svc_m._lock.acquire()
+    try:
+        threads = [threading.Thread(target=run, args=(i,))
+                   for i in range(len(reqs))]
+        for t in threads:
+            t.start()
+        import time
+
+        t0 = time.monotonic()
+        while len(svc_m._queue) < len(reqs):
+            assert time.monotonic() - t0 < 30
+            time.sleep(0.01)
+    finally:
+        svc_m._lock.release()
+    for t in threads:
+        t.join(timeout=120)
+        assert not t.is_alive()
+    assert svc_m.device_batches < len(reqs)  # something actually merged
+    for seqs, got in zip(reqs, results):
+        want_out = svc_s.query(seqs, want=("topk", "sim"), topk=2)
+        np.testing.assert_allclose(got["sim"], want_out["sim"],
+                                   rtol=1e-5, atol=1e-6)
+        assert np.array_equal(got["topk_idx"], want_out["topk_idx"])
+        np.testing.assert_allclose(got["topk_sim"], want_out["topk_sim"],
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_cli_serve_dp_requires_targets(artifacts, capsys):
+    tmp, _ = artifacts
+    from seekr_tpu.cli import console_serve
+
+    with pytest.raises(SystemExit):
+        console_serve([str(tmp / "mean.npy"), str(tmp / "std.npy"),
+                       "-k", str(K), "-dp", "2"])
+    assert "requires -t/--targets" in capsys.readouterr().err

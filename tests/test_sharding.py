@@ -298,3 +298,35 @@ def test_stream_pearson_sharded_accepts_committed_device_arrays():
 
     want = np.asarray(pearson_device(c, c))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_scorer_matches_oracle():
+    """make_sharded_scorer: row-sharded corpus sim + two-stage top-k vs
+    the single-device pearson oracle (serving analog of the pipeline)."""
+    from seekr_tpu.ops.pearson import (pearson_against_standardized,
+                                       standardize_rows)
+    from seekr_tpu.parallel.dist import make_sharded_scorer
+
+    rng = np.random.default_rng(7)
+    n_t, n_cols, n_q = 13, 64, 5  # 13 rows: non-divisible over 8 devices
+    targets = rng.normal(size=(n_t, n_cols)).astype(np.float32)
+    qc = rng.normal(size=(n_q, n_cols)).astype(np.float32)
+    tstd = np.asarray(standardize_rows(targets))
+
+    sim_fn, topk_fn, t_real = make_sharded_scorer(make_mesh(), tstd)
+    assert t_real == n_t
+    oracle = np.asarray(pearson_against_standardized(qc, tstd))
+    np.testing.assert_allclose(np.asarray(sim_fn(qc)), oracle,
+                               rtol=1e-5, atol=1e-6)
+
+    # the two-stage selection (per-shard top-k, candidates over ICI,
+    # final merge) must return GLOBAL indices and exact values
+    vals, idx = (np.asarray(a) for a in topk_fn(qc, 4))
+    assert np.array_equal(idx, np.argsort(-oracle, axis=1)[:, :4])
+    np.testing.assert_allclose(vals, np.take_along_axis(oracle, idx, 1),
+                               rtol=1e-5, atol=1e-6)
+
+    # n > T clamps to T, and the pad rows (13 -> 16) can never surface
+    vals_all, idx_all = (np.asarray(a) for a in topk_fn(qc, 100))
+    assert vals_all.shape == (n_q, n_t)
+    assert idx_all.max() < n_t and np.isfinite(vals_all).all()

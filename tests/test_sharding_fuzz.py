@@ -208,3 +208,41 @@ def test_fuzz_long_sequence_halo(seed):
         chunks, np.float32(n_windows)))
     expected = count_kmers_host([seq], k)[0]
     np.testing.assert_allclose(row, expected, rtol=1e-4, atol=1e-3)
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_fuzz_sharded_scorer(seed):
+    """Random mesh shapes x corpus sizes (incl. T < devices and
+    non-divisible T) x top-k sizes: the row-sharded serving scorer's
+    sim and two-stage distributed top-k must match the single-device
+    oracle, with GLOBAL indices and no pad-row leakage."""
+    from seekr_tpu.ops.pearson import (pearson_against_standardized,
+                                       standardize_rows)
+    from seekr_tpu.parallel.dist import make_sharded_scorer
+
+    rng = np.random.default_rng(4000 + seed)
+    n_dev, kp = MESH_SHAPES[rng.integers(len(MESH_SHAPES))]
+    mesh = _mesh(n_dev, kp)
+    n_t = int(rng.integers(1, 41))          # can undershoot the mesh size
+    n_cols = int(rng.choice([16, 64]))
+    n_q = int(rng.integers(1, 9))
+    targets = rng.normal(size=(n_t, n_cols)).astype(np.float32)
+    qc = rng.normal(size=(n_q, n_cols)).astype(np.float32)
+    tstd = np.asarray(standardize_rows(targets))
+
+    sim_fn, topk_fn, t_real = make_sharded_scorer(mesh, tstd)
+    assert t_real == n_t
+    oracle = np.asarray(pearson_against_standardized(qc, tstd))
+    np.testing.assert_allclose(np.asarray(sim_fn(qc)), oracle,
+                               rtol=1e-4, atol=1e-5)
+
+    n = int(rng.integers(1, n_t + 3))       # sometimes over-asks
+    vals, idx = (np.asarray(a) for a in topk_fn(qc, n))
+    n_eff = min(n, n_t)
+    assert vals.shape == (n_q, n_eff)
+    assert idx.min() >= 0 and idx.max() < n_t and np.isfinite(vals).all()
+    np.testing.assert_allclose(vals, np.take_along_axis(oracle, idx, 1),
+                               rtol=1e-4, atol=1e-5)
+    # value-sorted agreement (indices may tie-swap only at equal values)
+    want = -np.sort(-oracle, axis=1)[:, :n_eff]
+    np.testing.assert_allclose(vals, want, rtol=1e-4, atol=1e-5)
