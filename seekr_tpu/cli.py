@@ -408,7 +408,10 @@ start:
             10 nearest targets per query (topk_sim / topk_idx /
             topk_names, + topk_pvals via want=["topk_pvals"]) —
             selected on device, so the full [Q, T] row never leaves it
-  ops     : {"op": "ping"}, {"op": "shutdown"}
+  ops     : {"op": "ping"} (health + latency percentiles),
+            {"op": "add_targets", "seqs"/"fasta": ...} (grow the
+            resident corpus without a restart; append-only),
+            {"op": "shutdown"}
 
 Results are identical to the seekr_kmer_counts + seekr_pearson +
 seekr_find_pval artifact chain for the same inputs.

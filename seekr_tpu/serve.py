@@ -28,7 +28,14 @@ construction — binding a network port is the deployment layer's job):
     the paths returned in "files" instead of inline JSON
     errors:   {"ok": false, "error": "..."}
     ops:      {"op": "ping"} -> {"ok": true, "k": .., "targets": ..,
-                                 "queries_served": ..}
+                                 "queries_served": .., "device_batches":
+                                 .., "latency": {count/p50/p95/p99/max
+                                 of the last <=1024 requests, ms}}
+              {"op": "add_targets", "seqs": [...], "names": [...]} or
+              {"op": "add_targets", "fasta": "/path.fa"} -> {"ok": true,
+                "n": new_total, "added": N} — append targets to the
+                resident corpus without a restart (append-only;
+                existing indices never change)
               {"op": "shutdown"} -> {"ok": true} (server exits)
 
 Counting/normalize/Pearson run the same device path as the CLI
@@ -39,12 +46,14 @@ artifacts — pinned by tests/test_serve.py.
 
 from __future__ import annotations
 
+import collections
 import functools
 import json
 import os
 import socket
 import socketserver
 import threading
+import time
 from typing import Optional, Sequence
 
 import numpy as np
@@ -132,6 +141,11 @@ class SeekrService:
         self._queue_lock = threading.Lock()
         self.queries_served = 0
         self.device_batches = 0  # device passes actually run (telemetry)
+        # client-observed per-request latency (enqueue -> answer, i.e.
+        # including any coalescing wait), last 1024 requests — enough
+        # for stable p99 at a bounded, constant memory cost
+        self._latencies = collections.deque(maxlen=1024)
+        self._lat_lock = threading.Lock()
 
         # the STANDARDIZED target matrix lives on device for the process
         # lifetime: uploaded once, standardized once (every query's
@@ -170,11 +184,16 @@ class SeekrService:
                 from seekr_tpu.parallel.dist import make_sharded_scorer
 
                 # one host crossing at load time: device_put needs the
-                # host buffer to lay the shards out (the resident copy
-                # on the default device is dropped afterwards)
+                # host buffer to lay the shards out.  The host copy is
+                # KEPT as the re-shard shadow for add_targets (213 MB
+                # at GENCODE k=6 — host RAM, not HBM); the resident
+                # copy on the default device is dropped.
+                self._mesh = mesh
+                self._tstd_host = np.asarray(tstd)
                 self._scorer_sim, self._scorer_topk, _ = \
-                    make_sharded_scorer(mesh, np.asarray(tstd))
+                    make_sharded_scorer(mesh, self._tstd_host)
             else:
+                self._mesh = None
                 self._targets_std = tstd
 
     def _count(self, seqs: Sequence[str], nan_check: bool = False):
@@ -284,6 +303,78 @@ class SeekrService:
                         mean=self.mean, std=self.std)[:1, :1])
                     segs *= 2
 
+    def add_targets(self, seqs=None, names=None, fasta=None) -> int:
+        """Append targets to the resident corpus without a restart.
+
+        Exactly one of ``seqs`` (list of sequences, optional ``names``)
+        or ``fasta`` (path; headers become names).  New rows are
+        counted and standardized with the SAME background norm vectors
+        as the originals, then appended to the device-resident
+        standardized matrix (single-device) or re-sharded over the mesh
+        from the host shadow copy.  The swap happens under the device
+        lock, so it is atomic w.r.t. queries: existing target indices
+        never change (append-only by design — removing rows would
+        renumber indices clients may have stored; restart to shrink),
+        and requests queued when the update lands are answered against
+        the grown corpus.  The next query per batch shape pays one
+        recompile for the new corpus width.  Returns the new total.
+
+        Normalization is BATCH-LOCAL under Log2.post (the global-|min|
+        shift sees only the rows counted together — reference
+        kmer_counts.py:207-209), so added rows score exactly as if the
+        new fasta had been counted by its own seekr_kmer_counts run and
+        the artifacts concatenated; already-resident rows are never
+        renormalized, which is what keeps their scores and indices
+        stable across updates.  A fresh service loading everything in
+        one batch would shift all rows by the COMBINED min instead —
+        equally faithful, different chain (pinned by tests).
+        """
+        if not self._has_targets:
+            raise ValueError("service started without targets: "
+                             "self-similarity mode has no corpus to grow")
+        if (seqs is None) == (fasta is None):
+            raise ValueError("add_targets takes exactly one of "
+                             "seqs / fasta")
+        from seekr_tpu.ops.pearson import standardize_rows
+
+        # count + standardize OUTSIDE the lock: the device serializes
+        # execution anyway, but in-flight queries keep being answered
+        # while the new rows are prepared
+        if fasta is not None:
+            counter = self._counter_cls(fasta, k=self.k, mean=self.mean,
+                                        std=self.std, log2=self.log2,
+                                        silent=True)
+            new_std = standardize_rows(
+                counter.get_counts_device(nan_check=True))
+            new_names = [h[1:] for h in counter.headers]
+        else:
+            seqs = list(seqs)
+            if not seqs:
+                raise ValueError("empty target batch")
+            if names is not None and len(names) != len(seqs):
+                raise ValueError(f"{len(names)} names for "
+                                 f"{len(seqs)} sequences")
+            new_std = standardize_rows(self._count(seqs, nan_check=True))
+            new_names = (list(names) if names is not None else
+                         [f"t{i}" for i in range(self._n_targets,
+                                                 self._n_targets + len(seqs))])
+        with self._lock:
+            if self._scorer_sim is not None:  # mesh: re-shard the shadow
+                from seekr_tpu.parallel.dist import make_sharded_scorer
+
+                self._tstd_host = np.concatenate(
+                    [self._tstd_host, np.asarray(new_std)], axis=0)
+                self._scorer_sim, self._scorer_topk, _ = \
+                    make_sharded_scorer(self._mesh, self._tstd_host)
+            else:
+                import jax.numpy as jnp
+
+                self._targets_std = jnp.concatenate(
+                    [self._targets_std, jnp.asarray(new_std)], axis=0)
+            self.target_names = list(self.target_names) + new_names
+            self._n_targets = len(self.target_names)
+        return self._n_targets
+
     def _sim_device(self, qc):
         """DEVICE [Q, T] similarity vs the resident standardized targets
         (or [Q, Q] self-similarity without targets) — nothing crosses."""
@@ -375,6 +466,29 @@ class SeekrService:
         device computation at a time (queries queue briefly; the device
         itself is serial anyway).
         """
+        t0 = time.perf_counter()
+        out = self._query(seqs, want, topk)
+        # successful requests only: a rejected request never touches
+        # the device and would skew the latency distribution down
+        with self._lat_lock:
+            self._latencies.append(time.perf_counter() - t0)
+        return out
+
+    def latency_stats(self):
+        """Client-observed latency of the last <=1024 successful
+        queries (including coalescing wait), in milliseconds."""
+        with self._lat_lock:
+            snap = np.asarray(self._latencies, dtype=np.float64)
+        if snap.size == 0:
+            return {"count": 0}
+        q50, q95, q99 = np.percentile(snap, (50, 95, 99)) * 1e3
+        return {"count": int(snap.size),
+                "p50_ms": round(float(q50), 3),
+                "p95_ms": round(float(q95), 3),
+                "p99_ms": round(float(q99), 3),
+                "max_ms": round(float(snap.max() * 1e3), 3)}
+
+    def _query(self, seqs, want, topk):
         want = set(want)
         unknown = want - {"sim", "pvals", "topk", "topk_pvals"}
         if unknown:
@@ -600,7 +714,14 @@ class _Handler(socketserver.StreamRequestHandler):
                     "targets": (len(svc.target_names)
                                 if svc.target_names else None),
                     "pvals_available": svc.fitres is not None,
-                    "queries_served": svc.queries_served}
+                    "queries_served": svc.queries_served,
+                    "device_batches": svc.device_batches,
+                    "latency": svc.latency_stats()}
+        if op == "add_targets":
+            before = svc._n_targets
+            n = svc.add_targets(req.get("seqs"), names=req.get("names"),
+                                fasta=req.get("fasta"))
+            return {"ok": True, "n": n, "added": n - before}
         if op == "shutdown":
             return {"ok": True, "_shutdown": True}
         if op != "query":

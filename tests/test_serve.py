@@ -592,3 +592,131 @@ def test_cli_serve_dp_requires_targets(artifacts, capsys):
         console_serve([str(tmp / "mean.npy"), str(tmp / "std.npy"),
                        "-k", str(K), "-dp", "2"])
     assert "requires -t/--targets" in capsys.readouterr().err
+
+
+def test_latency_stats_and_ping_telemetry(artifacts, tmp_path):
+    tmp, _ = artifacts
+    svc = SeekrService(str(tmp / "mean.npy"), str(tmp / "std.npy"), k=K,
+                       targets=str(tmp / "targets.fa"))
+    assert svc.latency_stats() == {"count": 0}
+    for seed in (30, 31, 32):
+        svc.query(_seqs(np.random.default_rng(seed), 2), want=("topk",),
+                  topk=2)
+    stats = svc.latency_stats()
+    assert stats["count"] == 3
+    assert 0 < stats["p50_ms"] <= stats["p95_ms"] <= stats["p99_ms"]
+    assert stats["p99_ms"] <= stats["max_ms"]
+    # rejected requests never enter the distribution
+    with pytest.raises(ValueError):
+        svc.query([], want=("sim",))
+    assert svc.latency_stats()["count"] == 3
+
+    # the stats ride the ping op over the socket
+    sock = str(tmp_path / "lat.sock")
+    ready = threading.Event()
+    t = threading.Thread(target=serve_forever, args=(svc, sock, ready),
+                         daemon=True)
+    t.start()
+    assert ready.wait(10)
+    try:
+        pong = request(sock, {"op": "ping"})
+        assert pong["ok"] and pong["latency"]["count"] == 3
+        assert pong["device_batches"] == svc.device_batches
+    finally:
+        request(sock, {"op": "shutdown"})
+        t.join(timeout=10)
+
+
+def test_add_targets_matches_incremental_chains(artifacts):
+    """Growing the corpus live == counting the new batch in its own
+    chain and concatenating artifacts (Log2.post's global-|min| shift
+    is batch-local), with the ORIGINAL columns bit-for-bit stable."""
+    tmp, seqs = artifacts
+    rng = np.random.default_rng(33)
+    extra = _seqs(rng, 3)
+    queries = _seqs(rng, 2)
+
+    svc = SeekrService(str(tmp / "mean.npy"), str(tmp / "std.npy"), k=K,
+                       targets=str(tmp / "targets.fa"))
+    before = svc.query(queries, want=("sim",))
+    n = svc.add_targets(extra, names=["x0", "x1", "x2"])
+    assert n == 9
+    assert svc.target_names == [f"t{i}" for i in range(6)] + ["x0", "x1",
+                                                              "x2"]
+    after = svc.query(queries, want=("sim", "topk"), topk=9)
+    sim = np.asarray(after["sim"])
+
+    # original target columns are bit-for-bit where they were: stored
+    # client indices AND scores survive the update
+    np.testing.assert_array_equal(sim[:, :6], np.asarray(before["sim"]))
+    # the added columns score as their own chain (same norm vectors)
+    only_extra = SeekrService(str(tmp / "mean.npy"), str(tmp / "std.npy"),
+                              k=K, targets=extra)
+    np.testing.assert_allclose(sim[:, 6:],
+                               only_extra.query(queries)["sim"],
+                               rtol=1e-5, atol=1e-6)
+    # top-k is consistent with the grown matrix
+    assert np.array_equal(after["topk_idx"],
+                          np.argsort(-sim, axis=1, kind="stable"))
+
+
+def test_add_targets_mesh_reshards(artifacts):
+    """Same update semantics through the mesh-sharded scorer: the
+    re-shard must agree with a single-device service grown the same
+    way (and continue auto-numbering)."""
+    tmp, seqs = artifacts
+    rng = np.random.default_rng(34)
+    extra = _seqs(rng, 4)
+    queries = _seqs(rng, 2)
+    svc = SeekrService(str(tmp / "mean.npy"), str(tmp / "std.npy"), k=K,
+                       targets=str(tmp / "targets.fa"), mesh=_mesh())
+    assert svc.add_targets(extra) == 10
+    assert svc.target_names[-1] == "t9"  # auto-numbering continues
+    got = svc.query(queries, want=("sim", "topk"), topk=4)
+    single = SeekrService(str(tmp / "mean.npy"), str(tmp / "std.npy"),
+                          k=K, targets=str(tmp / "targets.fa"))
+    single.add_targets(extra)
+    want_out = single.query(queries, want=("sim", "topk"), topk=4)
+    np.testing.assert_allclose(got["sim"], want_out["sim"],
+                               rtol=1e-5, atol=1e-6)
+    assert np.array_equal(got["topk_idx"], want_out["topk_idx"])
+
+
+def test_add_targets_validation(artifacts, tmp_path):
+    tmp, _ = artifacts
+    svc = SeekrService(str(tmp / "mean.npy"), str(tmp / "std.npy"), k=K,
+                       targets=str(tmp / "targets.fa"))
+    with pytest.raises(ValueError, match="exactly one"):
+        svc.add_targets()
+    with pytest.raises(ValueError, match="exactly one"):
+        svc.add_targets(["AGTC" * 20], fasta="x.fa")
+    with pytest.raises(ValueError, match="names for"):
+        svc.add_targets(["AGTC" * 20], names=["a", "b"])
+    with pytest.raises(ValueError, match="empty target batch"):
+        svc.add_targets([])
+    selfsim = SeekrService(str(tmp / "mean.npy"), str(tmp / "std.npy"),
+                           k=K)
+    with pytest.raises(ValueError, match="without targets"):
+        selfsim.add_targets(["AGTC" * 20])
+
+    # fasta flavor over the socket protocol
+    rng = np.random.default_rng(35)
+    fa = tmp_path / "extra.fa"
+    fa.write_text(">e0\n" + _seqs(rng, 1)[0] + "\n")
+    sock = str(tmp_path / "add.sock")
+    ready = threading.Event()
+    t = threading.Thread(target=serve_forever, args=(svc, sock, ready),
+                         daemon=True)
+    t.start()
+    assert ready.wait(10)
+    try:
+        resp = request(sock, {"op": "add_targets", "fasta": str(fa)})
+        assert resp == {"ok": True, "n": 7, "added": 1}
+        assert svc.target_names[-1] == "e0"
+        out = request(sock, {"seqs": _seqs(rng, 1), "want": ["topk"],
+                             "topk": 7})
+        assert out["ok"] and out["n"] == 7
+        assert len(out["topk_names"][0]) == 7
+    finally:
+        request(sock, {"op": "shutdown"})
+        t.join(timeout=10)

@@ -14,7 +14,9 @@ centering, exactly like the reference kmer_counts.py:165-187).
 
 Soak validation: 750 additional seeds (pipeline 48-447, stream 30-229,
 halo 22-171) ran clean in one pass after the in-suite seeds stabilized;
-the suite keeps the first ~100 for CI time.
+the suite keeps the first ~100 for CI time.  The serving scorer family
+(test_fuzz_sharded_scorer) additionally soaked 200 seeds (4000-4199)
+clean in one pass; the suite keeps the first 20.
 """
 
 import jax
