@@ -334,93 +334,139 @@ def shard_long_sequence(digits: np.ndarray, k: int, n_dev: int) -> Tuple[np.ndar
     return split_long_digits(digits, k, n_dev)
 
 
-def make_sharded_scorer(mesh: Mesh, targets_std):
+class ShardedScorer:
     """Serving at pod scale: targets row-sharded over EVERY mesh device.
 
     ``targets_std`` is the [T, n_cols] ROW-STANDARDIZED target matrix
     (ops.pearson.standardize_rows).  It is zero-padded to a device-count
     multiple and placed one row shard per device, so a corpus too big
-    for one chip's HBM lives as ~T/D rows per chip.  Returns
-    ``(sim_fn, topk_fn, t_real)``:
+    for one chip's HBM lives as ~T/D rows per chip.  Three entry points,
+    all sharing ONE shard-local GEMM per call:
 
-      * ``sim_fn(qc) -> [Q, T]`` full similarity (replicated output);
-        queries are row-standardized inside the jit — the same graph as
+      * ``sim(qc) -> [Q, t_pad]`` similarity, COLUMN-SHARDED over the
+        mesh (each device holds only its own [Q, T/D] slab — replicating
+        the full row would cost D times the HBM the sharded corpus
+        exists to save).  t_pad = ceil(T/D)*D: the pad columns stay (a
+        jit-side slice to ``t_real`` would force a non-divisible
+        sharding); slice host-side or use ``sim_host``.  Queries are
+        row-standardized inside the jit — the same recipe as
         ``ops.pearson.pearson_against_standardized``.
-      * ``topk_fn(qc, n) -> ([Q, n'] values, [Q, n'] GLOBAL indices)``,
+      * ``topk(qc, n) -> ([Q, n'] values, [Q, n'] GLOBAL indices)``,
         n' = min(n, T), via the classic two-stage distributed top-k:
-        each device ranks its local shard (shard_map; pad rows masked
-        to -inf via their global row ids) and only [Q, min(n, T/D)]
-        candidates per device cross the ICI — never the [Q, T/D] local
-        similarity row.  A final top_k merges the candidate columns.
-        One shard can contribute at most T/D rows to any global top-n,
-        so the candidate set is always sufficient.
+        each device ranks its local shard (pad rows masked to -inf via
+        their global row ids) and only [Q, min(n, T/D)] candidates per
+        device cross the ICI — never a full similarity row.  A final
+        top_k merges the candidate columns.  One shard can contribute
+        at most T/D rows to any global top-n, so the candidate set is
+        always sufficient.
+      * ``sim_and_topk(qc, n) -> (sim, vals, idx)`` — both products
+        from a single shard-local GEMM (a mixed sim+topk request must
+        not pay the corpus contraction twice).
 
     The reference serves nothing and scales to nothing (SURVEY section 2
     "Parallelism strategies in the reference: NONE"); this is the
     serving analog of ``distributed_pipeline``'s corpus math.
     """
-    from seekr_tpu.ops.pearson import _row_standardize
 
-    n_dev = int(mesh.size)
-    t_real, n_cols = (int(d) for d in np.shape(targets_std))
-    t_loc = -(-t_real // n_dev)
-    padded = np.zeros((t_loc * n_dev, n_cols), np.float32)
-    padded[:t_real] = np.asarray(targets_std, np.float32)
-    axes = tuple(mesh.axis_names)
-    tstd = jax.device_put(padded, NamedSharding(mesh, P(axes, None)))
+    def __init__(self, mesh: Mesh, targets_std):
+        from seekr_tpu.ops.pearson import _row_standardize
 
-    def _sim_impl(qc, t):
-        q = _row_standardize(jnp.asarray(qc, jnp.float32))
-        sim = jax.lax.dot_general(
-            q, t, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=pearson_precision(),
-        ) / n_cols
-        return sim[:, :t_real]
+        self._row_standardize = _row_standardize
+        self.mesh = mesh
+        self.n_dev = int(mesh.size)
+        self.t_real, self.n_cols = (int(d) for d in np.shape(targets_std))
+        self.t_loc = -(-self.t_real // self.n_dev)
+        self._axes = tuple(mesh.axis_names)
+        padded = np.zeros((self.t_loc * self.n_dev, self.n_cols),
+                          np.float32)
+        padded[:self.t_real] = np.asarray(targets_std, np.float32)
+        self._tstd = jax.device_put(
+            padded, NamedSharding(mesh, P(self._axes, None)))
+        self._impls: dict = {}
 
-    _sim_jit = jax.jit(_sim_impl, out_shardings=NamedSharding(mesh, P()))
+    def _build(self, n_local, n_out, want_sim: bool):
+        """One executable per (n_local, n_out, want_sim): shard-local
+        GEMM (+ local rank when n_local), candidate merge outside."""
+        mesh, axes = self.mesh, self._axes
+        t_loc, t_real, n_cols = self.t_loc, self.t_real, self.n_cols
 
-    def sim_fn(qc):
-        return _sim_jit(qc, tstd)
-
-    def _build_topk(n_out, n_local):
         def local(q, t_shard):
             sim = jax.lax.dot_general(
                 q, t_shard, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=pearson_precision(),
             ) / n_cols
+            if n_local is None:
+                return (sim,)
             dev = jnp.int32(0)
             for name in axes:  # row-major over the axis tuple = the
                 dev = dev * mesh.shape[name] + jax.lax.axis_index(name)
-            base = dev * t_loc
-            gid = base + jax.lax.iota(jnp.int32, t_loc)
-            sim = jnp.where((gid < t_real)[None, :], sim, -jnp.inf)
-            vals, idx = jax.lax.top_k(sim, n_local)
-            return vals, jnp.take(gid, idx)
+            gid = dev * t_loc + jax.lax.iota(jnp.int32, t_loc)
+            masked = jnp.where((gid < t_real)[None, :], sim, -jnp.inf)
+            vals, idx = jax.lax.top_k(masked, n_local)
+            out = (vals, jnp.take(gid, idx))
+            return (sim,) + out if want_sim else out
 
+        n_outs = (1 if n_local is None else 2) + int(want_sim and
+                                                     n_local is not None)
         mapped = jax.shard_map(
             local, mesh=mesh,
             in_specs=(P(None, None), P(axes, None)),
-            out_specs=(P(None, axes), P(None, axes)),
+            out_specs=(P(None, axes),) * n_outs,
         )
+        sharded = NamedSharding(mesh, P(None, axes))
+        repl = NamedSharding(mesh, P())
 
-        @jax.jit
-        def topk_impl(qc, t):
-            q = _row_standardize(jnp.asarray(qc, jnp.float32))
-            cand_v, cand_i = mapped(q, t)  # [Q, n_local * n_dev]
+        def impl(qc, t):
+            q = self._row_standardize(jnp.asarray(qc, jnp.float32))
+            outs = mapped(q, t)
+            if n_local is None:
+                return outs[0]
+            cand_v, cand_i = outs[-2], outs[-1]
             vals, pos = jax.lax.top_k(cand_v, n_out)
-            return vals, jnp.take_along_axis(cand_i, pos, axis=1)
+            idx = jnp.take_along_axis(cand_i, pos, axis=1)
+            if want_sim:
+                return outs[0], vals, idx
+            return vals, idx
 
-        return topk_impl
+        if n_local is None:
+            shardings = sharded
+        elif want_sim:
+            shardings = (sharded, repl, repl)
+        else:
+            shardings = (repl, repl)
+        return jax.jit(impl, out_shardings=shardings)
 
-    topk_cache: dict = {}
-
-    def topk_fn(qc, n: int):
-        n_out = max(1, min(int(n), t_real))
-        fn = topk_cache.get(n_out)
+    def _impl(self, n, want_sim: bool):
+        if n is None:
+            key = (None, None, True)
+        else:
+            n_out = max(1, min(int(n), self.t_real))
+            key = (min(n_out, self.t_loc), n_out, want_sim)
+        fn = self._impls.get(key)
         if fn is None:
-            fn = topk_cache[n_out] = _build_topk(n_out, min(n_out, t_loc))
-        return fn(qc, tstd)
+            fn = self._impls[key] = self._build(*key)
+        return fn
 
-    return sim_fn, topk_fn, t_real
+    def sim(self, qc):
+        """[Q, t_pad] similarity on device, column-sharded over the
+        mesh; columns >= ``t_real`` are pad (slice host-side)."""
+        return self._impl(None, True)(qc, self._tstd)
+
+    def sim_host(self, qc) -> np.ndarray:
+        """[Q, t_real] similarity gathered to the host."""
+        return np.asarray(self.sim(qc))[:, :self.t_real]
+
+    def topk(self, qc, n: int):
+        """([Q, n'], [Q, n']) top values + GLOBAL indices, replicated."""
+        return self._impl(n, False)(qc, self._tstd)
+
+    def sim_and_topk(self, qc, n: int):
+        """(sim [Q, t_pad] column-sharded, vals, idx) from one
+        shard-local GEMM."""
+        return self._impl(n, True)(qc, self._tstd)
+
+
+def make_sharded_scorer(mesh: Mesh, targets_std) -> ShardedScorer:
+    """Build a :class:`ShardedScorer` (row-sharded serving corpus)."""
+    return ShardedScorer(mesh, targets_std)

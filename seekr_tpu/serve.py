@@ -157,8 +157,7 @@ class SeekrService:
         # crosses to the host per query.
         self.target_names = None
         self._targets_std = None
-        self._scorer_sim = None
-        self._scorer_topk = None
+        self._scorer = None
         self._has_targets = targets is not None
         self._n_targets = 0
         if mesh is not None and targets is None:
@@ -190,8 +189,7 @@ class SeekrService:
                 # copy on the default device is dropped.
                 self._mesh = mesh
                 self._tstd_host = np.asarray(tstd)
-                self._scorer_sim, self._scorer_topk, _ = \
-                    make_sharded_scorer(mesh, self._tstd_host)
+                self._scorer = make_sharded_scorer(mesh, self._tstd_host)
             else:
                 self._mesh = None
                 self._targets_std = tstd
@@ -269,8 +267,12 @@ class SeekrService:
                 sim_dev = self._sim_device(qc)
                 np.asarray(sim_dev)
                 if topk:
-                    if self._scorer_topk is not None:
+                    if self._scorer is not None:
+                        # all three scorer executables: topk-only,
+                        # sim+topk (mixed requests), and sim (warmed
+                        # above) each have their own compiled graph
                         self._mesh_topk(qc, q, topk)
+                        self._mesh_topk(qc, q, topk, with_sim=True)
                     else:
                         self._topk_device(sim_dev, q, topk)
         if self.coalesce and self._has_targets:
@@ -303,7 +305,7 @@ class SeekrService:
                         mean=self.mean, std=self.std)[:1, :1])
                     segs *= 2
 
-    def add_targets(self, seqs=None, names=None, fasta=None) -> int:
+    def add_targets(self, seqs=None, names=None, fasta=None):
         """Append targets to the resident corpus without a restart.
 
         Exactly one of ``seqs`` (list of sequences, optional ``names``)
@@ -317,7 +319,8 @@ class SeekrService:
         renumber indices clients may have stored; restart to shrink),
         and requests queued when the update lands are answered against
         the grown corpus.  The next query per batch shape pays one
-        recompile for the new corpus width.  Returns the new total.
+        recompile for the new corpus width.  Returns
+        ``(new_total, rows_added)``.
 
         Normalization is BATCH-LOCAL under Log2.post (the global-|min|
         shift sees only the rows counted together — reference
@@ -355,17 +358,33 @@ class SeekrService:
                 raise ValueError(f"{len(names)} names for "
                                  f"{len(seqs)} sequences")
             new_std = standardize_rows(self._count(seqs, nan_check=True))
-            new_names = (list(names) if names is not None else
-                         [f"t{i}" for i in range(self._n_targets,
-                                                 self._n_targets + len(seqs))])
+            new_names = list(names) if names is not None else None
         with self._lock:
-            if self._scorer_sim is not None:  # mesh: re-shard the shadow
+            if new_names is None:
+                # auto-numbering reads _n_targets UNDER the lock —
+                # concurrent updates must not mint duplicate names
+                new_names = [f"t{i}"
+                             for i in range(self._n_targets,
+                                            self._n_targets + len(seqs))]
+            if self._scorer is not None:  # mesh: re-shard the shadow
                 from seekr_tpu.parallel.dist import make_sharded_scorer
 
-                self._tstd_host = np.concatenate(
-                    [self._tstd_host, np.asarray(new_std)], axis=0)
-                self._scorer_sim, self._scorer_topk, _ = \
-                    make_sharded_scorer(self._mesh, self._tstd_host)
+                old_host = self._tstd_host
+                grown = np.concatenate([old_host, np.asarray(new_std)],
+                                       axis=0)
+                # drop the old scorer FIRST so its corpus shards free
+                # before the grown corpus uploads — otherwise peak HBM
+                # is 2x a corpus that was sized to fit once
+                self._scorer = None
+                try:
+                    self._scorer = make_sharded_scorer(self._mesh, grown)
+                    self._tstd_host = grown
+                except BaseException:
+                    # OOM/backend failure mid-swap: restore the old
+                    # corpus so the service keeps answering
+                    self._scorer = make_sharded_scorer(self._mesh,
+                                                       old_host)
+                    raise
             else:
                 import jax.numpy as jnp
 
@@ -373,7 +392,7 @@ class SeekrService:
                     [self._targets_std, jnp.asarray(new_std)], axis=0)
             self.target_names = list(self.target_names) + new_names
             self._n_targets = len(self.target_names)
-        return self._n_targets
+        return self._n_targets, len(new_names)
 
     def _sim_device(self, qc):
         """DEVICE [Q, T] similarity vs the resident standardized targets
@@ -383,23 +402,31 @@ class SeekrService:
 
         if not self._has_targets:
             return pearson_device(qc, qc)
-        if self._scorer_sim is not None:  # mesh-sharded corpus
-            return self._scorer_sim(qc)
+        if self._scorer is not None:  # mesh-sharded corpus
+            return self._scorer.sim(qc)
         return pearson_against_standardized(qc, self._targets_std)
 
-    def _mesh_topk(self, qc, q: int, topk: int):
+    def _mesh_topk(self, qc, q: int, topk: int, with_sim: bool = False):
         """Two-stage distributed top-k over the mesh-sharded corpus —
         straight from the normalized counts; the full [Q, T] row never
         exists on any single device.  Same power-of-two executable
-        bounding and slicing contract as _topk_device."""
+        bounding and slicing contract as _topk_device.  With
+        ``with_sim`` the (column-sharded) similarity matrix rides the
+        SAME shard-local GEMM — a mixed sim+topk request must not pay
+        the corpus contraction twice — returned as
+        ``(sim_dev, vals, idx)``."""
         n_req = max(1, min(int(topk), self._n_targets))
         n_run = 1
         while n_run < n_req:
             n_run *= 2
         n_run = min(n_run, self._n_targets)
-        vals, idx = self._scorer_topk(qc, n_run)
-        return (np.asarray(vals)[:q, :n_req],
-                np.asarray(idx)[:q, :n_req])
+        if with_sim:
+            sim_dev, vals, idx = self._scorer.sim_and_topk(qc, n_run)
+        else:
+            vals, idx = self._scorer.topk(qc, n_run)
+        out = (np.asarray(vals)[:q, :n_req],
+               np.asarray(idx)[:q, :n_req])
+        return (sim_dev,) + out if with_sim else out
 
     def _topk_device(self, sim_dev, q: int, topk: int):
         """Top-``topk`` targets per real query row, selected ON DEVICE.
@@ -561,23 +588,33 @@ class SeekrService:
         out = {"m": q, "n": self._n_targets if self._has_targets else q}
         # the full [Q, T] matrix is needed for sim/pvals, and for top-k
         # only on the single-device path (the mesh scorer selects
-        # straight from the counts, shard by shard)
+        # straight from the counts, shard by shard); a mesh request
+        # wanting both rides ONE shard-local GEMM (sim_and_topk)
         sim_dev = None
-        if (want & {"sim", "pvals"}
-                or ("topk" in want and self._scorer_topk is None)):
-            sim_dev = self._sim_device(qc)
+        need_full = bool(want & {"sim", "pvals"})
         if "topk" in want:
-            if self._scorer_topk is not None:
-                vals, idx = self._mesh_topk(qc, q, topk)
+            if self._scorer is not None:
+                if need_full:
+                    sim_dev, vals, idx = self._mesh_topk(qc, q, topk,
+                                                         with_sim=True)
+                else:
+                    vals, idx = self._mesh_topk(qc, q, topk)
             else:
+                sim_dev = self._sim_device(qc)
                 vals, idx = self._topk_device(sim_dev, q, topk)
             out["topk_sim"] = vals
             out["topk_idx"] = idx
             if "topk_pvals" in want:
                 out["topk_pvals"] = self._pvals(vals)
+        elif need_full:
+            sim_dev = self._sim_device(qc)
         if "sim" in want or "pvals" in want:
             sim = np.asarray(sim_dev)
-            sim = sim[:q] if self._has_targets else sim[:q, :q]
+            # mesh scorer output is padded to a device-count multiple of
+            # columns; single-device paths are exact-width (the slice is
+            # then a no-op view)
+            sim = (sim[:q, :self._n_targets] if self._has_targets
+                   else sim[:q, :q])
             if "sim" in want:
                 out["sim"] = sim
             if "pvals" in want:
@@ -632,20 +669,30 @@ class SeekrService:
             topk_items = [it for it in batch if "topk" in it.want]
             need_full = any(it.want & {"sim", "pvals"} for it in batch)
             sim_dev = None
-            if need_full or (topk_items and self._scorer_topk is None):
-                sim_dev = self._sim_device(counts)
             vals = idx = None
             if topk_items:
                 # one device top-k at the largest size any request wants;
-                # smaller requests take a prefix of the sorted row
+                # smaller requests take a prefix of the sorted row.  On
+                # the mesh a merged batch wanting both products rides
+                # ONE shard-local GEMM (sim_and_topk), same as serial.
                 n_max = max(max(1, min(it.topk, t_cols))
                             for it in topk_items)
-                if self._scorer_topk is not None:
-                    vals, idx = self._mesh_topk(counts, len(padded), n_max)
+                if self._scorer is not None:
+                    if need_full:
+                        sim_dev, vals, idx = self._mesh_topk(
+                            counts, len(padded), n_max, with_sim=True)
+                    else:
+                        vals, idx = self._mesh_topk(counts, len(padded),
+                                                    n_max)
                 else:
+                    sim_dev = self._sim_device(counts)
                     vals, idx = self._topk_device(sim_dev, len(padded),
                                                   n_max)
-            sim_np = np.asarray(sim_dev) if need_full else None
+            elif need_full:
+                sim_dev = self._sim_device(counts)
+            # mesh sim is column-padded to a device-count multiple
+            sim_np = (np.asarray(sim_dev)[:, :t_cols] if need_full
+                      else None)
             for item, (start, ln) in zip(batch, spans):
                 try:
                     out = {"m": ln, "n": t_cols}
@@ -718,10 +765,10 @@ class _Handler(socketserver.StreamRequestHandler):
                     "device_batches": svc.device_batches,
                     "latency": svc.latency_stats()}
         if op == "add_targets":
-            before = svc._n_targets
-            n = svc.add_targets(req.get("seqs"), names=req.get("names"),
-                                fasta=req.get("fasta"))
-            return {"ok": True, "n": n, "added": n - before}
+            n, added = svc.add_targets(req.get("seqs"),
+                                       names=req.get("names"),
+                                       fasta=req.get("fasta"))
+            return {"ok": True, "n": n, "added": added}
         if op == "shutdown":
             return {"ok": True, "_shutdown": True}
         if op != "query":

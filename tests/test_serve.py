@@ -639,8 +639,7 @@ def test_add_targets_matches_incremental_chains(artifacts):
     svc = SeekrService(str(tmp / "mean.npy"), str(tmp / "std.npy"), k=K,
                        targets=str(tmp / "targets.fa"))
     before = svc.query(queries, want=("sim",))
-    n = svc.add_targets(extra, names=["x0", "x1", "x2"])
-    assert n == 9
+    assert svc.add_targets(extra, names=["x0", "x1", "x2"]) == (9, 3)
     assert svc.target_names == [f"t{i}" for i in range(6)] + ["x0", "x1",
                                                               "x2"]
     after = svc.query(queries, want=("sim", "topk"), topk=9)
@@ -670,7 +669,7 @@ def test_add_targets_mesh_reshards(artifacts):
     queries = _seqs(rng, 2)
     svc = SeekrService(str(tmp / "mean.npy"), str(tmp / "std.npy"), k=K,
                        targets=str(tmp / "targets.fa"), mesh=_mesh())
-    assert svc.add_targets(extra) == 10
+    assert svc.add_targets(extra) == (10, 4)
     assert svc.target_names[-1] == "t9"  # auto-numbering continues
     got = svc.query(queries, want=("sim", "topk"), topk=4)
     single = SeekrService(str(tmp / "mean.npy"), str(tmp / "std.npy"),

@@ -313,20 +313,30 @@ def test_sharded_scorer_matches_oracle():
     qc = rng.normal(size=(n_q, n_cols)).astype(np.float32)
     tstd = np.asarray(standardize_rows(targets))
 
-    sim_fn, topk_fn, t_real = make_sharded_scorer(make_mesh(), tstd)
-    assert t_real == n_t
+    scorer = make_sharded_scorer(make_mesh(), tstd)
+    assert scorer.t_real == n_t
     oracle = np.asarray(pearson_against_standardized(qc, tstd))
-    np.testing.assert_allclose(np.asarray(sim_fn(qc)), oracle,
+    # device sim is column-padded to a device multiple (13 -> 16);
+    # sim_host gathers + slices
+    assert np.asarray(scorer.sim(qc)).shape == (n_q, 16)
+    np.testing.assert_allclose(scorer.sim_host(qc), oracle,
                                rtol=1e-5, atol=1e-6)
 
     # the two-stage selection (per-shard top-k, candidates over ICI,
     # final merge) must return GLOBAL indices and exact values
-    vals, idx = (np.asarray(a) for a in topk_fn(qc, 4))
+    vals, idx = (np.asarray(a) for a in scorer.topk(qc, 4))
     assert np.array_equal(idx, np.argsort(-oracle, axis=1)[:, :4])
     np.testing.assert_allclose(vals, np.take_along_axis(oracle, idx, 1),
                                rtol=1e-5, atol=1e-6)
 
+    # mixed sim+topk from ONE shard-local GEMM: identical products
+    s3, v3, i3 = scorer.sim_and_topk(qc, 4)
+    np.testing.assert_allclose(np.asarray(s3)[:, :n_t], oracle,
+                               rtol=1e-5, atol=1e-6)
+    assert np.array_equal(np.asarray(i3), idx)
+    np.testing.assert_allclose(np.asarray(v3), vals, rtol=1e-6, atol=0)
+
     # n > T clamps to T, and the pad rows (13 -> 16) can never surface
-    vals_all, idx_all = (np.asarray(a) for a in topk_fn(qc, 100))
+    vals_all, idx_all = (np.asarray(a) for a in scorer.topk(qc, 100))
     assert vals_all.shape == (n_q, n_t)
     assert idx_all.max() < n_t and np.isfinite(vals_all).all()

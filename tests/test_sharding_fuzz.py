@@ -232,14 +232,14 @@ def test_fuzz_sharded_scorer(seed):
     qc = rng.normal(size=(n_q, n_cols)).astype(np.float32)
     tstd = np.asarray(standardize_rows(targets))
 
-    sim_fn, topk_fn, t_real = make_sharded_scorer(mesh, tstd)
-    assert t_real == n_t
+    scorer = make_sharded_scorer(mesh, tstd)
+    assert scorer.t_real == n_t
     oracle = np.asarray(pearson_against_standardized(qc, tstd))
-    np.testing.assert_allclose(np.asarray(sim_fn(qc)), oracle,
+    np.testing.assert_allclose(scorer.sim_host(qc), oracle,
                                rtol=1e-4, atol=1e-5)
 
     n = int(rng.integers(1, n_t + 3))       # sometimes over-asks
-    vals, idx = (np.asarray(a) for a in topk_fn(qc, n))
+    vals, idx = (np.asarray(a) for a in scorer.topk(qc, n))
     n_eff = min(n, n_t)
     assert vals.shape == (n_q, n_eff)
     assert idx.min() >= 0 and idx.max() < n_t and np.isfinite(vals).all()
@@ -248,3 +248,9 @@ def test_fuzz_sharded_scorer(seed):
     # value-sorted agreement (indices may tie-swap only at equal values)
     want = -np.sort(-oracle, axis=1)[:, :n_eff]
     np.testing.assert_allclose(vals, want, rtol=1e-4, atol=1e-5)
+    # the single-GEMM combined path agrees with both separate products
+    s3, v3, i3 = scorer.sim_and_topk(qc, n)
+    np.testing.assert_allclose(np.asarray(s3)[:, :n_t], oracle,
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(v3), vals, rtol=1e-6, atol=0)
+    assert np.array_equal(np.asarray(i3), idx)
