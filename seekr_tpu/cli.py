@@ -492,6 +492,17 @@ def console_serve(argv=None):
     svc = SeekrService(args.mean_path, args.std_path, k=int(args.kmer),
                        log2=args.log2, targets=args.targets, fitres=fitres,
                        coalesce=not args.no_coalesce, mesh=mesh)
+    import jax
+
+    if mesh is not None and jax.process_count() > 1 and \
+            jax.process_index() != 0:
+        # pod follower: mirror the leader's device calls (including its
+        # warmup broadcasts) until the leader's shutdown releases us —
+        # a single-process accept loop cannot drive multi-host SPMD
+        print(f"seekr_tpu_serve: process {jax.process_index()} "
+              "following leader", flush=True)
+        svc.follow()
+        return
     if not args.no_warmup:
         print("seekr_tpu_serve: warming executables...", flush=True)
         svc.warmup()

@@ -374,17 +374,61 @@ class ShardedScorer:
         self._row_standardize = _row_standardize
         self.mesh = mesh
         self.n_dev = int(mesh.size)
-        self.t_real, self.n_cols = (int(d) for d in np.shape(targets_std))
-        self.t_loc = -(-self.t_real // self.n_dev)
         self._axes = tuple(mesh.axis_names)
+        self._multihost = jax.process_count() > 1
+        # the unpadded host shadow is kept for grow() re-shards (host
+        # RAM, not HBM; ~213 MB at GENCODE k=6)
+        self._host = np.asarray(targets_std, np.float32)
+        self._load(self._host)
+
+    def _load(self, host: np.ndarray) -> None:
+        """(Re)place the corpus shards; resets the executable cache."""
+        self.t_real, self.n_cols = (int(d) for d in host.shape)
+        self.t_loc = -(-self.t_real // self.n_dev)
         padded = np.zeros((self.t_loc * self.n_dev, self.n_cols),
                           np.float32)
-        padded[:self.t_real] = np.asarray(targets_std, np.float32)
-        self._tstd = jax.device_put(
-            padded, NamedSharding(mesh, P(self._axes, None)))
+        padded[:self.t_real] = host
+        # make_array_from_callback works on multi-host meshes too (each
+        # process materializes only its addressable shards from the
+        # replicated host copy); device_put would reject non-addressable
+        # devices
+        self._tstd = jax.make_array_from_callback(
+            padded.shape, NamedSharding(self.mesh, P(self._axes, None)),
+            lambda idx: padded[idx])
         self._impls: dict = {}
 
-    def _build(self, n_local, n_out, want_sim: bool):
+    def grow(self, new_std) -> int:
+        """Append standardized rows and re-shard; returns new t_real.
+
+        The old shards are dropped BEFORE the grown corpus uploads —
+        otherwise peak HBM is 2x a corpus that was sized to fit once.
+        On failure (OOM mid-upload) the old corpus is restored so the
+        scorer keeps answering.
+        """
+        old = self._host
+        grown = np.concatenate(
+            [old, np.asarray(new_std, np.float32)], axis=0)
+        self._tstd = None
+        self._impls = {}
+        try:
+            self._load(grown)
+            self._host = grown
+        except BaseException:
+            self._load(old)
+            raise
+        return self.t_real
+
+    def _prep(self, qc):
+        """Queries as a replicated GLOBAL array on multi-host meshes
+        (plain np/device arrays are not accepted by a multi-host pjit);
+        single-host passes through untouched."""
+        if not self._multihost:
+            return qc
+        q = np.asarray(qc, np.float32)
+        return jax.make_array_from_callback(
+            q.shape, NamedSharding(self.mesh, P()), lambda idx: q[idx])
+
+    def _build(self, n_local, n_out, want_sim: bool, gather: bool):
         """One executable per (n_local, n_out, want_sim): shard-local
         GEMM (+ local rank when n_local), candidate merge outside."""
         mesh, axes = self.mesh, self._axes
@@ -429,44 +473,171 @@ class ShardedScorer:
                 return outs[0], vals, idx
             return vals, idx
 
+        sim_sh = repl if gather else sharded
         if n_local is None:
-            shardings = sharded
+            shardings = sim_sh
         elif want_sim:
-            shardings = (sharded, repl, repl)
+            shardings = (sim_sh, repl, repl)
         else:
             shardings = (repl, repl)
         return jax.jit(impl, out_shardings=shardings)
 
-    def _impl(self, n, want_sim: bool):
+    def _impl(self, n, want_sim: bool, gather: bool):
         if n is None:
-            key = (None, None, True)
+            key = (None, None, True, gather)
         else:
             n_out = max(1, min(int(n), self.t_real))
-            key = (min(n_out, self.t_loc), n_out, want_sim)
+            key = (min(n_out, self.t_loc), n_out, want_sim, gather)
         fn = self._impls.get(key)
         if fn is None:
             fn = self._impls[key] = self._build(*key)
         return fn
 
-    def sim(self, qc):
+    def sim(self, qc, gather: bool = False):
         """[Q, t_pad] similarity on device, column-sharded over the
-        mesh; columns >= ``t_real`` are pad (slice host-side)."""
-        return self._impl(None, True)(qc, self._tstd)
+        mesh; columns >= ``t_real`` are pad (slice host-side).  With
+        ``gather`` the executable all-gathers the slabs over the ICI
+        into a replicated output instead — the multi-host fetch path
+        (a column-sharded multi-host array cannot be read locally)."""
+        return self._impl(None, True, gather)(self._prep(qc), self._tstd)
 
     def sim_host(self, qc) -> np.ndarray:
         """[Q, t_real] similarity gathered to the host."""
-        return np.asarray(self.sim(qc))[:, :self.t_real]
+        return np.asarray(self.sim(qc, gather=self._multihost)
+                          )[:, :self.t_real]
 
     def topk(self, qc, n: int):
         """([Q, n'], [Q, n']) top values + GLOBAL indices, replicated."""
-        return self._impl(n, False)(qc, self._tstd)
+        return self._impl(n, False, False)(self._prep(qc), self._tstd)
+
+    def sim_and_topk(self, qc, n: int, gather: bool = False):
+        """(sim [Q, t_pad] column-sharded — or replicated with
+        ``gather`` — vals, idx) from one shard-local GEMM."""
+        return self._impl(n, True, gather)(self._prep(qc), self._tstd)
+
+
+class PodScorer:
+    """Multi-host serving driver: one leader, N-1 followers in lockstep.
+
+    A single-process accept loop cannot drive a multi-host SPMD
+    computation — every jitted call over a multi-host mesh must be
+    entered by EVERY process or the collective deadlocks.  PodScorer
+    wraps :class:`ShardedScorer` with a broadcast control plane:
+
+      * the LEADER (process 0) owns the client-facing API (same
+        signatures as ShardedScorer).  Before each device call it
+        broadcasts a fixed-shape header ``[op, rows, cols, n]`` and the
+        query payload with ``multihost_utils.broadcast_one_to_all``,
+        then enters the computation;
+      * FOLLOWERS sit in :meth:`follow`, receive each (header, payload)
+        pair, and enter the SAME computation with the SAME arguments —
+        executable caches stay key-identical across processes because
+        every shape/option rides the broadcast.
+
+    ``sim`` products use the gathered (replicated) executable variant:
+    a column-sharded multi-host array cannot be assembled host-side, so
+    the all-gather rides the ICI inside XLA and every process can read
+    the result locally.  ``grow`` broadcasts the standardized new rows
+    so every process re-shards the same corpus; ``stop`` releases the
+    followers (server shutdown).
+
+    Calls must be externally serialized on the leader (SeekrService's
+    device lock does this): the broadcast channel is ordered, not
+    multiplexed.  The reference serves nothing and scales to nothing
+    (SURVEY section 2); this is the pod tier of the serving stack.
+    """
+
+    _OP_STOP, _OP_SIM, _OP_TOPK, _OP_SIM_TOPK, _OP_GROW = range(5)
+
+    def __init__(self, mesh: Mesh, targets_std):
+        self.mesh = mesh
+        self.is_leader = jax.process_index() == 0
+        self._scorer = ShardedScorer(mesh, targets_std)
+
+    # ShardedScorer surface the service reads
+    @property
+    def t_real(self) -> int:
+        return self._scorer.t_real
+
+    @property
+    def t_loc(self) -> int:
+        return self._scorer.t_loc
+
+    @property
+    def n_cols(self) -> int:
+        return self._scorer.n_cols
+
+    def _bcast(self, arr):
+        from jax.experimental import multihost_utils
+
+        return multihost_utils.broadcast_one_to_all(arr)
+
+    def _announce(self, op: int, payload: np.ndarray, n: int):
+        hdr = np.array([op, payload.shape[0], payload.shape[1], n],
+                       dtype=np.int64)
+        self._bcast(hdr)
+        return self._bcast(payload)
+
+    @staticmethod
+    def _as_f32(qc) -> np.ndarray:
+        q = np.asarray(qc, np.float32)
+        return np.ascontiguousarray(q)
+
+    def sim(self, qc):
+        """[Q, t_pad] similarity, REPLICATED (gathered over ICI)."""
+        qc = self._announce(self._OP_SIM, self._as_f32(qc), 0)
+        return self._scorer.sim(qc, gather=True)
+
+    def sim_host(self, qc) -> np.ndarray:
+        return np.asarray(self.sim(qc))[:, :self.t_real]
+
+    def topk(self, qc, n: int):
+        qc = self._announce(self._OP_TOPK, self._as_f32(qc), int(n))
+        return self._scorer.topk(qc, int(n))
 
     def sim_and_topk(self, qc, n: int):
-        """(sim [Q, t_pad] column-sharded, vals, idx) from one
-        shard-local GEMM."""
-        return self._impl(n, True)(qc, self._tstd)
+        qc = self._announce(self._OP_SIM_TOPK, self._as_f32(qc), int(n))
+        return self._scorer.sim_and_topk(qc, int(n), gather=True)
+
+    def grow(self, new_std) -> int:
+        """Broadcast the standardized new rows; every process re-shards
+        the identical grown corpus.  A failure after the broadcast
+        (e.g. OOM mid-upload) would hit every process alike — each
+        restores its old corpus independently."""
+        rows = self._announce(self._OP_GROW, self._as_f32(new_std), 0)
+        return self._scorer.grow(rows)
+
+    def stop(self) -> None:
+        """Release the followers (leader only; idempotence is the
+        caller's job — a second STOP has no listeners)."""
+        self._bcast(np.array([self._OP_STOP, 0, 0, 0], dtype=np.int64))
+
+    def follow(self) -> None:
+        """Follower loop: mirror every leader call until STOP."""
+        while True:
+            hdr = np.asarray(self._bcast(np.zeros(4, np.int64)))
+            op, rows, cols, n = (int(v) for v in hdr)
+            if op == self._OP_STOP:
+                return
+            payload = np.asarray(self._bcast(
+                np.zeros((rows, cols), np.float32)))
+            if op == self._OP_SIM:
+                self._scorer.sim(payload, gather=True)
+            elif op == self._OP_TOPK:
+                self._scorer.topk(payload, n)
+            elif op == self._OP_SIM_TOPK:
+                self._scorer.sim_and_topk(payload, n, gather=True)
+            elif op == self._OP_GROW:
+                self._scorer.grow(payload)
+            else:  # protocol corruption: stop rather than deadlock
+                raise RuntimeError(f"pod protocol: unknown op {op}")
 
 
-def make_sharded_scorer(mesh: Mesh, targets_std) -> ShardedScorer:
-    """Build a :class:`ShardedScorer` (row-sharded serving corpus)."""
+def make_sharded_scorer(mesh: Mesh, targets_std):
+    """Serving scorer for a row-sharded corpus: a plain
+    :class:`ShardedScorer` single-process, a :class:`PodScorer`
+    (leader/follower broadcast protocol) when the mesh spans multiple
+    processes."""
+    if jax.process_count() > 1:
+        return PodScorer(mesh, targets_std)
     return ShardedScorer(mesh, targets_std)

@@ -182,17 +182,46 @@ class SeekrService:
             if mesh is not None:
                 from seekr_tpu.parallel.dist import make_sharded_scorer
 
-                # one host crossing at load time: device_put needs the
-                # host buffer to lay the shards out.  The host copy is
-                # KEPT as the re-shard shadow for add_targets (213 MB
-                # at GENCODE k=6 — host RAM, not HBM); the resident
-                # copy on the default device is dropped.
+                # one host crossing at load time: laying out the shards
+                # needs the host buffer.  The scorer keeps it as the
+                # re-shard shadow for add_targets (213 MB at GENCODE
+                # k=6 — host RAM, not HBM); the resident copy on the
+                # default device is dropped.  On a multi-host mesh this
+                # returns a PodScorer (leader/follower broadcast
+                # protocol — see follow()).
                 self._mesh = mesh
-                self._tstd_host = np.asarray(tstd)
-                self._scorer = make_sharded_scorer(mesh, self._tstd_host)
+                self._scorer = make_sharded_scorer(mesh, np.asarray(tstd))
             else:
                 self._mesh = None
                 self._targets_std = tstd
+
+    def follow(self) -> None:
+        """Follower entry point for multi-host (pod) serving.
+
+        Every process constructs the SAME SeekrService (same artifacts,
+        same fasta, same mesh); process 0 then runs the socket server
+        while every other process calls ``follow()`` and mirrors the
+        leader's device calls until the leader's shutdown releases it
+        (parallel.dist.PodScorer).  Returns after STOP.
+        """
+        from seekr_tpu.parallel.dist import PodScorer
+
+        if not isinstance(self._scorer, PodScorer):
+            raise ValueError("follow() is for multi-host mesh serving: "
+                             "this service has no pod scorer")
+        if self._scorer.is_leader:
+            raise ValueError("process 0 is the leader: run the socket "
+                             "server here, follow() on the others")
+        self._scorer.follow()
+
+    def stop_followers(self) -> None:
+        """Release pod followers (no-op single-host / single-process).
+        Leader-only; call once, after the last device call."""
+        from seekr_tpu.parallel.dist import PodScorer
+
+        if isinstance(self._scorer, PodScorer) and self._scorer.is_leader:
+            with self._lock:  # never interleave STOP with a device call
+                self._scorer.stop()
 
     def _count(self, seqs: Sequence[str], nan_check: bool = False):
         """Device-resident normalized counts of in-memory sequences.
@@ -367,24 +396,10 @@ class SeekrService:
                              for i in range(self._n_targets,
                                             self._n_targets + len(seqs))]
             if self._scorer is not None:  # mesh: re-shard the shadow
-                from seekr_tpu.parallel.dist import make_sharded_scorer
-
-                old_host = self._tstd_host
-                grown = np.concatenate([old_host, np.asarray(new_std)],
-                                       axis=0)
-                # drop the old scorer FIRST so its corpus shards free
-                # before the grown corpus uploads — otherwise peak HBM
-                # is 2x a corpus that was sized to fit once
-                self._scorer = None
-                try:
-                    self._scorer = make_sharded_scorer(self._mesh, grown)
-                    self._tstd_host = grown
-                except BaseException:
-                    # OOM/backend failure mid-swap: restore the old
-                    # corpus so the service keeps answering
-                    self._scorer = make_sharded_scorer(self._mesh,
-                                                       old_host)
-                    raise
+                # the scorer drops its old shards before the grown
+                # corpus uploads and restores them on failure (and on a
+                # pod, broadcasts the rows so every process re-shards)
+                self._scorer.grow(np.asarray(new_std))
             else:
                 import jax.numpy as jnp
 
@@ -815,20 +830,24 @@ class _Server(socketserver.ThreadingUnixStreamServer):
 
 def serve_forever(service: SeekrService, socket_path: str,
                   ready_event: Optional[threading.Event] = None) -> None:
-    """Blocking accept loop; remove a stale socket file first."""
+    """Blocking accept loop; remove a stale socket file first.  On exit
+    (shutdown op) any pod followers are released."""
     try:
         os.unlink(socket_path)
     except FileNotFoundError:
         pass
-    with _Server(socket_path, _Handler) as server:
-        server.service = service  # type: ignore[attr-defined]
-        if ready_event is not None:
-            ready_event.set()
-        server.serve_forever()
     try:
-        os.unlink(socket_path)
-    except FileNotFoundError:
-        pass
+        with _Server(socket_path, _Handler) as server:
+            server.service = service  # type: ignore[attr-defined]
+            if ready_event is not None:
+                ready_event.set()
+            server.serve_forever()
+    finally:
+        service.stop_followers()
+        try:
+            os.unlink(socket_path)
+        except FileNotFoundError:
+            pass
 
 
 def request(socket_path: str, payload: dict, timeout: float = 600.0) -> dict:

@@ -18,6 +18,7 @@ import sys
 import pytest
 
 WORKER = pathlib.Path(__file__).parent / "dist_worker.py"
+POD_WORKER = pathlib.Path(__file__).parent / "pod_worker.py"
 
 
 def _free_port() -> int:
@@ -26,14 +27,13 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-@pytest.mark.parametrize("n_procs", [2, 4])
-def test_multi_process_rendezvous_pipeline(n_procs):
+def _run_workers(worker, n_procs):
     coordinator = f"127.0.0.1:{_free_port()}"
     env = {k: v for k, v in os.environ.items()
            if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
     procs = [
         subprocess.Popen(
-            [sys.executable, str(WORKER), coordinator, str(n_procs),
+            [sys.executable, str(worker), coordinator, str(n_procs),
              str(pid)],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
             env=env)
@@ -51,3 +51,17 @@ def test_multi_process_rendezvous_pipeline(n_procs):
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out}"
         assert f"DIST_OK p{pid}" in out, f"worker {pid} output:\n{out}"
+
+
+@pytest.mark.parametrize("n_procs", [2, 4])
+def test_multi_process_rendezvous_pipeline(n_procs):
+    _run_workers(WORKER, n_procs)
+
+
+@pytest.mark.parametrize("n_procs", [2])
+def test_multi_process_pod_serving(n_procs):
+    """Pod serving's leader/follower broadcast protocol (PodScorer):
+    process 0 serves queries + grows the corpus over a 2-process global
+    mesh while process 1 mirrors every SPMD call via follow(); answers
+    are asserted against a local single-device oracle service."""
+    _run_workers(POD_WORKER, n_procs)
