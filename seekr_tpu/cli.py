@@ -486,6 +486,13 @@ def console_serve(argv=None):
         if mesh is not None and not args.targets:
             parser.error("-dp requires -t/--targets: the sharded corpus "
                          "is the thing being distributed")
+        if (args.num_processes or 0) > 1 and mesh is None:
+            # without a mesh no process would take the follower path:
+            # N independent unsharded servers would come up instead of
+            # a pod — the exact HBM blow-up pod serving exists to avoid
+            parser.error("--num_processes > 1 requires -dp N covering "
+                         "all devices (a multi-host serve must shard "
+                         "the corpus over one global mesh)")
     fitres = None
     if args.fitres_file:
         fitres = parse_fitres_csv(args.fitres_file, args.fitres_type)

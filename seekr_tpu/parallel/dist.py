@@ -408,8 +408,7 @@ class ShardedScorer:
         old = self._host
         grown = np.concatenate(
             [old, np.asarray(new_std, np.float32)], axis=0)
-        self._tstd = None
-        self._impls = {}
+        self._tstd = None  # free the old shards before the re-upload
         try:
             self._load(grown)
             self._host = grown
@@ -417,6 +416,14 @@ class ShardedScorer:
             self._load(old)
             raise
         return self.t_real
+
+    def reload(self, host) -> None:
+        """Re-shard from an explicit host corpus (pod grow rollback:
+        a process whose grow succeeded unwinds to the agreed state)."""
+        host = np.asarray(host, np.float32)
+        self._tstd = None
+        self._load(host)
+        self._host = host
 
     def _prep(self, qc):
         """Queries as a replicated GLOBAL array on multi-host meshes
@@ -552,6 +559,7 @@ class PodScorer:
     def __init__(self, mesh: Mesh, targets_std):
         self.mesh = mesh
         self.is_leader = jax.process_index() == 0
+        self._stopped = False
         self._scorer = ShardedScorer(mesh, targets_std)
 
     # ShardedScorer surface the service reads
@@ -573,6 +581,13 @@ class PodScorer:
         return multihost_utils.broadcast_one_to_all(arr)
 
     def _announce(self, op: int, payload: np.ndarray, n: int):
+        if self._stopped:
+            # STOP released the followers: a further broadcast would
+            # block forever in a collective with no participants.  Fail
+            # the request instead (requests racing a shutdown get a
+            # clean error, not a hang).
+            raise RuntimeError("pod scorer is stopped: the followers "
+                               "have been released")
         hdr = np.array([op, payload.shape[0], payload.shape[1], n],
                        dtype=np.int64)
         self._bcast(hdr)
@@ -601,36 +616,77 @@ class PodScorer:
 
     def grow(self, new_std) -> int:
         """Broadcast the standardized new rows; every process re-shards
-        the identical grown corpus.  A failure after the broadcast
-        (e.g. OOM mid-upload) would hit every process alike — each
-        restores its old corpus independently."""
+        the identical grown corpus — then AGREES on the outcome.
+
+        The local grow can fail asymmetrically (per-host HBM/RAM
+        pressure differs), and a t_real divergence would make every
+        later call compile mismatched collectives (deadlock).  So each
+        process allgathers its success flag; unless ALL succeeded, the
+        successful ones re-shard back to the old corpus and the leader
+        raises — the pod stays consistent either way."""
         rows = self._announce(self._OP_GROW, self._as_f32(new_std), 0)
-        return self._scorer.grow(rows)
+        return self._grow_agreed(rows)
+
+    def _grow_agreed(self, rows: np.ndarray) -> int:
+        from jax.experimental import multihost_utils
+
+        old = self._scorer._host
+        err = None
+        try:
+            self._scorer.grow(rows)
+        except Exception as e:  # noqa: BLE001 — outcome voted below
+            err = e
+        flags = np.asarray(multihost_utils.process_allgather(
+            np.asarray(err is None, np.int32)))
+        if not flags.all():
+            if err is None:  # we grew but a peer failed: unwind
+                self._scorer.reload(old)
+            raise err if err is not None else RuntimeError(
+                f"corpus grow failed on {int((1 - flags).sum())} "
+                "process(es); every process restored the old corpus")
+        return self._scorer.t_real
 
     def stop(self) -> None:
-        """Release the followers (leader only; idempotence is the
-        caller's job — a second STOP has no listeners)."""
+        """Release the followers.  Idempotent: a second call returns
+        without broadcasting (STOP with no listeners would block
+        forever in an empty collective), and all later entry points
+        raise instead of hanging."""
+        if self._stopped:
+            return
         self._bcast(np.array([self._OP_STOP, 0, 0, 0], dtype=np.int64))
+        self._stopped = True
 
     def follow(self) -> None:
-        """Follower loop: mirror every leader call until STOP."""
+        """Follower loop: mirror every leader call until STOP.
+
+        Per-op errors are contained: the leader survives a failed
+        request at its handler boundary, so the follower must survive
+        the mirrored failure too — a dead follower would wedge every
+        later broadcast (collectives need all processes).  GROW runs
+        the same agree-or-unwind vote as the leader side.
+        """
         while True:
             hdr = np.asarray(self._bcast(np.zeros(4, np.int64)))
             op, rows, cols, n = (int(v) for v in hdr)
             if op == self._OP_STOP:
+                self._stopped = True
                 return
+            if op not in (self._OP_SIM, self._OP_TOPK,
+                          self._OP_SIM_TOPK, self._OP_GROW):
+                raise RuntimeError(f"pod protocol: unknown op {op}")
             payload = np.asarray(self._bcast(
                 np.zeros((rows, cols), np.float32)))
-            if op == self._OP_SIM:
-                self._scorer.sim(payload, gather=True)
-            elif op == self._OP_TOPK:
-                self._scorer.topk(payload, n)
-            elif op == self._OP_SIM_TOPK:
-                self._scorer.sim_and_topk(payload, n, gather=True)
-            elif op == self._OP_GROW:
-                self._scorer.grow(payload)
-            else:  # protocol corruption: stop rather than deadlock
-                raise RuntimeError(f"pod protocol: unknown op {op}")
+            try:
+                if op == self._OP_SIM:
+                    self._scorer.sim(payload, gather=True)
+                elif op == self._OP_TOPK:
+                    self._scorer.topk(payload, n)
+                elif op == self._OP_SIM_TOPK:
+                    self._scorer.sim_and_topk(payload, n, gather=True)
+                else:
+                    self._grow_agreed(payload)
+            except Exception:  # noqa: BLE001 — stay alive for the pod:
+                continue  # mirrored failure; the leader reported it
 
 
 def make_sharded_scorer(mesh: Mesh, targets_std):

@@ -94,7 +94,36 @@ def main():
     assert np.array_equal(got3["topk_idx"],
                           np.asarray(want2["topk_idx"])[:, :2])
 
+    # asymmetric grow failure: the leader's local re-shard "OOMs" while
+    # the follower's succeeds — the agree vote must unwind the follower
+    # back to the old corpus (a t_real divergence would deadlock every
+    # later collective) and the pod must keep answering consistently
+    inner = svc._scorer._scorer
+    orig_grow = inner.grow
+
+    def _boom(rows):
+        raise MemoryError("induced grow failure")
+
+    inner.grow = _boom
+    try:
+        svc.add_targets(_seqs(rng, 2))
+        raise SystemExit("expected the induced grow failure to raise")
+    except MemoryError:
+        pass
+    inner.grow = orig_grow
+    assert svc._scorer.t_real == 17  # unchanged
+    got4 = svc.query(queries, want=("sim", "topk"), topk=3)
+    assert np.allclose(got4["sim"], want2["sim"], rtol=1e-4, atol=1e-5)
+    assert np.array_equal(got4["topk_idx"],
+                          np.asarray(want2["topk_idx"])[:, :3])
+
     svc.stop_followers()
+    svc.stop_followers()  # idempotent: a second STOP must not hang
+    try:  # post-stop requests fail fast instead of hanging a collective
+        svc.query(queries, want=("topk",), topk=2)
+        raise SystemExit("expected post-stop query to fail")
+    except RuntimeError as err:
+        assert "stopped" in str(err), err
     print("DIST_OK p0", flush=True)
 
 
