@@ -681,6 +681,70 @@ def test_add_targets_mesh_reshards(artifacts):
     assert np.array_equal(got["topk_idx"], want_out["topk_idx"])
 
 
+def test_growth_under_concurrent_load(artifacts):
+    """Queries racing live corpus growth: every answer must be
+    internally consistent with ONE corpus snapshot (the device lock
+    makes each query-vs-swap atomic), and the append-only contract
+    holds throughout — the original 6 columns are bit-for-bit stable
+    in every response regardless of when it interleaved with a grow."""
+    tmp, _ = artifacts
+    rng = np.random.default_rng(44)
+    svc = SeekrService(str(tmp / "mean.npy"), str(tmp / "std.npy"), k=K,
+                       targets=str(tmp / "targets.fa"))
+    queries = _seqs(rng, 2)
+    base = np.asarray(svc.query(queries, want=("sim",))["sim"])
+    batches = [_seqs(rng, 2) for _ in range(3)]
+    valid_sizes = {6, 8, 10, 12}
+    outs, errs = [], []
+    out_lock = threading.Lock()
+
+    def client():
+        try:
+            for _ in range(6):
+                out = svc.query(queries, want=("sim", "topk"), topk=20)
+                with out_lock:
+                    outs.append(out)
+        except Exception as err:  # noqa: BLE001 — collected for assert
+            errs.append(err)
+
+    def grower():
+        try:
+            for batch in batches:
+                svc.add_targets(batch)
+        except Exception as err:  # noqa: BLE001 — collected for assert
+            errs.append(err)
+
+    threads = [threading.Thread(target=client) for _ in range(4)]
+    threads.append(threading.Thread(target=grower))
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+        assert not t.is_alive(), "serving deadlocked under growth load"
+    assert not errs, errs
+    assert svc._n_targets == 12
+    # the clients may all have finished before the last grow landed —
+    # one final query pins the 12-corpus answer path
+    outs.append(svc.query(queries, want=("sim", "topk"), topk=20))
+    saw_sizes = set()
+    for out in outs:
+        n = out["n"]
+        saw_sizes.add(n)
+        assert n in valid_sizes
+        sim = np.asarray(out["sim"])
+        assert sim.shape == (2, n)
+        # append-only: stored indices AND scores survive every grow
+        np.testing.assert_array_equal(sim[:, :6], base)
+        idx = np.asarray(out["topk_idx"])
+        vals = np.asarray(out["topk_sim"])
+        assert idx.shape == vals.shape == (2, n)  # topk=20 clamps to n
+        assert idx.min() >= 0 and idx.max() < n
+        # top-k is the sorted row of the SAME snapshot's sim matrix
+        np.testing.assert_allclose(vals, -np.sort(-sim, axis=1),
+                                   rtol=0, atol=0)
+    assert 12 in saw_sizes  # at least the final corpus was served
+
+
 def test_add_targets_validation(artifacts, tmp_path):
     tmp, _ = artifacts
     svc = SeekrService(str(tmp / "mean.npy"), str(tmp / "std.npy"), k=K,
