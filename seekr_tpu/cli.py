@@ -411,6 +411,9 @@ start:
   ops     : {"op": "ping"} (health + latency percentiles),
             {"op": "add_targets", "seqs"/"fasta": ...} (grow the
             resident corpus without a restart; append-only),
+            {"op": "save_corpus", "path": "c.npz"} (snapshot the
+            resident corpus, growth included — restart with -t c.npz
+            to skip counting the fasta),
             {"op": "shutdown"}
 
 Results are identical to the seekr_kmer_counts + seekr_pearson +
@@ -440,9 +443,17 @@ def console_serve(argv=None):
                         choices=["Log2.post", "Log2.pre", "Log2.none"],
                         help="log2 transform mode.")
     parser.add_argument("-t", "--targets", default=None,
-                        help="target fasta: queries are scored against "
+                        help="target fasta — queries are scored against "
                              "these rows (default: against the query "
-                             "batch itself).")
+                             "batch itself) — or a .npz corpus snapshot "
+                             "written by --save-corpus, which skips "
+                             "counting the fasta at startup.")
+    parser.add_argument("--save-corpus", default=None, dest="save_corpus",
+                        help="write the loaded target corpus as a "
+                             "restartable .npz snapshot and exit (serve "
+                             "later with -t <snapshot>.npz); a running "
+                             "server snapshots via the save_corpus op "
+                             "instead.")
     parser.add_argument("-fr", "--fitres_file", default=None,
                         help="find_dist fitres csv enabling 'pvals'.")
     parser.add_argument("-ft", "--fitres_type", default="distribution",
@@ -496,6 +507,9 @@ def console_serve(argv=None):
     fitres = None
     if args.fitres_file:
         fitres = parse_fitres_csv(args.fitres_file, args.fitres_type)
+    if args.save_corpus and not args.targets:
+        parser.error("--save-corpus requires -t/--targets: the snapshot "
+                     "is the loaded target corpus")
     svc = SeekrService(args.mean_path, args.std_path, k=int(args.kmer),
                        log2=args.log2, targets=args.targets, fitres=fitres,
                        coalesce=not args.no_coalesce, mesh=mesh)
@@ -509,6 +523,15 @@ def console_serve(argv=None):
         print(f"seekr_tpu_serve: process {jax.process_index()} "
               "following leader", flush=True)
         svc.follow()
+        return
+    if args.save_corpus:
+        # leader-only (followers are in follow() above on a pod and the
+        # snapshot needs no device call); stop_followers releases them
+        svc.save_corpus(args.save_corpus)
+        svc.stop_followers()
+        print(f"seekr_tpu_serve: corpus snapshot written to "
+              f"{args.save_corpus} (serve with -t {args.save_corpus})",
+              flush=True)
         return
     if not args.no_warmup:
         print("seekr_tpu_serve: warming executables...", flush=True)

@@ -425,6 +425,13 @@ class ShardedScorer:
         self._load(host)
         self._host = host
 
+    @property
+    def host_corpus(self) -> np.ndarray:
+        """The unpadded [t_real, n_cols] standardized corpus on host —
+        the grow() shadow, reused by SeekrService.save_corpus so a
+        snapshot never needs a device fetch."""
+        return self._host
+
     def _prep(self, qc):
         """Queries as a replicated GLOBAL array on multi-host meshes
         (plain np/device arrays are not accepted by a multi-host pjit);
@@ -574,6 +581,10 @@ class PodScorer:
     @property
     def n_cols(self) -> int:
         return self._scorer.n_cols
+
+    @property
+    def host_corpus(self) -> np.ndarray:
+        return self._scorer.host_corpus
 
     def _bcast(self, arr):
         from jax.experimental import multihost_utils

@@ -36,6 +36,11 @@ construction — binding a network port is the deployment layer's job):
                 "n": new_total, "added": N} — append targets to the
                 resident corpus without a restart (append-only;
                 existing indices never change)
+              {"op": "save_corpus", "path": "corpus.npz"} -> {"ok":
+                true, "path": ...} — snapshot the resident standardized
+                corpus (including live growth); a service restarted
+                with targets="corpus.npz" skips counting the target
+                fasta and scores bit-identically
               {"op": "shutdown"} -> {"ok": true} (server exits)
 
 Counting/normalize/Pearson run the same device path as the CLI
@@ -166,7 +171,12 @@ class SeekrService:
         if targets is not None:
             from seekr_tpu.ops.pearson import standardize_rows
 
-            if isinstance(targets, str):
+            if isinstance(targets, str) and targets.endswith(".npz"):
+                # corpus snapshot (save_corpus): the standardized matrix
+                # is already computed — a restart skips counting the
+                # whole target fasta (the expensive part of load)
+                tstd, self.target_names = self._load_corpus(targets)
+            elif isinstance(targets, str):
                 counter = KmerCounter(targets, k=self.k, mean=self.mean,
                                       std=self.std, log2=log2, silent=True)
                 tstd = standardize_rows(counter.get_counts_device())
@@ -192,8 +202,86 @@ class SeekrService:
                 self._mesh = mesh
                 self._scorer = make_sharded_scorer(mesh, np.asarray(tstd))
             else:
+                import jax.numpy as jnp
+
                 self._mesh = None
-                self._targets_std = tstd
+                # no-copy for arrays standardize_rows already left on
+                # device; uploads once for a snapshot's host matrix
+                self._targets_std = jnp.asarray(tstd)
+
+    def _load_corpus(self, path: str):
+        """Load a ``save_corpus`` snapshot: the standardized target
+        matrix + names, validated against THIS service's artifacts.
+
+        The snapshot bakes in k, log2 and the norm vectors (the matrix
+        is a function of all three), so a mismatch would silently score
+        queries against a corpus normalized differently than the
+        queries themselves — rejected loudly instead.
+        """
+        with np.load(path, allow_pickle=False) as z:
+            missing = {"format", "tstd", "names", "k", "log2",
+                       "mean", "std"} - set(z.files)
+            if missing:
+                raise ValueError(f"{path} is not a seekr_tpu corpus "
+                                 f"snapshot (missing {sorted(missing)})")
+            fmt = int(z["format"])
+            if fmt != 1:
+                raise ValueError(f"corpus snapshot format {fmt} is newer "
+                                 "than this seekr_tpu (supports 1)")
+            if int(z["k"]) != self.k or str(z["log2"]) != self.log2:
+                raise ValueError(
+                    f"corpus snapshot was built with k={int(z['k'])}, "
+                    f"log2={z['log2']}; this service runs k={self.k}, "
+                    f"log2={self.log2}")
+            if (not np.array_equal(z["mean"], self.mean)
+                    or not np.array_equal(z["std"], self.std)):
+                raise ValueError(
+                    "corpus snapshot was standardized with DIFFERENT "
+                    "norm vectors than this service's mean/std — "
+                    "rebuild the snapshot from the target fasta")
+            tstd = np.asarray(z["tstd"], np.float32)
+            names = [str(n) for n in z["names"]]
+        if tstd.ndim != 2 or tstd.shape[1] != 4 ** self.k:
+            raise ValueError(f"corpus snapshot matrix is {tstd.shape}, "
+                             f"want [T, {4 ** self.k}]")
+        if len(names) != tstd.shape[0]:
+            raise ValueError(f"corpus snapshot has {tstd.shape[0]} rows "
+                             f"but {len(names)} names")
+        return tstd, names
+
+    def save_corpus(self, path: str) -> str:
+        """Write the resident corpus as a restartable snapshot (.npz).
+
+        Captures the STANDARDIZED target matrix (including any
+        ``add_targets`` growth), the target names, and the artifacts it
+        was built with (k, log2, mean, std — validated at load).  A new
+        service started with ``targets=<path>`` skips counting the
+        target fasta entirely, which is the expensive part of a cold
+        start; scores are bit-identical to the fasta-loaded service
+        because the exact standardized float32 rows round-trip.
+
+        Snapshot vs fasta: the snapshot is 4^k floats/row regardless of
+        sequence length (larger than the fasta for short transcripts,
+        far smaller for long ones) and loads at disk speed instead of
+        count speed.  Taken under the device lock, so a snapshot racing
+        ``add_targets`` is either fully before or fully after the grow.
+        """
+        if not self._has_targets:
+            raise ValueError("service started without targets: "
+                             "self-similarity mode has no corpus to save")
+        if not path.endswith(".npz"):
+            # np.savez would append .npz anyway; require it up front so
+            # the path the caller stores is the path load recognizes
+            raise ValueError("corpus snapshot path must end in .npz")
+        with self._lock:
+            host = np.asarray(self._scorer.host_corpus
+                              if self._scorer is not None
+                              else self._targets_std, np.float32)
+            names = np.asarray(self.target_names)
+        np.savez(path, format=np.int64(1), tstd=host, names=names,
+                 k=np.int64(self.k), log2=np.asarray(self.log2),
+                 mean=self.mean, std=self.std)
+        return path
 
     def follow(self) -> None:
         """Follower entry point for multi-host (pod) serving.
@@ -784,6 +872,12 @@ class _Handler(socketserver.StreamRequestHandler):
                                        names=req.get("names"),
                                        fasta=req.get("fasta"))
             return {"ok": True, "n": n, "added": added}
+        if op == "save_corpus":
+            path = req.get("path")
+            if not path:
+                return {"ok": False,
+                        "error": "save_corpus needs 'path' (.npz)"}
+            return {"ok": True, "path": svc.save_corpus(path)}
         if op == "shutdown":
             return {"ok": True, "_shutdown": True}
         if op != "query":
