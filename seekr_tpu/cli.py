@@ -526,9 +526,13 @@ def console_serve(argv=None):
         return
     if args.save_corpus:
         # leader-only (followers are in follow() above on a pod and the
-        # snapshot needs no device call); stop_followers releases them
-        svc.save_corpus(args.save_corpus)
-        svc.stop_followers()
+        # snapshot needs no device call); stop_followers in finally so a
+        # failed save (bad suffix, unwritable path) still releases the
+        # followers instead of wedging them in broadcast forever
+        try:
+            svc.save_corpus(args.save_corpus)
+        finally:
+            svc.stop_followers()
         print(f"seekr_tpu_serve: corpus snapshot written to "
               f"{args.save_corpus} (serve with -t {args.save_corpus})",
               flush=True)

@@ -278,9 +278,27 @@ class SeekrService:
                               if self._scorer is not None
                               else self._targets_std, np.float32)
             names = np.asarray(self.target_names)
-        np.savez(path, format=np.int64(1), tstd=host, names=names,
-                 k=np.int64(self.k), log2=np.asarray(self.log2),
-                 mean=self.mean, std=self.std)
+        # write-then-rename: a crash or ENOSPC mid-write must never leave
+        # a truncated .npz at the exact path a restart script passes to
+        # -t (load would fail with an opaque zipfile error instead of
+        # the friendly validation ones)
+        import tempfile
+
+        fd, tmp = tempfile.mkstemp(
+            dir=os.path.dirname(os.path.abspath(path)) or ".",
+            suffix=".npz.tmp")
+        try:
+            with os.fdopen(fd, "wb") as fh:
+                np.savez(fh, format=np.int64(1), tstd=host, names=names,
+                         k=np.int64(self.k), log2=np.asarray(self.log2),
+                         mean=self.mean, std=self.std)
+            os.replace(tmp, path)
+        except BaseException:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+            raise
         return path
 
     def follow(self) -> None:

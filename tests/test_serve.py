@@ -783,3 +783,89 @@ def test_add_targets_validation(artifacts, tmp_path):
     finally:
         request(sock, {"op": "shutdown"})
         t.join(timeout=10)
+
+
+def test_save_corpus_round_trip(artifacts, tmp_path):
+    """ADVICE r3: snapshot save -> restart-from-.npz bit-identity,
+    including add_targets growth taken before the snapshot."""
+    tmp, _ = artifacts
+    rng = np.random.default_rng(40)
+    svc = SeekrService(str(tmp / "mean.npy"), str(tmp / "std.npy"), k=K,
+                       targets=str(tmp / "targets.fa"))
+    svc.add_targets(_seqs(rng, 2), names=["g0", "g1"])
+    queries = _seqs(rng, 3)
+    want = np.asarray(svc.query(queries, want=("sim",))["sim"])
+
+    snap = str(tmp_path / "corpus.npz")
+    assert svc.save_corpus(snap) == snap
+    restarted = SeekrService(str(tmp / "mean.npy"), str(tmp / "std.npy"),
+                             k=K, targets=snap)
+    assert restarted.target_names == svc.target_names
+    assert restarted.target_names[-2:] == ["g0", "g1"]
+    got = np.asarray(restarted.query(queries, want=("sim",))["sim"])
+    # exact: the standardized float32 rows round-trip bit-for-bit
+    np.testing.assert_array_equal(got, want)
+
+
+def test_save_corpus_validation(artifacts, tmp_path):
+    tmp, _ = artifacts
+    svc = SeekrService(str(tmp / "mean.npy"), str(tmp / "std.npy"), k=K,
+                       targets=str(tmp / "targets.fa"))
+    with pytest.raises(ValueError, match="end in .npz"):
+        svc.save_corpus(str(tmp_path / "corpus.weird"))
+    selfsim = SeekrService(str(tmp / "mean.npy"), str(tmp / "std.npy"),
+                           k=K)
+    with pytest.raises(ValueError, match="no corpus to save"):
+        selfsim.save_corpus(str(tmp_path / "c.npz"))
+
+    snap = str(tmp_path / "corpus.npz")
+    svc.save_corpus(snap)
+    # k mismatch (different-k norm vectors, same snapshot)
+    rng = np.random.default_rng(41)
+    np.save(tmp_path / "mean2.npy", rng.uniform(0.5, 2.0, 4 ** (K + 1)))
+    np.save(tmp_path / "std2.npy", rng.uniform(0.5, 2.0, 4 ** (K + 1)))
+    with pytest.raises(ValueError, match="k="):
+        SeekrService(str(tmp_path / "mean2.npy"), str(tmp_path / "std2.npy"),
+                     k=K + 1, targets=snap)
+    # log2 mismatch
+    with pytest.raises(ValueError, match="log2"):
+        SeekrService(str(tmp / "mean.npy"), str(tmp / "std.npy"), k=K,
+                     log2="Log2.none", targets=snap)
+    # norm-vector mismatch (same k, different values)
+    np.save(tmp_path / "mean3.npy", rng.uniform(0.5, 2.0, 4 ** K))
+    with pytest.raises(ValueError, match="DIFFERENT"):
+        SeekrService(str(tmp_path / "mean3.npy"), str(tmp / "std.npy"),
+                     k=K, targets=snap)
+    # not-a-snapshot npz
+    bogus = tmp_path / "bogus.npz"
+    np.savez(str(bogus), something=np.zeros(3))
+    with pytest.raises(ValueError, match="not a seekr_tpu corpus"):
+        SeekrService(str(tmp / "mean.npy"), str(tmp / "std.npy"), k=K,
+                     targets=str(bogus))
+    # future format version
+    with np.load(snap) as z:
+        parts = dict(z)
+    parts["format"] = np.int64(2)
+    future = tmp_path / "future.npz"
+    np.savez(str(future), **parts)
+    with pytest.raises(ValueError, match="newer"):
+        SeekrService(str(tmp / "mean.npy"), str(tmp / "std.npy"), k=K,
+                     targets=str(future))
+
+
+def test_save_corpus_atomic_write(artifacts, tmp_path, monkeypatch):
+    """A crash mid-write must not leave a truncated .npz at the target
+    path (ADVICE r3: temp file + os.replace)."""
+    tmp, _ = artifacts
+    svc = SeekrService(str(tmp / "mean.npy"), str(tmp / "std.npy"), k=K,
+                       targets=str(tmp / "targets.fa"))
+    snap = tmp_path / "corpus.npz"
+
+    def boom(*a, **k):
+        raise OSError(28, "No space left on device")
+
+    monkeypatch.setattr(np, "savez", boom)
+    with pytest.raises(OSError):
+        svc.save_corpus(str(snap))
+    assert not snap.exists()  # path absent, not truncated
+    assert not list(tmp_path.glob("*.npz.tmp"))  # temp cleaned up
