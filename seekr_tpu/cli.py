@@ -416,6 +416,11 @@ start:
             to skip counting the fasta),
             {"op": "shutdown"}
 
+The socket is created owner-only (0600).  Client-directed disk writes
+("outfile" prefixes, save_corpus paths) are rejected unless the server
+is started with --allow-artifacts DIR, and are then confined to DIR
+(symlinks and .. resolved before the check).
+
 Results are identical to the seekr_kmer_counts + seekr_pearson +
 seekr_find_pval artifact chain for the same inputs.
 
@@ -460,7 +465,14 @@ def console_serve(argv=None):
                         choices=["distribution", "npy"],
                         help="fitres artifact kind (see seekr_find_pval).")
     parser.add_argument("--socket", default="seekr_tpu.sock",
-                        help="UNIX socket path to listen on.")
+                        help="UNIX socket path to listen on (created "
+                             "owner-only, mode 0600).")
+    parser.add_argument("--allow-artifacts", default=None,
+                        dest="allow_artifacts", metavar="DIR",
+                        help="permit client-directed disk writes "
+                             "(query 'outfile' prefixes and the "
+                             "save_corpus op), confined to DIR; without "
+                             "this flag such requests are rejected.")
     parser.add_argument("--no-warmup", action="store_true",
                         help="skip executable pre-compilation.")
     parser.add_argument("--no-coalesce", action="store_true",
@@ -541,7 +553,7 @@ def console_serve(argv=None):
         print("seekr_tpu_serve: warming executables...", flush=True)
         svc.warmup()
     print(f"seekr_tpu_serve: listening on {args.socket}", flush=True)
-    serve_forever(svc, args.socket)
+    serve_forever(svc, args.socket, artifact_dir=args.allow_artifacts)
 
 
 QUERY_DOC = """

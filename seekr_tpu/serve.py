@@ -25,7 +25,11 @@ construction — binding a network port is the deployment layer's job):
     [Q, topk] result crosses to the host, never the [Q, T] matrix)
     artifact mode (large results): add "outfile": "/path/prefix" and the
     matrices are written as <prefix>_sim.npy / <prefix>_pvals.npy with
-    the paths returned in "files" instead of inline JSON
+    the paths returned in "files" instead of inline JSON.  Client-
+    directed writes (outfile, save_corpus) are OPT-IN: rejected unless
+    ``serve_forever(..., artifact_dir=DIR)`` / ``--allow-artifacts DIR``
+    was given, and then confined to DIR.  The socket itself is created
+    owner-only (0600)
     errors:   {"ok": false, "error": "..."}
     ops:      {"op": "ping"} -> {"ok": true, "k": .., "targets": ..,
                                  "queries_served": .., "device_batches":
@@ -859,6 +863,22 @@ class _Handler(socketserver.StreamRequestHandler):
             line = self.rfile.readline(_MAX_REQUEST)
             if not line:
                 return
+            if len(line) >= _MAX_REQUEST and not line.endswith(b"\n"):
+                # readline hit the cap mid-line: without this, the
+                # line's REMAINDER would be parsed as the next request —
+                # protocol desync instead of a clean reject (VERDICT
+                # r3).  Drain the rest of the logical line, answer one
+                # error, and stay in sync for the next request.
+                while True:
+                    rest = self.rfile.readline(_MAX_REQUEST)
+                    if not rest or rest.endswith(b"\n"):
+                        break
+                self.wfile.write(json.dumps(
+                    {"ok": False,
+                     "error": f"request line exceeds {_MAX_REQUEST} "
+                              "bytes"}).encode() + b"\n")
+                self.wfile.flush()
+                continue
             try:
                 req = json.loads(line)
                 resp = self._dispatch(req)
@@ -873,6 +893,36 @@ class _Handler(socketserver.StreamRequestHandler):
                 threading.Thread(target=self.server.shutdown,
                                  daemon=True).start()
                 return
+
+    def _check_artifact_path(self, path: str) -> str:
+        """Enforce the server's artifact-write policy on a client path.
+
+        The socket is a privilege boundary: without a policy, any local
+        process that can reach it could use ``outfile``/``save_corpus``
+        to write .npy/.npz files to ANY path the service user can write
+        (VERDICT r3).  Artifact writes are therefore opt-in: the server
+        must be started with an allowed directory (``--allow-artifacts``)
+        and every client-supplied path must resolve inside it — symlinks
+        and ``..`` are resolved first, so a link pointing outside the
+        directory is rejected too.  Returns the resolved absolute path.
+        """
+        allow = getattr(self.server, "artifact_dir", None)
+        if allow is None:
+            raise PermissionError(
+                "artifact writes over the socket are disabled: start "
+                "the server with --allow-artifacts DIR to permit "
+                "outfile/save_corpus paths under DIR")
+        base = os.path.realpath(allow)
+        # realpath the DIRECTORY (ancestors may be symlinks) and rejoin
+        # the final name, which need not exist yet
+        apath = os.path.abspath(path)
+        resolved = os.path.join(os.path.realpath(os.path.dirname(apath)),
+                                os.path.basename(apath))
+        if resolved != base and not resolved.startswith(base + os.sep):
+            raise PermissionError(
+                f"artifact path {path!r} resolves outside the allowed "
+                f"directory {base!r}")
+        return resolved
 
     def _dispatch(self, req):
         svc: SeekrService = self.server.service  # type: ignore[attr-defined]
@@ -895,11 +945,17 @@ class _Handler(socketserver.StreamRequestHandler):
             if not path:
                 return {"ok": False,
                         "error": "save_corpus needs 'path' (.npz)"}
-            return {"ok": True, "path": svc.save_corpus(path)}
+            return {"ok": True,
+                    "path": svc.save_corpus(
+                        self._check_artifact_path(path))}
         if op == "shutdown":
             return {"ok": True, "_shutdown": True}
         if op != "query":
             return {"ok": False, "error": f"unknown op {op!r}"}
+        # validate the artifact prefix BEFORE the device pass: a request
+        # whose outfile will be rejected must not burn device time first
+        outfile = req.get("outfile")
+        prefix = self._check_artifact_path(outfile) if outfile else None
         out = svc.query(req["seqs"], want=tuple(req.get("want", ["sim"])),
                         topk=int(req.get("topk", 10)))
         resp = {"ok": True, "m": out["m"], "n": out["n"]}
@@ -916,15 +972,15 @@ class _Handler(socketserver.StreamRequestHandler):
         if "topk_idx" in out and svc.target_names is not None:
             resp["topk_names"] = [[svc.target_names[j] for j in row]
                                   for row in out["topk_idx"]]
-        outfile = req.get("outfile")
-        if outfile:
+        if prefix:
             # artifact mode: large results go to disk as the standard
             # .npy artifacts (JSON-encoding a 13k-column matrix would
-            # dominate the request); one path per requested product
+            # dominate the request); one path per requested product,
+            # under the policy-checked prefix resolved above
             written = {}
             for key in ("sim", "pvals"):
                 if key in out:
-                    path = f"{outfile}_{key}.npy"
+                    path = f"{prefix}_{key}.npy"
                     np.save(path, np.asarray(out[key]))
                     written[key] = path
             resp["files"] = written
@@ -941,16 +997,32 @@ class _Server(socketserver.ThreadingUnixStreamServer):
 
 
 def serve_forever(service: SeekrService, socket_path: str,
-                  ready_event: Optional[threading.Event] = None) -> None:
+                  ready_event: Optional[threading.Event] = None,
+                  artifact_dir: Optional[str] = None) -> None:
     """Blocking accept loop; remove a stale socket file first.  On exit
-    (shutdown op) any pod followers are released."""
+    (shutdown op) any pod followers are released.
+
+    The socket is created owner-only (0600): any local user who could
+    reach it could otherwise shut the service down, poison the corpus
+    via add_targets, or direct artifact writes (VERDICT r3).  The mode
+    is enforced via umask BEFORE bind — chmod-after-bind would leave a
+    connectable window.  ``artifact_dir`` opts in to client-directed
+    disk writes (outfile / save_corpus), confined to that directory;
+    None (default) rejects them with an actionable error.
+    """
     try:
         os.unlink(socket_path)
     except FileNotFoundError:
         pass
+    old_umask = os.umask(0o177)  # bind() creates the socket file 0600
     try:
-        with _Server(socket_path, _Handler) as server:
+        server_cm = _Server(socket_path, _Handler)
+    finally:
+        os.umask(old_umask)
+    try:
+        with server_cm as server:
             server.service = service  # type: ignore[attr-defined]
+            server.artifact_dir = artifact_dir  # type: ignore[attr-defined]
             if ready_event is not None:
                 ready_event.set()
             server.serve_forever()

@@ -121,7 +121,9 @@ def test_socket_round_trip(artifacts, tmp_path):
                        fitres=[("norm", 0.01, (0.0, 0.25))])
     sock = str(tmp_path / "seekr.sock")
     ready = threading.Event()
+    # artifact mode is opt-in (VERDICT r3): allow writes under tmp_path
     t = threading.Thread(target=serve_forever, args=(svc, sock, ready),
+                         kwargs={"artifact_dir": str(tmp_path)},
                          daemon=True)
     t.start()
     assert ready.wait(30)
