@@ -475,6 +475,21 @@ def console_serve(argv=None):
                              "this flag such requests are rejected.")
     parser.add_argument("--no-warmup", action="store_true",
                         help="skip executable pre-compilation.")
+    parser.add_argument("--mem-budget", default=None, type=int,
+                        dest="mem_budget", metavar="BYTES",
+                        help="resident-corpus device-memory budget in "
+                             "bytes (per device on a mesh); add_targets "
+                             "past it is refused with the measured "
+                             "numbers.  Default: half the device's "
+                             "reported HBM limit (SEEKR_TPU_CORPUS_BUDGET "
+                             "also sets it).")
+    parser.add_argument("--grow-quantum", default=256, type=int,
+                        dest="grow_quantum", metavar="ROWS",
+                        help="resident corpus width is padded to a "
+                             "multiple of this many rows, so repeated "
+                             "small add_targets grows mint O(1) compiled "
+                             "executables per quantum instead of one per "
+                             "grow; 1 disables.")
     parser.add_argument("--no-coalesce", action="store_true",
                         help="serve each request as its own device batch "
                              "instead of merging concurrent requests.")
@@ -524,7 +539,9 @@ def console_serve(argv=None):
                      "is the loaded target corpus")
     svc = SeekrService(args.mean_path, args.std_path, k=int(args.kmer),
                        log2=args.log2, targets=args.targets, fitres=fitres,
-                       coalesce=not args.no_coalesce, mesh=mesh)
+                       coalesce=not args.no_coalesce, mesh=mesh,
+                       mem_budget_bytes=args.mem_budget,
+                       grow_quantum=args.grow_quantum)
     import jax
 
     if mesh is not None and jax.process_count() > 1 and \

@@ -368,7 +368,7 @@ class ShardedScorer:
     serving analog of ``distributed_pipeline``'s corpus math.
     """
 
-    def __init__(self, mesh: Mesh, targets_std):
+    def __init__(self, mesh: Mesh, targets_std, row_quantum: int = 1):
         from seekr_tpu.ops.pearson import _row_standardize
 
         self._row_standardize = _row_standardize
@@ -376,15 +376,37 @@ class ShardedScorer:
         self.n_dev = int(mesh.size)
         self._axes = tuple(mesh.axis_names)
         self._multihost = jax.process_count() > 1
+        # total padded rows are rounded up to a multiple of
+        # lcm(row_quantum, n_dev): every distinct t_loc is a fresh shard
+        # shape (= a fresh compile key for every executable), so N small
+        # grows must cost O(range/quantum) compiles, not N.  Applied
+        # from the INITIAL load so a within-quantum grow leaves every
+        # shape — and therefore every score, bit for bit — unchanged.
+        self.row_quantum = max(1, int(row_quantum))
+        self._impls: dict = {}
         # the unpadded host shadow is kept for grow() re-shards (host
         # RAM, not HBM; ~213 MB at GENCODE k=6)
         self._host = np.asarray(targets_std, np.float32)
         self._load(self._host)
 
+    def prospective_rows(self, new_total: int) -> int:
+        """Padded row count a corpus of ``new_total`` real rows would
+        occupy after a grow (quantization + device-multiple) — the
+        service's memory-budget gate asks before uploading anything."""
+        q = int(np.lcm(self.n_dev, self.row_quantum))
+        return -(-new_total // q) * q
+
     def _load(self, host: np.ndarray) -> None:
-        """(Re)place the corpus shards; resets the executable cache."""
+        """(Re)place the corpus shards.
+
+        The executable cache survives when the shard shape (t_loc,
+        n_cols) is unchanged — t_real rides into the compiled graphs as
+        a traced scalar, so a within-quantum grow reuses every compiled
+        executable."""
         self.t_real, self.n_cols = (int(d) for d in host.shape)
-        self.t_loc = -(-self.t_real // self.n_dev)
+        t_pad = self.prospective_rows(self.t_real)
+        old_shape = (getattr(self, "t_loc", None), self.n_cols)
+        self.t_loc = t_pad // self.n_dev
         padded = np.zeros((self.t_loc * self.n_dev, self.n_cols),
                           np.float32)
         padded[:self.t_real] = host
@@ -395,7 +417,8 @@ class ShardedScorer:
         self._tstd = jax.make_array_from_callback(
             padded.shape, NamedSharding(self.mesh, P(self._axes, None)),
             lambda idx: padded[idx])
-        self._impls: dict = {}
+        if (self.t_loc, self.n_cols) != old_shape:
+            self._impls = {}
 
     def grow(self, new_std) -> int:
         """Append standardized rows and re-shard; returns new t_real.
@@ -419,7 +442,9 @@ class ShardedScorer:
 
     def reload(self, host) -> None:
         """Re-shard from an explicit host corpus (pod grow rollback:
-        a process whose grow succeeded unwinds to the agreed state)."""
+        a process whose grow succeeded unwinds to the agreed state;
+        padding is a pure function of the row count, so every process
+        lands on the identical shard shape)."""
         host = np.asarray(host, np.float32)
         self._tstd = None
         self._load(host)
@@ -444,11 +469,15 @@ class ShardedScorer:
 
     def _build(self, n_local, n_out, want_sim: bool, gather: bool):
         """One executable per (n_local, n_out, want_sim): shard-local
-        GEMM (+ local rank when n_local), candidate merge outside."""
-        mesh, axes = self.mesh, self._axes
-        t_loc, t_real, n_cols = self.t_loc, self.t_real, self.n_cols
+        GEMM (+ local rank when n_local), candidate merge outside.
 
-        def local(q, t_shard):
+        The real row count rides in as a TRACED scalar (``t_real``
+        below), not a baked constant: a within-quantum grow changes
+        only t_real, so every compiled executable keeps serving."""
+        mesh, axes = self.mesh, self._axes
+        t_loc, n_cols = self.t_loc, self.n_cols
+
+        def local(q, t_shard, t_real):
             sim = jax.lax.dot_general(
                 q, t_shard, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -469,15 +498,15 @@ class ShardedScorer:
                                                      n_local is not None)
         mapped = jax.shard_map(
             local, mesh=mesh,
-            in_specs=(P(None, None), P(axes, None)),
+            in_specs=(P(None, None), P(axes, None), P()),
             out_specs=(P(None, axes),) * n_outs,
         )
         sharded = NamedSharding(mesh, P(None, axes))
         repl = NamedSharding(mesh, P())
 
-        def impl(qc, t):
+        def impl(qc, t, t_real):
             q = self._row_standardize(jnp.asarray(qc, jnp.float32))
-            outs = mapped(q, t)
+            outs = mapped(q, t, t_real)
             if n_local is None:
                 return outs[0]
             cand_v, cand_i = outs[-2], outs[-1]
@@ -507,13 +536,24 @@ class ShardedScorer:
             fn = self._impls[key] = self._build(*key)
         return fn
 
+    def _t_real_arg(self):
+        """t_real as the traced scalar the executables consume; on a
+        multi-host mesh it must be a global replicated array like every
+        other pjit input."""
+        val = np.int32(self.t_real)
+        if not self._multihost:
+            return val
+        return jax.make_array_from_callback(
+            (), NamedSharding(self.mesh, P()), lambda idx: val)
+
     def sim(self, qc, gather: bool = False):
         """[Q, t_pad] similarity on device, column-sharded over the
         mesh; columns >= ``t_real`` are pad (slice host-side).  With
         ``gather`` the executable all-gathers the slabs over the ICI
         into a replicated output instead — the multi-host fetch path
         (a column-sharded multi-host array cannot be read locally)."""
-        return self._impl(None, True, gather)(self._prep(qc), self._tstd)
+        return self._impl(None, True, gather)(
+            self._prep(qc), self._tstd, self._t_real_arg())
 
     def sim_host(self, qc) -> np.ndarray:
         """[Q, t_real] similarity gathered to the host."""
@@ -522,12 +562,14 @@ class ShardedScorer:
 
     def topk(self, qc, n: int):
         """([Q, n'], [Q, n']) top values + GLOBAL indices, replicated."""
-        return self._impl(n, False, False)(self._prep(qc), self._tstd)
+        return self._impl(n, False, False)(
+            self._prep(qc), self._tstd, self._t_real_arg())
 
     def sim_and_topk(self, qc, n: int, gather: bool = False):
         """(sim [Q, t_pad] column-sharded — or replicated with
         ``gather`` — vals, idx) from one shard-local GEMM."""
-        return self._impl(n, True, gather)(self._prep(qc), self._tstd)
+        return self._impl(n, True, gather)(
+            self._prep(qc), self._tstd, self._t_real_arg())
 
 
 class PodScorer:
@@ -563,11 +605,12 @@ class PodScorer:
 
     _OP_STOP, _OP_SIM, _OP_TOPK, _OP_SIM_TOPK, _OP_GROW = range(5)
 
-    def __init__(self, mesh: Mesh, targets_std):
+    def __init__(self, mesh: Mesh, targets_std, row_quantum: int = 1):
         self.mesh = mesh
         self.is_leader = jax.process_index() == 0
         self._stopped = False
-        self._scorer = ShardedScorer(mesh, targets_std)
+        self._scorer = ShardedScorer(mesh, targets_std,
+                                     row_quantum=row_quantum)
 
     # ShardedScorer surface the service reads
     @property
@@ -585,6 +628,13 @@ class PodScorer:
     @property
     def host_corpus(self) -> np.ndarray:
         return self._scorer.host_corpus
+
+    @property
+    def n_dev(self) -> int:
+        return self._scorer.n_dev
+
+    def prospective_rows(self, new_total: int) -> int:
+        return self._scorer.prospective_rows(new_total)
 
     def _bcast(self, arr):
         from jax.experimental import multihost_utils
@@ -700,11 +750,11 @@ class PodScorer:
                 continue  # mirrored failure; the leader reported it
 
 
-def make_sharded_scorer(mesh: Mesh, targets_std):
+def make_sharded_scorer(mesh: Mesh, targets_std, row_quantum: int = 1):
     """Serving scorer for a row-sharded corpus: a plain
     :class:`ShardedScorer` single-process, a :class:`PodScorer`
     (leader/follower broadcast protocol) when the mesh spans multiple
     processes."""
     if jax.process_count() > 1:
-        return PodScorer(mesh, targets_std)
-    return ShardedScorer(mesh, targets_std)
+        return PodScorer(mesh, targets_std, row_quantum=row_quantum)
+    return ShardedScorer(mesh, targets_std, row_quantum=row_quantum)

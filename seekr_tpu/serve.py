@@ -78,18 +78,39 @@ def _topk_impl_factory():
     import jax.numpy as jnp
 
     @functools.partial(jax.jit, static_argnames=("n", "mask_cols"))
-    def _topk(sim, q, n, mask_cols):
+    def _topk(sim, limit, n, mask_cols):
         if mask_cols:
-            # self-similarity mode: the padded dummy COLUMNS are copies
-            # of a real row (see _pad_batch) and would score as hits —
-            # mask them to -inf so top_k can only pick real targets.
-            # q is a traced scalar: one executable serves every batch
-            # size within a padded shape.
-            cols = jnp.arange(sim.shape[1], dtype=jnp.int32) < q
+            # columns >= limit are not selectable targets: in self-
+            # similarity mode they are the padded dummy ROWS' copies
+            # (see _pad_batch), in targets mode the width-quantization
+            # pad rows (zero vectors, sim 0 — which would beat every
+            # negative correlation).  Masked to -inf so top_k can only
+            # pick real targets.  limit is a traced scalar: one
+            # executable serves every real count within a padded shape.
+            cols = jnp.arange(sim.shape[1], dtype=jnp.int32) < limit
             sim = jnp.where(cols[None, :], sim, -jnp.inf)
         return jax.lax.top_k(sim, n)
 
     return _topk
+
+
+def _default_corpus_budget():
+    """Default corpus memory budget: half the device's HBM limit.
+
+    The resident corpus shares HBM with query batches, the [Q, T]
+    similarity output, and compiled executables, so only a fraction is
+    budgeted to it.  Backends that do not report memory stats (CPU test
+    meshes) get no default budget — growth is then unbounded unless the
+    caller passes ``mem_budget_bytes`` or sets SEEKR_TPU_CORPUS_BUDGET.
+    """
+    try:
+        import jax
+
+        stats = jax.local_devices()[0].memory_stats()
+        limit = stats.get("bytes_limit") if stats else None
+    except Exception:
+        return None
+    return int(limit) // 2 if limit else None
 
 
 _TOPK_IMPL = None
@@ -114,7 +135,7 @@ class SeekrService:
 
     def __init__(self, mean, std, k: int = 6, log2: str = "Log2.post",
                  targets=None, fitres=None, coalesce: bool = True,
-                 mesh=None):
+                 mesh=None, mem_budget_bytes=None, grow_quantum: int = 256):
         """mean/std: .npy path or [4^k] array (the background norm
         vectors).  targets: fasta path or list of sequences — queries
         are scored against these (default: against the query batch
@@ -125,7 +146,21 @@ class SeekrService:
         jax.sharding.Mesh — the standardized targets are row-sharded
         over EVERY mesh device (a corpus too big for one chip's HBM
         lives as ~T/D rows per chip) and top-k runs as a two-stage
-        distributed selection (parallel.dist.make_sharded_scorer)."""
+        distributed selection (parallel.dist.make_sharded_scorer).
+
+        mem_budget_bytes: cap on resident-corpus device bytes (per
+        device on a mesh).  ``add_targets`` past the budget returns an
+        actionable refusal instead of a mid-serve OOM.  Default: half
+        the device's reported HBM limit (SEEKR_TPU_CORPUS_BUDGET
+        overrides; backends without memory stats get no default cap).
+
+        grow_quantum: after the first ``add_targets``, the resident
+        corpus width is padded up to a multiple of this many rows
+        (zero rows, masked out of top-k and sliced out of sim), so N
+        small grows mint O(range/quantum) compiled executables instead
+        of N — each new corpus WIDTH is a fresh compile key for every
+        batch shape.  The initial load is exact-width; snapshots and
+        all results see only real rows.  0/1 disables quantization."""
         from seekr_tpu.models.counter import KmerCounter
 
         self.k = int(k)
@@ -140,6 +175,11 @@ class SeekrService:
         self._counter_cls = KmerCounter
         self._lock = threading.Lock()
         self.coalesce = bool(coalesce)
+        self.grow_quantum = max(1, int(grow_quantum))
+        if mem_budget_bytes is None:
+            env = os.environ.get("SEEKR_TPU_CORPUS_BUDGET")
+            mem_budget_bytes = int(env) if env else _default_corpus_budget()
+        self.mem_budget_bytes = mem_budget_bytes
         # one merged device batch never exceeds this many query rows
         # (pre-padding): bounds the compiled-shape space and the HBM
         # high-water mark under heavy fan-in.  warmup() tightens this
@@ -204,14 +244,62 @@ class SeekrService:
                 # returns a PodScorer (leader/follower broadcast
                 # protocol — see follow()).
                 self._mesh = mesh
-                self._scorer = make_sharded_scorer(mesh, np.asarray(tstd))
+                self._scorer = make_sharded_scorer(
+                    mesh, np.asarray(tstd), row_quantum=self.grow_quantum)
             else:
                 import jax.numpy as jnp
 
                 self._mesh = None
                 # no-copy for arrays standardize_rows already left on
-                # device; uploads once for a snapshot's host matrix
-                self._targets_std = jnp.asarray(tstd)
+                # device; uploads once for a snapshot's host matrix.
+                # Width-quantized from the INITIAL load (zero pad rows,
+                # masked in top-k, sliced from sim): the resident width
+                # is the compile key of every sim/topk executable, so a
+                # within-quantum grow changes no shape — and therefore
+                # no score, bit for bit.
+                self._targets_std = self._quantize_pad(jnp.asarray(tstd))
+            over = self._corpus_bytes_over(self._resident_rows())
+            if over:
+                print(f"seekr_tpu serve: WARNING {over} — queries may "
+                      "OOM; raise mem_budget_bytes or shard over a mesh "
+                      "(-dp N)", flush=True)
+
+    def _quantize_pad(self, tstd):
+        """Pad a standardized target matrix with zero rows up to the
+        next ``grow_quantum`` multiple (see __init__)."""
+        import jax.numpy as jnp
+
+        t = int(tstd.shape[0])
+        padded = -(-t // self.grow_quantum) * self.grow_quantum
+        if padded == t:
+            return tstd
+        return jnp.concatenate(
+            [tstd, jnp.zeros((padded - t, tstd.shape[1]), jnp.float32)],
+            axis=0)
+
+    def _resident_rows(self) -> int:
+        """Device-resident corpus rows INCLUDING quantization pad."""
+        if self._scorer is not None:
+            return self._scorer.t_loc * getattr(self._scorer, "n_dev",
+                                                self._scorer.mesh.size)
+        return (int(self._targets_std.shape[0])
+                if self._targets_std is not None else 0)
+
+    def _corpus_bytes_over(self, rows_padded: int):
+        """Budget check: per-device resident-corpus bytes for a padded
+        row count vs ``mem_budget_bytes``.  Returns a message with the
+        measured numbers when over, None when within (or no budget)."""
+        if self.mem_budget_bytes is None:
+            return None
+        n_dev = self._scorer.n_dev if self._scorer is not None else 1
+        per_dev_rows = -(-rows_padded // n_dev)
+        need = per_dev_rows * (4 ** self.k) * 4  # float32
+        if need <= self.mem_budget_bytes:
+            return None
+        return (f"resident corpus would need {need:,} bytes/device "
+                f"({per_dev_rows:,} rows x {4 ** self.k:,} cols x 4 B"
+                f"{f' over {n_dev} devices' if n_dev > 1 else ''}), over "
+                f"the {self.mem_budget_bytes:,}-byte corpus budget")
 
     def _load_corpus(self, path: str):
         """Load a ``save_corpus`` snapshot: the standardized target
@@ -278,9 +366,12 @@ class SeekrService:
             # the path the caller stores is the path load recognizes
             raise ValueError("corpus snapshot path must end in .npz")
         with self._lock:
+            # slice off any width-quantization pad rows: snapshots hold
+            # only the real corpus (the mesh host shadow is unpadded)
             host = np.asarray(self._scorer.host_corpus
                               if self._scorer is not None
-                              else self._targets_std, np.float32)
+                              else self._targets_std[:self._n_targets],
+                              np.float32)
             names = np.asarray(self.target_names)
         # write-then-rename: a crash or ENOSPC mid-write must never leave
         # a truncated .npz at the exact path a restart script passes to
@@ -457,8 +548,12 @@ class SeekrService:
         never change (append-only by design — removing rows would
         renumber indices clients may have stored; restart to shrink),
         and requests queued when the update lands are answered against
-        the grown corpus.  The next query per batch shape pays one
-        recompile for the new corpus width.  Returns
+        the grown corpus.  A grow that stays within the current
+        ``grow_quantum`` width changes no compiled shape (scores of
+        existing targets are bit-identical, nothing recompiles); a grow
+        that crosses a quantum boundary pays one recompile per batch
+        shape for the new width.  A grow past ``mem_budget_bytes`` is
+        refused with the measured numbers.  Returns
         ``(new_total, rows_added)``.
 
         Normalization is BATCH-LOCAL under Log2.post (the global-|min|
@@ -498,6 +593,7 @@ class SeekrService:
                                  f"{len(seqs)} sequences")
             new_std = standardize_rows(self._count(seqs, nan_check=True))
             new_names = list(names) if names is not None else None
+        added = int(np.shape(new_std)[0])
         with self._lock:
             if new_names is None:
                 # auto-numbering reads _n_targets UNDER the lock —
@@ -505,6 +601,21 @@ class SeekrService:
                 new_names = [f"t{i}"
                              for i in range(self._n_targets,
                                             self._n_targets + len(seqs))]
+            new_total = self._n_targets + added
+            # budget gate BEFORE any device upload: a grow past the
+            # budget is refused with the measured numbers instead of
+            # OOMing mid-serve (VERDICT r3)
+            prospective = (self._scorer.prospective_rows(new_total)
+                           if self._scorer is not None
+                           else -(-new_total // self.grow_quantum)
+                           * self.grow_quantum)
+            over = self._corpus_bytes_over(prospective)
+            if over:
+                raise ValueError(
+                    f"add_targets refused: {over}.  The resident corpus "
+                    f"stays at {self._n_targets} targets; raise "
+                    "mem_budget_bytes / SEEKR_TPU_CORPUS_BUDGET or shard "
+                    "over a larger mesh (-dp N).")
             if self._scorer is not None:  # mesh: re-shard the shadow
                 # the scorer drops its old shards before the grown
                 # corpus uploads and restores them on failure (and on a
@@ -513,8 +624,26 @@ class SeekrService:
             else:
                 import jax.numpy as jnp
 
-                self._targets_std = jnp.concatenate(
-                    [self._targets_std, jnp.asarray(new_std)], axis=0)
+                new_j = jnp.asarray(new_std, jnp.float32)
+                cur_pad = int(self._targets_std.shape[0])
+                if new_total <= cur_pad:
+                    # the new rows fit in the existing quantization pad:
+                    # write them in place — the resident WIDTH (= the
+                    # compile key of every sim/topk executable) does not
+                    # change, so this grow recompiles nothing
+                    self._targets_std = (
+                        self._targets_std.at[self._n_targets:new_total]
+                        .set(new_j))
+                else:
+                    # width grows: quantize up so the NEXT
+                    # (quantum - new_total % quantum) grows are free
+                    parts = [self._targets_std[:self._n_targets], new_j]
+                    pad = prospective - new_total
+                    if pad:
+                        parts.append(jnp.zeros(
+                            (pad, self._targets_std.shape[1]),
+                            jnp.float32))
+                    self._targets_std = jnp.concatenate(parts, axis=0)
             self.target_names = list(self.target_names) + new_names
             self._n_targets = len(self.target_names)
         return self._n_targets, len(new_names)
@@ -571,14 +700,19 @@ class SeekrService:
             _TOPK_IMPL = _topk_impl_factory()
         self_sim = not self._has_targets
         t_cols = int(sim_dev.shape[1])
-        # in self-similarity mode only the first q columns are real
-        n_req = max(1, min(int(topk), q if self_sim else t_cols))
+        # only the first `limit` columns are selectable: the real batch
+        # rows in self-similarity mode, the real (un-quantization-pad)
+        # targets otherwise — pad columns are zero rows whose sim of 0
+        # would beat any negative correlation
+        limit = q if self_sim else self._n_targets
+        n_req = max(1, min(int(topk), limit))
         n_run = 1
         while n_run < n_req:
             n_run *= 2
         n_run = min(n_run, t_cols)
-        vals, idx = aot_call(_TOPK_IMPL, (sim_dev, q),
-                             dict(n=n_run, mask_cols=self_sim))
+        mask = self_sim or limit < t_cols
+        vals, idx = aot_call(_TOPK_IMPL, (sim_dev, limit),
+                             dict(n=n_run, mask_cols=mask))
         return (np.asarray(vals)[:q, :n_req],
                 np.asarray(idx)[:q, :n_req])
 
