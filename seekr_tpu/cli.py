@@ -1272,13 +1272,27 @@ def console_find_pval(argv=None):
                         help="path to save p-value csv (csv appended).")
     parser.add_argument("-pb", "--progress_bar", action="store_true",
                         help="show a progress bar during calculation.")
+    parser.add_argument("-bo", "--binary_outfile", default=None,
+                        help="also write the p-value matrix as a float32 "
+                             ".npy artifact (extension; the input "
+                             "seekr_adj_pval -bi corrects at extreme "
+                             "scale).")
+    parser.add_argument("--stream", default=None,
+                        choices=["auto", "on", "off"],
+                        help="stream the p-value matrix tile-by-tile to "
+                             "the output artifacts instead of holding it "
+                             "in memory (extension; 'auto' streams above "
+                             "64M cells — at that size nothing is "
+                             "returned, only written).")
     args = _parse_args_or_exit(parser, argv)
 
     _enable_xla_cache()
     fitres = parse_fitres_csv(args.fitres_file, args.fitres_type)
+    stream = {None: None, "auto": None, "on": True, "off": False}[args.stream]
     find_pval(args.seq1file, args.seq2file, args.mean_path, args.std_path,
               int(args.kmer), fitres, args.log2, int(args.bestfit),
-              args.outputname, args.progress_bar)
+              args.outputname, args.progress_bar, stream=stream,
+              npy_out=args.binary_outfile)
 
 
 # -- adj_pval ----------------------------------------------------------------

@@ -54,7 +54,8 @@ def check_main_list(main_list):
 
 
 def find_pval(seq1file, seq2file, mean_path, std_path, k_mer, fitres,
-              log2="Log2.post", bestfit=1, outputname=None, progress_bar=True):
+              log2="Log2.post", bestfit=1, outputname=None, progress_bar=True,
+              stream=None, npy_out=None, stream_block_rows: int = 4096):
     """p-value DataFrame (rows = seq1 headers, cols = seq2 headers).
 
     Same signature/return contract as seekr/find_pval.py:70 (None on invalid
@@ -65,6 +66,20 @@ def find_pval(seq1file, seq2file, mean_path, std_path, k_mer, fitres,
     (seekr/find_pval.py:130,161) because it computes p-values in a Python
     loop; here the whole matrix is one vectorized cdf/searchsorted call, so
     there is nothing incremental to report.
+
+    Extreme-scale extension (the reference materializes the full [m1, m2]
+    DataFrame on host, seekr/find_pval.py:126-140 — ~130 GB float32 at the
+    180k GENCODE extreme): when the output exceeds
+    ``io.stream.STREAM_CELL_THRESHOLD`` cells and an output path is given,
+    the matrix is STREAMED — device Pearson tiles -> vectorized cdf /
+    searchsorted per tile -> CSV/npy appends — and the function returns
+    None after printing where the artifacts went; the [m1, m2] matrix never
+    exists on host or device.  ``stream`` forces the mode on/off (None =
+    auto), ``npy_out`` additionally writes the float32 matrix as a .npy
+    artifact (the input ``adj_pval_stream`` corrects at the same scale),
+    ``stream_block_rows`` is the device tile height.  Streamed CSV bytes
+    are identical to the in-memory path's (pinned by
+    tests/test_stream_pval.py).
     """
     meanfile = np.load(mean_path)
     stdfile = np.load(std_path)
@@ -83,10 +98,10 @@ def find_pval(seq1file, seq2file, mean_path, std_path, k_mer, fitres,
     # device-resident counts: the reference calls make_count_file (with no
     # outfile, so no artifact is written — seekr/kmer_counts.py:243-262);
     # here the [m, 4^k] matrices stay on device and feed Pearson directly,
-    # so only the [m1, m2] similarity matrix ever crosses to the host
+    # so only the [m1, m2] similarity matrix (or, streamed, one tile of it
+    # at a time) ever crosses to the host
     c1 = t1.get_counts_device()
     c2 = t2.get_counts_device()
-    sim = pearson(c1, c2)
 
     # counters already read and parsed both fastas; re-Reader-ing them
     # would re-parse multi-hundred-MB files at background scale
@@ -120,35 +135,93 @@ def find_pval(seq1file, seq2file, mean_path, std_path, k_mer, fitres,
             print("No p value is calculated. The output is None.")
             return None
         distname, _, params = fitres[bestfit - 1]
-        # bitwise-identical fast path for the common10 distributions:
-        # rv_continuous.cdf's wrapper machinery costs 7-126 s on a
-        # GENCODE-scale matrix; stats.fast_cdf runs the same arithmetic
-        # through threaded scipy.special ufuncs (None -> scipy fallback)
-        from seekr_tpu.stats.fast_cdf import fast_cdf
 
-        cdf_vals = fast_cdf(distname, params, sim)
-        if cdf_vals is None:
-            from scipy import stats
+        def pval_fn(sim):
+            # bitwise-identical fast path for the common10 distributions:
+            # rv_continuous.cdf's wrapper machinery costs 7-126 s on a
+            # GENCODE-scale matrix; stats.fast_cdf runs the same
+            # arithmetic through threaded scipy.special ufuncs
+            # (None -> scipy fallback)
+            from seekr_tpu.stats.fast_cdf import fast_cdf
 
-            distribution = getattr(stats, distname)(*params)
-            cdf_vals = distribution.cdf(sim)
-        # float32 like the reference's np.zeros_like(sim) accumulator
-        p_values = (1.0 - cdf_vals).astype(sim.dtype)
-        return _emit(p_values, header1, header2, outputname)
+            cdf_vals = fast_cdf(distname, params, sim)
+            if cdf_vals is None:
+                from scipy import stats
 
-    if isinstance(fitres, np.ndarray):
+                cdf_vals = getattr(stats, distname)(*params).cdf(sim)
+            # float32 like the reference's np.zeros_like(sim) accumulator
+            return (1.0 - cdf_vals).astype(sim.dtype)
+    elif isinstance(fitres, np.ndarray):
         if fitres.ndim != 1:
             print("The dimension of fitres as a numpy array is wrong. fitres "
                   "should be a 1D numpy array.")
             print("fitres should be the output of find_dist.")
             print("No p value is calculated. The output is None.")
             return None
-        p_values = np.asarray(empirical_pvals(fitres, sim), dtype=sim.dtype)
-        return _emit(p_values, header1, header2, outputname)
 
-    print("fitres should be the output of find_dist. It should be either a "
-          "list of distributions or a numpy array.")
-    print("No p value is calculated. The output is None.")
+        def pval_fn(sim):
+            return np.asarray(empirical_pvals(fitres, sim), dtype=sim.dtype)
+    else:
+        print("fitres should be the output of find_dist. It should be "
+              "either a list of distributions or a numpy array.")
+        print("No p value is calculated. The output is None.")
+        return None
+
+    m1, m2 = len(header1), len(header2)
+    from seekr_tpu.io.stream import STREAM_CELL_THRESHOLD
+
+    do_stream = (stream if stream is not None
+                 else (m1 * m2 > STREAM_CELL_THRESHOLD
+                       and bool(outputname or npy_out)))
+    if do_stream:
+        return _stream_pvals(c1, c2, pval_fn, header1, header2,
+                             outputname, npy_out, stream_block_rows)
+
+    sim = pearson(c1, c2)
+    p_values = pval_fn(sim)
+    if npy_out:
+        np.save(npy_out, p_values)
+    return _emit(p_values, header1, header2, outputname)
+
+
+def _stream_pvals(c1, c2, pval_fn, header1, header2, outputname, npy_out,
+                  block_rows):
+    """Tile-wise sim -> cdf -> append: the [m1, m2] matrix never exists.
+
+    Peak host memory is ONE [block_rows, m2] tile (the device holds the
+    two standardized count matrices plus a tile); output bytes are
+    identical to the in-memory path's CSV / .npy artifacts (pinned by
+    tests/test_stream_pval.py).  Beats seekr/find_pval.py:126-140, which
+    builds the complete [m1, m2] DataFrame on host (~130 GB float32 at
+    the 180k GENCODE extreme).
+    """
+    from seekr_tpu.io.stream import (StreamingCsvWriter, StreamingNpyWriter,
+                                     stream_pearson)
+
+    m1, m2 = len(header1), len(header2)
+    sinks = []
+    if outputname:
+        sinks.append(StreamingCsvWriter(f"{outputname}.csv",
+                                        columns=header2,
+                                        row_labels=header1, fmt="%s"))
+    if npy_out:
+        sinks.append(StreamingNpyWriter(npy_out, (m1, m2), np.float32))
+
+    class _PvalTiles:
+        def append(self, sim_block):
+            p = pval_fn(np.asarray(sim_block))
+            for s in sinks:
+                s.append(p)
+
+    stream_pearson(c1, c2, _PvalTiles(), block_rows=block_rows)
+    paths = []
+    for s in sinks:
+        s.close()
+        paths.append(s.path)
+    print(f"p values streamed: {m1} x {m2} matrix written to "
+          f"{' and '.join(paths)}.")
+    print("The output is None (streamed mode does not materialize the "
+          "matrix; load the artifacts instead).")
     return None
 
 
