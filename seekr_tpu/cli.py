@@ -184,6 +184,12 @@ Empirical background (raw r-value csv from seekr_find_dist without -fm):
 
 Use the 2nd-best fitted distribution instead of the best:
   $ seekr_find_pval a.fa b.fa mean_4.npy std_4.npy 4 fitres.csv -bf 2
+
+Extreme scale (extension): above 64M output cells the matrix is
+streamed tile-by-tile into the artifacts (nothing is held in memory or
+returned); -bo also writes a float32 .npy for seekr_adj_pval -bi:
+  $ seekr_find_pval big.fa big.fa mean.npy std.npy 6 fitres.csv \\
+        -o pvals -bo pvals.npy --stream on
 """
 
 ADJ_PVAL_DOC = """
@@ -203,6 +209,12 @@ Benjamini-Hochberg at the default alpha:
 
 Bonferroni at alpha 0.01:
   $ seekr_adj_pval pvals.csv bonferroni -a 0.01 -o adj_pvals
+
+Extreme scale (extension): a .npy input (-bi, from seekr_find_pval -bo)
+is corrected with BOUNDED memory — the matrix stays on disk, values are
+bucket-sorted through memory-mapped scratch, results are bitwise equal
+to the in-memory path (every method except hommel):
+  $ seekr_adj_pval pvals.npy fdr_bh -bi -o adj_pvals -bo adj.npy
 """
 
 KMER_HEATMAP_DOC = """
@@ -1314,8 +1326,26 @@ def console_adj_pval(argv=None):
                         help="desired family-wise error rate.")
     parser.add_argument("-o", "--outputname", default=None,
                         help="path to save adjusted csv (csv appended).")
+    parser.add_argument("-bi", "--binary_input", action="store_true",
+                        help="pval_path is a .npy artifact "
+                             "(seekr_find_pval -bo); the correction then "
+                             "STREAMS with bounded memory — required at "
+                             "extreme scale where the csv matrix cannot "
+                             "be held in RAM (extension).")
+    parser.add_argument("-bo", "--binary_outfile", default=None,
+                        help="also write the corrected float64 matrix as "
+                             ".npy (extension; -bi mode only).")
     args = _parse_args_or_exit(parser, argv)
 
+    if args.binary_input:
+        from seekr_tpu.stats.stream_adj import adj_pval_stream
+
+        adj_pval_stream(args.pval_path, args.method, float(args.alpha),
+                        outputname=args.outputname,
+                        out_npy=args.binary_outfile)
+        return
+    if args.binary_outfile:
+        parser.error("-bo requires -bi (the streamed binary path)")
     pvals = pd.read_csv(args.pval_path, header=0, index_col=0)
     adj_pval(pvals, args.method, float(args.alpha), args.outputname)
 

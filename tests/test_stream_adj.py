@@ -1,0 +1,122 @@
+"""Bounded-memory adj_pval (stats/stream_adj.py) vs the in-memory path.
+
+The contract is BITWISE equality with stats.adj_pval for every supported
+method — same corrected float64 values, same NaN fills, same CSV bytes.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from seekr_tpu.stats.adj_pval import adj_pval
+from seekr_tpu.stats.stream_adj import adj_pval_stream
+
+METHODS = ["bonferroni", "sidak", "holm", "holm-sidak", "simes-hochberg",
+           "fdr_bh", "fdr_by", "fdr_tsbh", "fdr_tsbky"]
+
+
+def _sym_pvals(rng, m, dtype=np.float32):
+    v = rng.uniform(0, 1, (m, m)).astype(dtype)
+    v = np.triu(v, 1)
+    v = v + v.T
+    np.fill_diagonal(v, 1.0)
+    return v.astype(dtype)
+
+
+def _assert_stream_matches(tmp_path, arr, method, alpha=0.05, name=""):
+    df = pd.DataFrame(arr)
+    want = adj_pval(df, method, alpha)
+    in_csv = tmp_path / f"mem{name}.csv"
+    want.to_csv(in_csv)
+
+    src = tmp_path / f"p{name}.npy"
+    np.save(src, arr)
+    out_npy = tmp_path / f"adj{name}.npy"
+    got = adj_pval_stream(str(src), method, alpha,
+                          outputname=str(tmp_path / f"st{name}"),
+                          out_npy=str(out_npy))
+    assert got is None
+    streamed = np.load(out_npy)
+    np.testing.assert_array_equal(streamed, want.to_numpy())  # bitwise
+    assert in_csv.read_bytes() == (tmp_path / f"st{name}.csv").read_bytes()
+
+
+@pytest.mark.parametrize("method", METHODS)
+def test_symmetric_matches_in_memory(tmp_path, method):
+    arr = _sym_pvals(np.random.default_rng(0), 17)
+    _assert_stream_matches(tmp_path, arr, method)
+
+
+@pytest.mark.parametrize("method", ["fdr_bh", "fdr_by", "holm",
+                                    "fdr_tsbky"])
+def test_full_matrix_matches_in_memory(tmp_path, method):
+    arr = np.random.default_rng(1).uniform(0, 1, (11, 23)).astype(
+        np.float32)
+    _assert_stream_matches(tmp_path, arr, method)
+
+
+def test_float64_input_and_ties(tmp_path):
+    rng = np.random.default_rng(2)
+    arr = rng.choice([0.001, 0.01, 0.2, 0.2, 0.5, 1.0], size=(9, 13))
+    _assert_stream_matches(tmp_path, arr.astype(np.float64), "fdr_bh")
+
+
+def test_nan_propagation_matches(tmp_path):
+    arr = np.random.default_rng(3).uniform(0, 1, (7, 7)).astype(np.float32)
+    arr[2, 4] = np.nan  # asymmetric + NaN
+    for method in ("fdr_bh", "holm", "bonferroni"):
+        _assert_stream_matches(tmp_path, arr, method, name=f"_{method}")
+
+
+def test_small_chunks_exercise_boundaries(tmp_path):
+    """chunk_cells small enough to force one row per chunk."""
+    arr = _sym_pvals(np.random.default_rng(4), 13)
+    df = pd.DataFrame(arr)
+    want = adj_pval(df, "fdr_by").to_numpy()
+    src = tmp_path / "p.npy"
+    np.save(src, arr)
+    adj_pval_stream(str(src), "fdr_by", out_npy=str(tmp_path / "o.npy"),
+                    chunk_cells=4)
+    np.testing.assert_array_equal(np.load(tmp_path / "o.npy"), want)
+
+
+def test_symmetric_override_and_validation(tmp_path):
+    arr = np.random.default_rng(5).uniform(0, 1, (6, 6)).astype(np.float32)
+    src = tmp_path / "p.npy"
+    np.save(src, arr)  # NOT symmetric
+    # forced symmetric=True: triu-only correction despite asymmetry
+    adj_pval_stream(str(src), "fdr_bh", out_npy=str(tmp_path / "o.npy"),
+                    symmetric=True)
+    out = np.load(tmp_path / "o.npy")
+    assert np.isnan(out[np.tril_indices(6)]).all()
+    with pytest.raises(ValueError, match="square"):
+        adj_pval_stream(np.zeros((2, 3)), "fdr_bh", symmetric=True,
+                        out_npy=str(tmp_path / "x.npy"))
+    with pytest.raises(ValueError, match="hommel"):
+        adj_pval_stream(str(src), "hommel", out_npy=str(tmp_path / "x.npy"))
+    with pytest.raises(ValueError, match="not recognized"):
+        adj_pval_stream(str(src), "bogus", out_npy=str(tmp_path / "x.npy"))
+    with pytest.raises(ValueError, match="artifacts only"):
+        adj_pval_stream(str(src), "fdr_bh")
+
+
+def test_custom_labels_in_csv(tmp_path):
+    arr = np.random.default_rng(6).uniform(0, 1, (3, 4)).astype(np.float32)
+    labels = ["r,0", "r1", "r2"]  # comma forces quoting
+    cols = ["c0", "c1", "c2", "c3"]
+    want = adj_pval(pd.DataFrame(arr, index=labels, columns=cols), "fdr_bh")
+    want.to_csv(tmp_path / "mem.csv")
+    src = tmp_path / "p.npy"
+    np.save(src, arr)
+    adj_pval_stream(str(src), "fdr_bh", outputname=str(tmp_path / "st"),
+                    index=labels, columns=cols)
+    assert (tmp_path / "mem.csv").read_bytes() == \
+        (tmp_path / "st.csv").read_bytes()
+
+
+def test_one_by_one_symmetric(tmp_path):
+    src = tmp_path / "p.npy"
+    np.save(src, np.array([[0.3]], dtype=np.float32))
+    adj_pval_stream(str(src), "fdr_bh", out_npy=str(tmp_path / "o.npy"))
+    out = np.load(tmp_path / "o.npy")
+    assert out.shape == (1, 1) and np.isnan(out[0, 0])
