@@ -6,25 +6,28 @@ corrected vector in RAM — fine to GENCODE's 13k (84M triu values), fatal
 at the 180k extreme (16G values: the matrix alone is 130 GB float32, and
 the reference has the same flaw at seekr/adj_pval.py:93-129 on top of
 statsmodels' own copies).  ``adj_pval_stream`` corrects a DISK-RESIDENT
-matrix with bounded host memory:
+matrix with bounded host memory and SEQUENTIAL disk traffic only:
 
-  pass A   chunked scan of the memmapped input: extract the triu (or
-           full) values, histogram their sort buckets (top 8 bits of an
-           order-preserving bit transform), and partition (value,
-           original-index) pairs into 256 bucket files — sequential
-           writes only.
-  sweep    process buckets in sorted order (descending for the
-           suffix-min methods, ascending for prefix-max): each bucket is
-           sorted in RAM (it is ~n/256 values), its global ranks are
-           known from the histogram prefix sums, the corrected values
-           are computed with the EXACT arithmetic of
-           ``stats.multitest`` (same op order, float64), and the
-           monotone carry (min/max so far) links buckets — bitwise
-           identical to the one-shot accumulate.
-  scatter  corrected values land at their original positions in the
-           memmapped output matrix; bucket files are deleted as they
-           are consumed, so peak disk is pairs + partially-written
-           output, and peak RAM is one chunk + one bucket.
+  pass A    chunked scan of the memmapped input: extract the triu (or
+            full) values, histogram their sort buckets (top 8 bits of an
+            order-preserving bit transform), and partition (value,
+            original-index) pairs into 256 value-bucket files.
+  sweep     process value buckets in sorted order (descending for the
+            suffix-min methods, ascending for prefix-max): each bucket
+            sorts in RAM (~n/256 values), its global ranks come from the
+            histogram prefix sums, corrected values are computed with
+            the EXACT arithmetic of ``stats.multitest`` (same op order,
+            float64), and a monotone carry (min/max so far) links the
+            buckets — bitwise identical to the one-shot accumulate.
+            Corrected values are then re-partitioned into OUTPUT
+            ROW-GROUP files (appends, sequential); the value bucket is
+            deleted as soon as it is consumed.
+  assembly  per row group: place corrected values into one [rows, m2]
+            host block (NaN elsewhere — the symmetric-triu fill) and
+            append it to the .npy / labeled-CSV writers.  Output is
+            written once, in order, with no output memmap — there is no
+            random disk access anywhere in the pipeline, so the process
+            RSS stays at one chunk + one bucket regardless of n.
 
 Every method the reference exposes (seekr/adj_pval.py:21-22) except
 ``hommel`` is supported — Hommel's adjustment is inherently O(n^2) over
@@ -47,7 +50,6 @@ import numpy as np
 _SUFFIX_MIN = {"fdr_bh", "fdr_by", "simes-hochberg", "fdr_tsbh",
                "fdr_tsbky"}
 _PREFIX_MAX = {"holm", "holm-sidak"}
-_ELEMENTWISE = {"bonferroni", "sidak"}
 _N_BUCKETS = 256
 
 
@@ -75,63 +77,79 @@ def _bucket_of(keys: np.ndarray) -> np.ndarray:
     return (keys >> np.asarray(shift, keys.dtype)).astype(np.uint8)
 
 
-class _BucketStore:
-    """256 append-only (values, int64 index) pair files in a scratch dir."""
+class _PairStore:
+    """Append-only (values, int64 index) pair files, one per partition."""
 
-    def __init__(self, scratch: str, dtype):
+    def __init__(self, scratch: str, prefix: str, n_parts: int, dtype):
         self.scratch = scratch
+        self.prefix = prefix
         self.dtype = np.dtype(dtype)
-        self.counts = np.zeros(_N_BUCKETS, dtype=np.int64)
-        self._vfh = [None] * _N_BUCKETS
-        self._ifh = [None] * _N_BUCKETS
+        self.counts = np.zeros(n_parts, dtype=np.int64)
+        self._vfh = {}
+        self._ifh = {}
 
-    def _files(self, b: int):
-        if self._vfh[b] is None:
-            self._vfh[b] = open(os.path.join(self.scratch, f"v{b:03d}"),
-                                "ab")
-            self._ifh[b] = open(os.path.join(self.scratch, f"i{b:03d}"),
-                                "ab")
-        return self._vfh[b], self._ifh[b]
+    def _path(self, kind: str, p: int) -> str:
+        return os.path.join(self.scratch, f"{self.prefix}{kind}{p:05d}")
 
-    def add_chunk(self, vals: np.ndarray, idx: np.ndarray) -> None:
-        """Partition one chunk by bucket (single stable counting sort)."""
-        keys = _sortable_bits(vals)
-        buckets = _bucket_of(keys)
-        order = np.argsort(buckets, kind="stable")
-        vals, idx, buckets = vals[order], idx[order], buckets[order]
-        bounds = np.searchsorted(buckets, np.arange(_N_BUCKETS + 1,
-                                                    dtype=np.int64))
-        for b in range(_N_BUCKETS):
-            lo, hi = bounds[b], bounds[b + 1]
-            if lo == hi:
-                continue
-            vfh, ifh = self._files(b)
-            vfh.write(vals[lo:hi].tobytes())
-            ifh.write(idx[lo:hi].tobytes())
-            self.counts[b] += hi - lo
+    def append(self, p: int, vals: np.ndarray, idx: np.ndarray) -> None:
+        if p not in self._vfh:
+            self._vfh[p] = open(self._path("v", p), "ab")
+            self._ifh[p] = open(self._path("i", p), "ab")
+        self._vfh[p].write(np.ascontiguousarray(vals, self.dtype).tobytes())
+        self._ifh[p].write(np.ascontiguousarray(idx, np.int64).tobytes())
+        self.counts[p] += len(vals)
+
+    def add_partitioned(self, part_ids: np.ndarray, vals: np.ndarray,
+                        idx: np.ndarray) -> None:
+        """Partition one chunk by id (single stable counting sort)."""
+        order = np.argsort(part_ids, kind="stable")
+        vals, idx, part_ids = vals[order], idx[order], part_ids[order]
+        present = np.unique(part_ids)
+        bounds = np.searchsorted(part_ids, present)
+        bounds = np.append(bounds, len(part_ids))
+        for j, p in enumerate(present):
+            self.append(int(p), vals[bounds[j]:bounds[j + 1]],
+                        idx[bounds[j]:bounds[j + 1]])
 
     def close_writes(self):
-        for fh in self._vfh + self._ifh:
-            if fh is not None:
-                fh.close()
-        self._vfh = [None] * _N_BUCKETS
-        self._ifh = [None] * _N_BUCKETS
+        for fh in list(self._vfh.values()) + list(self._ifh.values()):
+            fh.close()
+        self._vfh.clear()
+        self._ifh.clear()
 
-    def read(self, b: int):
-        """(values, indices) of one bucket, sorted ascending (stable)."""
-        vp = os.path.join(self.scratch, f"v{b:03d}")
-        vals = np.fromfile(vp, dtype=self.dtype)
-        idx = np.fromfile(os.path.join(self.scratch, f"i{b:03d}"),
-                          dtype=np.int64)
-        order = np.argsort(_sortable_bits(vals), kind="stable")
-        return vals[order], idx[order]
+    def read(self, p: int):
+        """(values, indices) of one partition, in append order."""
+        vals = np.fromfile(self._path("v", p), dtype=self.dtype)
+        idx = np.fromfile(self._path("i", p), dtype=np.int64)
+        return vals, idx
 
-    def drop(self, b: int) -> None:
-        for pre in ("v", "i"):
+    def drop(self, p: int) -> None:
+        for kind in ("v", "i"):
             try:
-                os.unlink(os.path.join(self.scratch, f"{pre}{b:03d}"))
+                os.unlink(self._path(kind, p))
             except FileNotFoundError:
                 pass
+
+
+def _evict(arr) -> None:
+    """Flush + MADV_DONTNEED a memmapped array so its resident pages do
+    not accumulate in the process RSS across a multi-GB streaming pass
+    (clean pages drop immediately; dirty ones after the flush)."""
+    import mmap as _mmap
+
+    base = arr
+    while getattr(base, "base", None) is not None and not isinstance(
+            base, np.memmap):
+        base = base.base
+    mm = getattr(base, "_mmap", None)
+    if mm is None:
+        return
+    try:
+        if isinstance(base, np.memmap) and base.mode != "r":
+            base.flush()
+        mm.madvise(_mmap.MADV_DONTNEED)
+    except (AttributeError, OSError, ValueError):
+        pass  # eviction is best-effort (platform-dependent)
 
 
 def _tiled_symmetric_mm(mm, tile: int = 4096) -> bool:
@@ -187,17 +205,26 @@ def _ecdf_chunk(base: int, cnt: int, n: int, hsum: float) -> np.ndarray:
 def adj_pval_stream(pvals, method: str, alpha: float = 0.05,
                     outputname=None, out_npy=None, index=None,
                     columns=None, symmetric=None, scratch_dir=None,
-                    chunk_cells: int = 32 << 20):
+                    chunk_cells: int = 32 << 20, out_dtype=np.float64,
+                    unlink_input: bool = False, progress=None):
     """Multiple-comparison correction of a disk-resident p-value matrix.
 
     ``pvals``: path to a .npy artifact (memmapped; float32 or float64)
     or an in-memory array.  ``outputname`` writes the labeled CSV the
     in-memory ``adj_pval`` would (labels default to pandas-style
-    0..m-1); ``out_npy`` writes the corrected float64 matrix as .npy.
+    0..m-1); ``out_npy`` writes the corrected matrix as .npy.
     ``symmetric`` overrides the 5-decimal transpose detection (pass
     True/False when the caller already knows — the check itself is
     tiled and bounded, but reads the whole matrix once).  Returns None:
     results live on disk by design.
+
+    Disk-constrained extremes: ``out_dtype=np.float32`` halves the .npy
+    artifact (the correction math stays float64; only the stored
+    artifact rounds — NOT bitwise vs the in-memory path), and
+    ``unlink_input=True`` deletes the input .npy right after the
+    extraction pass.  Scratch pair files are dropped as each stage
+    consumes them.  ``progress`` (callable, gets stage strings) hooks
+    long-run observability.
     """
     from seekr_tpu.stats.multitest import _METHOD_ALIASES, _harmonic_sum
 
@@ -211,6 +238,7 @@ def adj_pval_stream(pvals, method: str, alpha: float = 0.05,
     if not outputname and not out_npy:
         raise ValueError("adj_pval_stream writes artifacts only: pass "
                          "outputname= (csv) and/or out_npy= (.npy)")
+    note = progress or (lambda msg: None)
 
     own_mm = isinstance(pvals, str)
     mm = np.load(pvals, mmap_mode="r") if own_mm else np.asarray(pvals)
@@ -218,6 +246,7 @@ def adj_pval_stream(pvals, method: str, alpha: float = 0.05,
         raise ValueError(f"p-value matrix must be 2-D, got {mm.shape}")
     m1, m2 = (int(d) for d in mm.shape)
     if symmetric is None:
+        note("symmetry check")
         symmetric = m1 == m2 and _tiled_symmetric_mm(mm)
     elif symmetric and m1 != m2:
         raise ValueError("symmetric=True needs a square matrix")
@@ -232,40 +261,38 @@ def adj_pval_stream(pvals, method: str, alpha: float = 0.05,
 
     n = m1 * (m1 - 1) // 2 if symmetric else m1 * m2
     chunk_rows = max(1, int(chunk_cells) // max(1, m2))
+    group_cells = chunk_rows * m2  # one output row-group per assembly block
+    n_groups = -(-m1 * m2 // group_cells)
 
     scratch = tempfile.mkdtemp(prefix="seekr_adj_",
                                dir=scratch_dir
                                or os.environ.get("SEEKR_TPU_SCRATCH"))
-    out_path = out_npy or os.path.join(scratch, "out.npy")
     try:
-        store = _BucketStore(scratch, mm.dtype)
+        note("pass A: value partition")
+        store = _PairStore(scratch, "b", _N_BUCKETS, mm.dtype)
         for vals, idx in _iter_value_chunks(mm, symmetric, chunk_rows):
-            store.add_chunk(vals, idx)
+            keys = _sortable_bits(vals)
+            store.add_partitioned(_bucket_of(keys), vals, idx)
+            _evict(mm)  # keep the input's page-cache residency bounded
         store.close_writes()
         assert int(store.counts.sum()) == n
+        if unlink_input and own_mm:
+            del mm  # release the mapping before unlinking
+            os.unlink(pvals)
 
-        out = np.lib.format.open_memmap(out_path, mode="w+",
-                                        dtype=np.float64, shape=(m1, m2))
-        if symmetric:
-            # lower triangle + diagonal are NaN in the in-memory output
-            for i0 in range(0, m1, chunk_rows):
-                out[i0:min(i0 + chunk_rows, m1)] = np.nan
-        out_flat = out.reshape(-1)
-
+        note("correction sweep")
+        groups = _PairStore(scratch, "g", n_groups, np.float64)
         if n:
-            _correct_sweep(store, out_flat, n, method, float(alpha),
-                           _harmonic_sum(n) if method == "fdr_by" else 0.0)
-        out.flush()
+            _correct_sweep(store, groups, group_cells, n, method,
+                           float(alpha),
+                           _harmonic_sum(n) if method == "fdr_by" else 0.0,
+                           note)
+        groups.close_writes()
 
-        if outputname:
-            _emit_csv(out, f"{outputname}.csv", index, columns, chunk_rows)
+        note("assembly")
+        _assemble(groups, m1, m2, chunk_rows, symmetric, outputname,
+                  out_npy, out_dtype, index, columns)
     finally:
-        if out_npy is None:
-            # the matrix memmap was scratch-only (csv requested)
-            try:
-                del out_flat, out
-            except NameError:
-                pass
         shutil.rmtree(scratch, ignore_errors=True)
     return None
 
@@ -276,8 +303,9 @@ def _bucket_order(method: str):
     return range(_N_BUCKETS)
 
 
-def _correct_sweep(store: _BucketStore, out_flat, n: int, method: str,
-                   alpha: float, hsum: float) -> None:
+def _correct_sweep(store: _PairStore, groups: _PairStore, group_cells: int,
+                   n: int, method: str, alpha: float, hsum: float,
+                   note) -> None:
     bases = np.concatenate([[0], np.cumsum(store.counts)])[:-1]
 
     # two-stage FDR needs stage-1's reject count before any corrected
@@ -299,6 +327,8 @@ def _correct_sweep(store: _BucketStore, out_flat, n: int, method: str,
         if cnt == 0:
             continue
         vals, idx = store.read(b)
+        order = np.argsort(_sortable_bits(vals), kind="stable")
+        vals, idx = vals[order], idx[order]
         base = int(bases[b])
         p64 = np.asarray(vals, np.float64)
 
@@ -341,10 +371,11 @@ def _correct_sweep(store: _BucketStore, out_flat, n: int, method: str,
             else:
                 corrected = np.clip(corrected * post * (n - r1) / n, 0, 1)
 
-        out_flat[idx] = corrected
+        groups.add_partitioned(idx // group_cells, corrected, idx)
+        store.drop(b)  # value-pair files shrink as group files grow
 
 
-def _bh_reject_count(store: _BucketStore, bases, n: int,
+def _bh_reject_count(store: _PairStore, bases, n: int,
                      alpha: float) -> int:
     """Stage-1 BH reject count: the last global rank r with
     p_sorted[r] <= ecdf[r] * alpha (multitest._fdr_correct's rule,
@@ -355,6 +386,7 @@ def _bh_reject_count(store: _BucketStore, bases, n: int,
         if cnt == 0:
             continue
         vals, _ = store.read(b)
+        vals = vals[np.argsort(_sortable_bits(vals), kind="stable")]
         base = int(bases[b])
         thr = _ecdf_chunk(base, cnt, n, 0.0)
         thr *= alpha
@@ -365,18 +397,41 @@ def _bh_reject_count(store: _BucketStore, bases, n: int,
     return last + 1
 
 
-def _emit_csv(out_mm, path: str, index, columns, chunk_rows: int) -> None:
-    """Stream the corrected matrix to the labeled CSV ``adj_pval`` would
-    write (float64 shortest-repr cells, NaN as empty — pandas bytes)."""
-    from seekr_tpu.io.stream import StreamingCsvWriter
+def _assemble(groups: _PairStore, m1: int, m2: int, chunk_rows: int,
+              symmetric: bool, outputname, out_npy, out_dtype, index,
+              columns) -> None:
+    """Sequential output pass: one [rows, m2] block per row group,
+    corrected values placed, NaN elsewhere (= the symmetric fill; a
+    full-matrix correction writes every cell), appended to the
+    writers."""
+    from seekr_tpu.io.stream import StreamingCsvWriter, StreamingNpyWriter
 
-    m1, m2 = out_mm.shape
-    if columns is None:
-        columns = [str(i) for i in range(m2)]
-    if index is None:
-        index = [str(i) for i in range(m1)]
-    writer = StreamingCsvWriter(path, columns=columns, row_labels=index,
-                                fmt="%s")
+    sinks = []
+    if out_npy:
+        sinks.append(StreamingNpyWriter(out_npy, (m1, m2), out_dtype))
+    if outputname:
+        if columns is None:
+            columns = [str(i) for i in range(m2)]
+        if index is None:
+            index = [str(i) for i in range(m1)]
+        sinks.append(StreamingCsvWriter(
+            outputname if str(outputname).endswith(".csv")
+            else f"{outputname}.csv",
+            columns=columns, row_labels=index, fmt="%s"))
+    group_cells = chunk_rows * m2
+    g = 0
     for i0 in range(0, m1, chunk_rows):
-        writer.append(np.asarray(out_mm[i0:min(i0 + chunk_rows, m1)]))
-    writer.close()
+        rows = min(chunk_rows, m1 - i0)
+        block = np.full((rows, m2), np.nan, dtype=np.float64)
+        if g < len(groups.counts) and groups.counts[g]:
+            corrected, idx = groups.read(g)
+            block.reshape(-1)[idx - g * group_cells] = corrected
+            groups.drop(g)
+        out_block = (block if np.dtype(out_dtype) == np.float64
+                     else block.astype(out_dtype))
+        for s in sinks:
+            s.append(out_block if isinstance(s, StreamingNpyWriter)
+                     else block)
+        g += 1
+    for s in sinks:
+        s.close()
