@@ -72,9 +72,35 @@ def _sortable_bits(vals: np.ndarray) -> np.ndarray:
     return np.where(u & sign, ~u, u | sign)
 
 
-def _bucket_of(keys: np.ndarray) -> np.ndarray:
-    shift = keys.dtype.itemsize * 8 - 8
-    return (keys >> np.asarray(shift, keys.dtype)).astype(np.uint8)
+def _sample_boundaries(mm, symmetric: bool, n_rows_sample: int = 128,
+                       per_row: int = 8192) -> np.ndarray:
+    """255 bucket-boundary keys from sampled quantiles.
+
+    Fixed byte-prefix buckets are catastrophically skewed for p-values:
+    every float in [0.5, 1) shares one exponent byte, so half the data
+    can land in a single bucket (an in-RAM sort of n/2 values — the
+    exact blow-up bucketing exists to avoid).  Sampled quantiles bound
+    every bucket at ~n/256 (+ sampling error), independent of the value
+    distribution; exactness is unaffected — bucket ids only place a
+    value's RANK RANGE, the in-bucket sort and histogram prefix sums
+    stay exact.
+    """
+    m1, m2 = mm.shape
+    rows = np.unique(np.linspace(0, m1 - 1,
+                                 min(n_rows_sample, m1)).astype(np.int64))
+    sample = []
+    for i in rows:
+        row = np.asarray(mm[int(i)])
+        vals = row[int(i) + 1:] if symmetric else row
+        if len(vals) > per_row:
+            vals = vals[:: len(vals) // per_row][:per_row]
+        if len(vals):
+            sample.append(vals.copy())
+    if not sample:
+        return np.zeros(_N_BUCKETS - 1, np.uint64)
+    keys = np.sort(_sortable_bits(np.concatenate(sample)))
+    pick = np.linspace(0, len(keys) - 1, _N_BUCKETS + 1)[1:-1]
+    return keys[pick.astype(np.int64)]
 
 
 class _PairStore:
@@ -269,10 +295,12 @@ def adj_pval_stream(pvals, method: str, alpha: float = 0.05,
                                or os.environ.get("SEEKR_TPU_SCRATCH"))
     try:
         note("pass A: value partition")
+        boundaries = _sample_boundaries(mm, symmetric)
         store = _PairStore(scratch, "b", _N_BUCKETS, mm.dtype)
         for vals, idx in _iter_value_chunks(mm, symmetric, chunk_rows):
             keys = _sortable_bits(vals)
-            store.add_partitioned(_bucket_of(keys), vals, idx)
+            store.add_partitioned(
+                np.searchsorted(boundaries, keys, side="right"), vals, idx)
             _evict(mm)  # keep the input's page-cache residency bounded
         store.close_writes()
         assert int(store.counts.sum()) == n
