@@ -16,13 +16,14 @@ twice and is genuinely slower than the queued host loop (lax.scan 3.9
 ms/iter; fori_loop with a carry-dependent perturbation 2.16; B-stacked
 batching with vmapped Pearson 2.3), so the host loop stays.
 
-Estimator: TPU side is best-of-REPS loops (the tunnel's latency drifts
-minute to minute, so the fastest sustained loop is the least contaminated
-estimate of steady-state device throughput); the CPU baseline is
-median-of-3 (quiet-host central tendency on a noisy shared-vCPU box,
-floored at the recorded quiet-host median so a noisy-neighbor-slowed live
-run can never inflate the ratio).  The asymmetry is deliberate and
-recorded in the emitted JSON ("method").
+Estimator (VERDICT r3 weak #6 — symmetrized): the HEADLINE "value" is
+the MEDIAN of REPS timing loops, matching the CPU baseline's
+median-of-3 (floored at the recorded quiet-host median so a
+noisy-neighbor-slowed live run can never inflate the ratio).
+"value_best" (fastest loop — the least tunnel-contaminated estimate of
+pure device throughput) is emitted alongside, with rep/iter counts and
+the wall-clock MFU, so the scoreboard number is self-describing instead
+of best-vs-median bias hiding in a prose note.
 
 Budget safety (VERDICT r2 item 1): the worker emits a PROVISIONAL JSON
 line right after warmup + a short loop, then refines; the supervisor runs
@@ -81,8 +82,22 @@ ATTEMPT_TIMEOUTS = tuple(
     int(t) for t in os.environ.get("SEEKR_TPU_BENCH_TIMEOUTS",
                                    "120,180,240").split(","))
 
-METHOD_NOTE = ("tpu=best-of-loops (tunnel latency drifts); "
+METHOD_NOTE = ("tpu=median-of-loops (value_best also emitted); "
                "baseline=median-of-3 floored at recorded quiet-host median")
+
+# v5e bf16 peak (jax device_kind 'TPU v5 lite'); MFU is omitted on
+# unrecognized hardware rather than guessed
+_PEAK_TFLOPS = {"TPU v5 lite": 197.0, "TPU v5e": 197.0}
+
+
+def _pipeline_flops(bases, lengths, k=K):
+    """Analytic FLOPs of one pipeline iteration (true windows, unpadded
+    — a conservative lower bound for MFU): histogram-as-GEMM costs
+    2*4^k FLOP per window (exp/kernel_v2.py's model), the all-pairs
+    Pearson GEMM 2*m^2*4^k."""
+    windows = int(np.maximum(lengths - (k - 1), 0).sum())
+    m = bases.shape[0]
+    return 2 * (4 ** k) * (windows + m * m)
 
 
 def synth_corpus(m=M, l_min=L_MIN, l_max=L_MAX):
@@ -151,13 +166,14 @@ def bench_tpu(bases, lengths):
     prov = _timed_loop(fn, (b, n), lambda o: o, PROVISIONAL_ITERS)
     _emit(_payload(bases.shape[0] / prov, RECORDED_CPU_BASELINE_TPS,
                    provisional=True))
-    # best of REPS timing loops: the tunnel's latency drifts minute to
-    # minute (BASELINE.md), so the fastest sustained loop is the least
-    # contaminated estimate of device throughput
-    best = prov
-    for _ in range(REPS):
-        best = min(best, _timed_loop(fn, (b, n), lambda o: o, ITERS))
-    return bases.shape[0] / best, best
+    # REPS full timing loops: the MEDIAN is the headline (same central
+    # tendency as the CPU baseline); the BEST is emitted alongside as
+    # the least tunnel-contaminated device-throughput estimate
+    loops = sorted(_timed_loop(fn, (b, n), lambda o: o, ITERS)
+                   for _ in range(REPS))
+    median = loops[len(loops) // 2]
+    best = min(loops[0], prov)
+    return {"median_s": median, "best_s": best, "loops": loops}
 
 
 def bench_mesh(bases, lengths, data_parallel, kmer_parallel, iters, reps):
@@ -188,10 +204,9 @@ def bench_mesh(bases, lengths, data_parallel, kmer_parallel, iters, reps):
     print(f"bench: compiling {need}-device mesh pipeline...",
           file=sys.stderr, flush=True)
     _sync(fn(b, n)[3])  # warmup (sim output)
-    best = float("inf")
-    for _ in range(reps):
-        best = min(best, _timed_loop(fn, (b, n), lambda o: o[3], iters))
-    return bases.shape[0] / best
+    loops = sorted(_timed_loop(fn, (b, n), lambda o: o[3], iters)
+                   for _ in range(reps))
+    return bases.shape[0] / loops[len(loops) // 2]  # median, like 1-chip
 
 
 def bench_reference_cpu(bases, lengths):
@@ -308,7 +323,8 @@ def main(argv):
         if cpu_mesh:
             single_tps = bench_mesh(bases, lengths, 1, 1, iters, reps)
         else:
-            single_tps, _ = bench_tpu(bases, lengths)
+            t = bench_tpu(bases, lengths)
+            single_tps = bases.shape[0] / t["median_s"]
         n_chips = data_parallel * kmer_parallel
         total_tps = bench_mesh(bases, lengths, data_parallel, kmer_parallel,
                                iters, reps)
@@ -328,7 +344,7 @@ def main(argv):
         _emit(_payload(per_chip, baseline, extra=extra))
         return
 
-    tps, _ = bench_tpu(bases, lengths)
+    t = bench_tpu(bases, lengths)
     baseline_tps = bench_reference_cpu(bases, lengths)
     if baseline_tps is None:
         baseline_tps = RECORDED_CPU_BASELINE_TPS
@@ -337,7 +353,29 @@ def main(argv):
         # not inflate the speedup, so never report against a baseline
         # slower than the recorded quiet-host median (BASELINE.md)
         baseline_tps = max(baseline_tps, RECORDED_CPU_BASELINE_TPS)
-    _emit(_payload(tps, baseline_tps))
+    _emit(_payload(bases.shape[0] / t["median_s"], baseline_tps,
+                   extra=_tpu_extras(t, bases, lengths)))
+
+
+def _tpu_extras(t, bases, lengths):
+    """Self-describing estimator fields: both central tendency and best,
+    loop counts, and the wall-clock MFU derived from the analytic FLOP
+    model (dispatch floor included — device-only utilization is higher)."""
+    import jax
+
+    m = bases.shape[0]
+    tflops_best = _pipeline_flops(bases, lengths) / t["best_s"] / 1e12
+    peak = _PEAK_TFLOPS.get(
+        getattr(jax.devices()[0], "device_kind", "?"))
+    return {
+        "value_median": round(m / t["median_s"], 1),
+        "value_best": round(m / t["best_s"], 1),
+        "reps": REPS,
+        "iters": ITERS,
+        "tflops_wall_best": round(tflops_best, 2),
+        "mfu_wall_best": (round(tflops_best / peak, 4) if peak else None),
+        "loop_s": [round(s, 6) for s in t["loops"]],
+    }
 
 
 def supervise(argv):

@@ -110,7 +110,7 @@ def test_cpu_mesh_scaling_mode():
     assert payload["scaling_efficiency"] > 0
     assert payload["scaling"].startswith("strong")
     assert "virtual CPU mesh" in payload["note"]
-    assert "best-of-loops" in payload["method"]
+    assert "median-of-loops" in payload["method"]
 
 
 @pytest.mark.slow

@@ -173,3 +173,47 @@ def test_flat_false_bytes_are_flat_counts(k):
 
     disp = np.asarray(count_kmers_device(bases, lengths, k, flat=False))
     assert np.array_equal(disp.reshape(m, -1), flat)
+
+
+@pytest.mark.parametrize("k", [1, 11])
+def test_out_of_kernel_range_k_full_counter_path(k, tmp_path):
+    """VERDICT r3 item 7: pin the k range OUTSIDE the Pallas kernel's
+    [2, 10] — k=1 (4 columns) and k=11 (4^11 = 4,194,304 columns) must
+    produce oracle-correct counts through the FULL KmerCounter path
+    (the reference accepts any k, seekr/kmer_counts.py:100,121; here
+    _impl_choice falls back to the XLA scan outside the kernel range).
+    """
+    from seekr_tpu.models.counter import KmerCounter
+    from seekr_tpu.ops.count import _impl_choice
+
+    assert _impl_choice(k) == "xla"
+    rng = np.random.default_rng(k)
+    seqs = [rand_seq(rng, 80), rand_seq(rng, 201),
+            rand_seq(rng, 40, alphabet=BASES + "N")]  # invalid bases too
+    fa = tmp_path / "kb.fa"
+    fa.write_text("".join(f">s{i}\n{s}\n" for i, s in enumerate(seqs)))
+
+    counter = KmerCounter(str(fa), k=k, log2="Log2.none", mean=False,
+                          std=False, silent=True)
+    got = counter.get_counts()
+    assert got.shape == (3, 4 ** k)
+
+    oracle = count_kmers_host(seqs, k)
+    np.testing.assert_allclose(got, oracle, rtol=1e-4, atol=1e-4)
+
+    # independent micro-oracle (reference occurrences semantics,
+    # seekr/kmer_counts.py:144-150, written out longhand): every valid
+    # window adds 1000/(len-k+1) to its k-mer column, AGTC digit order
+    order = {c: i for i, c in enumerate("AGTC")}
+    for row, s in zip(got, seqs):
+        expect = np.zeros(4 ** k, np.float64)
+        denom = len(s) - k + 1
+        for i in range(denom):
+            w = s[i:i + k]
+            if any(c not in order for c in w):
+                continue
+            code = 0
+            for c in w:
+                code = code * 4 + order[c]
+            expect[code] += 1000.0 / denom
+        np.testing.assert_allclose(row, expect, rtol=1e-4, atol=1e-3)
