@@ -96,8 +96,11 @@ def _env_knobs() -> List[Tuple[str, str, str]]:
     rows = []
     for var in ("SEEKR_TPU_COUNT_IMPL", "SEEKR_TPU_HOST_SORT",
                 "SEEKR_TPU_MATMUL_PRECISION", "SEEKR_TPU_PDIST",
-                "SEEKR_TPU_AOT", "SEEKR_TPU_COMPILE_CACHE",
-                "SEEKR_TPU_TRACE", "SEEKR_TPU_LOG"):
+                "SEEKR_TPU_AOT", "SEEKR_TPU_AOT_DEBUG",
+                "SEEKR_TPU_COMPILE_CACHE",
+                "SEEKR_TPU_TRACE", "SEEKR_TPU_LOG",
+                "SEEKR_TPU_CORPUS_BUDGET", "SEEKR_TPU_POD_TIMEOUT",
+                "SEEKR_TPU_SCRATCH"):
         val = os.environ.get(var)
         if val is not None:
             rows.append((WARN, "env", f"{var}={val} (non-default)"))
