@@ -1296,6 +1296,10 @@ def console_find_pval(argv=None):
                              "in memory (extension; 'auto' streams above "
                              "64M cells — at that size nothing is "
                              "returned, only written).")
+    parser.add_argument("-dp", "--data_parallel", default=None, type=int,
+                        help="devices on the mesh 'data' axis for the "
+                             "O(m1*m2) Pearson (extension; combines with "
+                             "--stream).")
     args = _parse_args_or_exit(parser, argv)
 
     _enable_xla_cache()
@@ -1304,7 +1308,8 @@ def console_find_pval(argv=None):
     find_pval(args.seq1file, args.seq2file, args.mean_path, args.std_path,
               int(args.kmer), fitres, args.log2, int(args.bestfit),
               args.outputname, args.progress_bar, stream=stream,
-              npy_out=args.binary_outfile)
+              npy_out=args.binary_outfile,
+              data_parallel=args.data_parallel)
 
 
 # -- adj_pval ----------------------------------------------------------------

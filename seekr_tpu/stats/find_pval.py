@@ -55,7 +55,8 @@ def check_main_list(main_list):
 
 def find_pval(seq1file, seq2file, mean_path, std_path, k_mer, fitres,
               log2="Log2.post", bestfit=1, outputname=None, progress_bar=True,
-              stream=None, npy_out=None, stream_block_rows: int = 4096):
+              stream=None, npy_out=None, stream_block_rows: int = 4096,
+              data_parallel=None):
     """p-value DataFrame (rows = seq1 headers, cols = seq2 headers).
 
     Same signature/return contract as seekr/find_pval.py:70 (None on invalid
@@ -80,6 +81,13 @@ def find_pval(seq1file, seq2file, mean_path, std_path, k_mer, fitres,
     ``stream_block_rows`` is the device tile height.  Streamed CSV bytes
     are identical to the in-memory path's (pinned by
     tests/test_stream_pval.py).
+
+    ``data_parallel`` (CLI ``-dp``, like find_dist's) runs the O(m1*m2)
+    Pearson data-sharded over an N-device mesh
+    (parallel.dist.stream_pearson_sharded): the standardized right
+    matrix stays sharded, each left row block all-gathers over the ICI,
+    every device computes its column slice of the tile.  Same values
+    within GEMM-retiling ulp; combines with streaming.
     """
     meanfile = np.load(mean_path)
     stdfile = np.load(std_path)
@@ -169,15 +177,26 @@ def find_pval(seq1file, seq2file, mean_path, std_path, k_mer, fitres,
 
     m1, m2 = len(header1), len(header2)
     from seekr_tpu.io.stream import STREAM_CELL_THRESHOLD
+    from seekr_tpu.parallel.mesh import build_mesh_from_flags
 
+    mesh = build_mesh_from_flags(data_parallel)
     do_stream = (stream if stream is not None
                  else (m1 * m2 > STREAM_CELL_THRESHOLD
                        and bool(outputname or npy_out)))
     if do_stream:
         return _stream_pvals(c1, c2, pval_fn, header1, header2,
-                             outputname, npy_out, stream_block_rows)
+                             outputname, npy_out, stream_block_rows, mesh)
 
-    sim = pearson(c1, c2)
+    if mesh is not None:
+        from seekr_tpu.io.stream import ArrayCollector
+        from seekr_tpu.parallel.dist import stream_pearson_sharded
+
+        coll = ArrayCollector()
+        stream_pearson_sharded(mesh, c1, coll, counts2=c2,
+                               block_rows=stream_block_rows)
+        sim = coll.result()
+    else:
+        sim = pearson(c1, c2)
     p_values = pval_fn(sim)
     if npy_out:
         np.save(npy_out, p_values)
@@ -185,7 +204,7 @@ def find_pval(seq1file, seq2file, mean_path, std_path, k_mer, fitres,
 
 
 def _stream_pvals(c1, c2, pval_fn, header1, header2, outputname, npy_out,
-                  block_rows):
+                  block_rows, mesh=None):
     """Tile-wise sim -> cdf -> append: the [m1, m2] matrix never exists.
 
     Peak host memory is ONE [block_rows, m2] tile (the device holds the
@@ -213,7 +232,13 @@ def _stream_pvals(c1, c2, pval_fn, header1, header2, outputname, npy_out,
             for s in sinks:
                 s.append(p)
 
-    stream_pearson(c1, c2, _PvalTiles(), block_rows=block_rows)
+    if mesh is not None:
+        from seekr_tpu.parallel.dist import stream_pearson_sharded
+
+        stream_pearson_sharded(mesh, c1, _PvalTiles(), counts2=c2,
+                               block_rows=block_rows)
+    else:
+        stream_pearson(c1, c2, _PvalTiles(), block_rows=block_rows)
     paths = []
     for s in sinks:
         s.close()

@@ -121,3 +121,22 @@ def test_cli_stream_flags(chain, tmp_path, monkeypatch):
     assert (tmp_path / "out.csv").exists()
     arr = np.load(tmp_path / "out.npy")
     assert arr.shape == (7, 5) and arr.dtype == np.float32
+
+
+@pytest.mark.parametrize("stream", [False, True], ids=["inmem", "stream"])
+def test_data_parallel_matches_single_device(chain, tmp_path, stream):
+    """-dp N: the Pearson runs data-sharded (stream_pearson_sharded);
+    values match the single-device path within GEMM-retiling ulp, in
+    both the in-memory and streamed modes."""
+    single = _run(chain, None, npy_out=str(tmp_path / "s.npy"),
+                  stream=stream)
+    sharded = _run(chain, None, npy_out=str(tmp_path / "m.npy"),
+                   stream=stream, data_parallel=4)
+    if stream:
+        assert single is None and sharded is None
+    else:
+        np.testing.assert_allclose(sharded.to_numpy(), single.to_numpy(),
+                                   rtol=1e-5, atol=1e-7)
+    a, b = np.load(tmp_path / "s.npy"), np.load(tmp_path / "m.npy")
+    assert a.shape == b.shape == (7, 5)
+    np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-7)
