@@ -527,6 +527,11 @@ def console_serve(argv=None):
 
     mesh = None
     if args.data_parallel or (args.num_processes or 0) > 1:
+        if (args.data_parallel or 0) > 1 and not args.targets:
+            # validate BEFORE building the mesh: the flag contradiction
+            # is the user's first problem whatever the device count is
+            parser.error("-dp requires -t/--targets: the sharded corpus "
+                         "is the thing being distributed")
         from seekr_tpu.parallel.mesh import build_mesh_from_flags
 
         mesh = build_mesh_from_flags(args.data_parallel,

@@ -227,7 +227,12 @@ def test_compile_features_in_fingerprint(store, monkeypatch):
     compile-target feature set, not just the host-ISA summary."""
     monkeypatch.setattr(aot, "_FEATURES", None)
     feats = aot._compile_features()
-    assert feats and feats in aot._fingerprint()
+    if jax.default_backend() == "cpu":
+        assert feats and feats in aot._fingerprint()
+    else:
+        # TPU executables are pinned by device_kind + runtime version;
+        # the probe compile is skipped (it costs seconds over the tunnel)
+        assert feats == ""
     # a doctored feature set changes every store key -> guaranteed miss
     monkeypatch.setattr(aot, "_FEATURES", None)
     monkeypatch.setenv("SEEKR_TPU_AOT_TEST_FEATURES", "doctored-host")

@@ -393,9 +393,11 @@ def test_coalesced_queries_match_serial(artifacts):
         for key in ("sim", "pvals", "topk_sim", "topk_pvals"):
             if key in want_out:
                 # counting + the segmented Log2.post shift are bitwise;
-                # the merged Pearson GEMM may retile (ulp differences)
+                # the merged Pearson GEMM may retile — ulp-level on the
+                # CPU backend, ~2e-5 rel on real TPU (bf16x3 tiles), so
+                # the repo-standard Pearson tolerance applies
                 np.testing.assert_allclose(got[key], want_out[key],
-                                           rtol=1e-5, atol=1e-7,
+                                           rtol=1e-4, atol=1e-6,
                                            err_msg=key)
         if "topk_idx" in want_out:
             _assert_topk_idx_equal(got["topk_idx"], want_out["topk_sim"],
@@ -452,7 +454,7 @@ def test_coalesced_hammer_consistency(artifacts):
             want_out = ref.query(seqs, want=("topk",), topk=3)
             np.testing.assert_allclose(got["topk_sim"],
                                        want_out["topk_sim"],
-                                       rtol=1e-5, atol=1e-7)
+                                       rtol=1e-4, atol=1e-6)
             _assert_topk_idx_equal(got["topk_idx"], want_out["topk_sim"],
                                    want_out["topk_idx"])
 
@@ -496,7 +498,7 @@ def test_coalesce_row_cap_splits_batches(artifacts):
     for seqs, got in zip(reqs, results):
         want_out = ref.query(seqs, want=("topk",), topk=2)
         np.testing.assert_allclose(got["topk_sim"], want_out["topk_sim"],
-                                   rtol=1e-5, atol=1e-7)
+                                   rtol=1e-4, atol=1e-6)
 
 
 def _mesh():

