@@ -120,3 +120,47 @@ def test_one_by_one_symmetric(tmp_path):
     adj_pval_stream(str(src), "fdr_bh", out_npy=str(tmp_path / "o.npy"))
     out = np.load(tmp_path / "o.npy")
     assert out.shape == (1, 1) and np.isnan(out[0, 0])
+
+
+def test_differential_fuzz_vs_in_memory(tmp_path):
+    """Randomized differential fuzz: shapes, dtypes, NaN densities,
+    duplicate-heavy value pools, methods, and chunk sizes — streamed
+    output must equal the in-memory correction BITWISE every time."""
+    rng = np.random.default_rng(1234)
+    methods = METHODS
+    for trial in range(25):
+        m1 = int(rng.integers(1, 24))
+        symmetric = bool(rng.integers(0, 2))
+        m2 = m1 if symmetric else int(rng.integers(1, 24))
+        dtype = np.float32 if rng.integers(0, 2) else np.float64
+        # duplicate-heavy pools stress tie handling; occasional NaNs
+        # stress the poisoning/propagation parity
+        if rng.integers(0, 2):
+            pool = rng.uniform(0, 1, 4)
+            arr = rng.choice(pool, size=(m1, m2))
+        else:
+            arr = rng.uniform(0, 1, (m1, m2))
+        if symmetric:
+            arr = np.triu(arr, 1)
+            arr = arr + arr.T
+            np.fill_diagonal(arr, rng.uniform(0, 1))
+        if rng.integers(0, 4) == 0 and not symmetric:
+            nan_mask = rng.uniform(size=arr.shape) < 0.1
+            arr[nan_mask] = np.nan
+        arr = arr.astype(dtype)
+        method = methods[int(rng.integers(0, len(methods)))]
+        alpha = float(rng.choice([0.01, 0.05, 0.2]))
+        chunk = int(rng.choice([1, 7, 1 << 20]))
+
+        want = adj_pval(pd.DataFrame(arr), method, alpha).to_numpy()
+        src = tmp_path / f"f{trial}.npy"
+        np.save(src, arr)
+        out = tmp_path / f"o{trial}.npy"
+        adj_pval_stream(str(src), method, alpha, out_npy=str(out),
+                        chunk_cells=chunk)
+        got = np.load(out)
+        np.testing.assert_array_equal(
+            got, want,
+            err_msg=f"trial={trial} m1={m1} m2={m2} sym={symmetric} "
+                    f"dtype={dtype} method={method} alpha={alpha} "
+                    f"chunk={chunk}")
