@@ -153,7 +153,9 @@ class StreamingCsvWriter:
         self._row = 0
 
     def _native_append(self, block: np.ndarray) -> bool:
-        if self._native_mode is None or block.dtype != np.float32:
+        is_f64 = block.dtype == np.float64 and self._native_mode == 0
+        if self._native_mode is None or (block.dtype != np.float32
+                                         and not is_f64):
             return False
         try:
             from seekr_tpu import native
@@ -165,9 +167,16 @@ class StreamingCsvWriter:
         if self.labeled:
             labels = [self._quote(l) for l in
                       self.row_labels[self._row:self._row + block.shape[0]]]
-        native.write_csv_f32(self.path, np.ascontiguousarray(block),
-                             header_line=None, row_label_cells=labels,
-                             mode=self._native_mode, append=True)
+        if is_f64:
+            # float64 blocks (the streamed adj_pval emitter): Python-repr
+            # bytes == pandas DataFrame(float64).to_csv
+            native.write_csv_f64(self.path, np.ascontiguousarray(block),
+                                 header_line=None, row_label_cells=labels,
+                                 append=True)
+        else:
+            native.write_csv_f32(self.path, np.ascontiguousarray(block),
+                                 header_line=None, row_label_cells=labels,
+                                 mode=self._native_mode, append=True)
         return True
 
     def append(self, block: np.ndarray):

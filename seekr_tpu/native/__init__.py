@@ -89,6 +89,12 @@ def _load():
         ctypes.c_char_p, ctypes.POINTER(ctypes.c_char_p), ctypes.c_int32,
         ctypes.c_int32,
     ]
+    lib.seekr_write_csv_f64.restype = ctypes.c_int64
+    lib.seekr_write_csv_f64.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_double),
+        ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_char_p), ctypes.c_int32,
+    ]
     lib.seekr_csv_open.restype = ctypes.c_void_p
     lib.seekr_csv_open.argtypes = [ctypes.c_char_p]
     lib.seekr_csv_close.argtypes = [ctypes.c_void_p]
@@ -357,6 +363,33 @@ def write_csv_f32(path: str, matrix: np.ndarray, header_line: str = None,
         labels_arr, int(mode), int(bool(append)))
     if rc != 0:
         raise IOError(f"seekr_write_csv_f32 failed for {path!r}")
+
+
+def write_csv_f64(path: str, matrix: np.ndarray, header_line: str = None,
+                  row_label_cells=None, append: bool = False) -> None:
+    """float64 flavor of :func:`write_csv_f32` — pandas/Python repr
+    bytes (``DataFrame(float64).to_csv``), NaN as empty cells; the
+    streamed adj_pval CSV emitter's fast path."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native library unavailable: {_load_error}")
+    m = np.ascontiguousarray(matrix, dtype=np.float64)
+    if m.ndim != 2:
+        raise ValueError("matrix must be 2-D")
+    rows, cols = m.shape
+    labels_arr = None
+    if row_label_cells is not None:
+        if len(row_label_cells) != rows:
+            raise ValueError("row_label_cells length must equal row count")
+        labels_arr = (ctypes.c_char_p * rows)(
+            *[str(s).encode("utf-8") for s in row_label_cells])
+    rc = lib.seekr_write_csv_f64(
+        str(path).encode(),
+        m.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), rows, cols,
+        header_line.encode("utf-8") if header_line else None,
+        labels_arr, int(bool(append)))
+    if rc != 0:
+        raise IOError(f"seekr_write_csv_f64 failed for {path!r}")
 
 
 def argsort_f64(keys: np.ndarray):

@@ -26,14 +26,19 @@
 
 namespace {
 
-// pandas/numpy-compatible shortest repr of a float32; appends to s.
-void fmt_pandas(float v, std::string& s) {
+// pandas/numpy-compatible shortest repr of a float32 (numpy repr) or
+// float64 (Python repr — what DataFrame.to_csv writes); appends to s.
+// Same digit/threshold rules for both widths (verified differentially
+// in tests/test_fast_csv.py): shortest round-trip digits, scientific
+// iff |v| < 1e-4 or >= 1e16, NaN as an empty cell.
+template <typename T>
+void fmt_pandas(T v, std::string& s) {
   if (std::isnan(v)) return;  // pandas writes an empty cell for NaN
   if (std::isinf(v)) {
     s += (v < 0) ? "-inf" : "inf";
     return;
   }
-  if (v == 0.0f) {
+  if (v == T(0)) {
     s += std::signbit(v) ? "-0.0" : "0.0";
     return;
   }
@@ -45,7 +50,7 @@ void fmt_pandas(float v, std::string& s) {
   const char* p = buf;
   bool neg = (*p == '-');
   if (neg) ++p;
-  char digits[24];
+  char digits[32];
   int nd = 0;
   digits[nd++] = *p++;           // leading digit
   if (*p == '.') {
@@ -91,25 +96,26 @@ void fmt_fixed6(float v, std::string& s) {
   s.append(buf, size_t(n));
 }
 
-void format_rows(const float* data, int64_t cols, int64_t row0, int64_t row1,
+template <typename T>
+void format_rows(const T* data, int64_t cols, int64_t row0, int64_t row1,
                  const char* const* row_label_cells, int32_t mode,
                  std::string& out) {
   out.clear();
   out.reserve(size_t(row1 - row0) * size_t(cols) * 12);
   for (int64_t r = row0; r < row1; ++r) {
-    const float* row = data + r * cols;
+    const T* row = data + r * cols;
     if (row_label_cells) {
       out += row_label_cells[r];
       for (int64_t c = 0; c < cols; ++c) {
         out += ',';
         if (mode == 0) fmt_pandas(row[c], out);
-        else fmt_fixed6(row[c], out);
+        else fmt_fixed6(float(row[c]), out);
       }
     } else {
       for (int64_t c = 0; c < cols; ++c) {
         if (c) out += ',';
         if (mode == 0) fmt_pandas(row[c], out);
-        else fmt_fixed6(row[c], out);
+        else fmt_fixed6(float(row[c]), out);
       }
     }
     out += '\n';
@@ -118,17 +124,12 @@ void format_rows(const float* data, int64_t cols, int64_t row0, int64_t row1,
 
 }  // namespace
 
-extern "C" {
-
-// Writes ``header_line`` (verbatim, may be NULL) then one line per row:
-// optional pre-quoted label cell + comma-joined formatted values.
-// ``append`` != 0 opens the file in append mode (streamed row blocks).
-// Returns 0 on success, -1 on invalid arguments or IO failure.
-int64_t seekr_write_csv_f32(const char* path, const float* data,
-                            int64_t rows, int64_t cols,
-                            const char* header_line,
-                            const char* const* row_label_cells,
-                            int32_t mode, int32_t append) {
+template <typename T>
+int64_t write_csv_impl(const char* path, const T* data,
+                       int64_t rows, int64_t cols,
+                       const char* header_line,
+                       const char* const* row_label_cells,
+                       int32_t mode, int32_t append) {
   if (!path || (!data && rows * cols > 0) || rows < 0 || cols < 0) return -1;
   if (mode != 0 && mode != 1) return -1;
   std::FILE* f = std::fopen(path, append ? "ab" : "wb");
@@ -174,6 +175,32 @@ int64_t seekr_write_csv_f32(const char* path, const float* data,
   }
   ok = (std::fclose(f) == 0) && ok;
   return ok ? 0 : -1;
+}
+
+extern "C" {
+
+// Writes ``header_line`` (verbatim, may be NULL) then one line per row:
+// optional pre-quoted label cell + comma-joined formatted values.
+// ``append`` != 0 opens the file in append mode (streamed row blocks).
+// Returns 0 on success, -1 on invalid arguments or IO failure.
+int64_t seekr_write_csv_f32(const char* path, const float* data,
+                            int64_t rows, int64_t cols,
+                            const char* header_line,
+                            const char* const* row_label_cells,
+                            int32_t mode, int32_t append) {
+  return write_csv_impl(path, data, rows, cols, header_line,
+                        row_label_cells, mode, append);
+}
+
+// float64 flavor (pandas/Python repr bytes; mode 0 only — the %1.6f
+// savetxt format is a float32 artifact contract).
+int64_t seekr_write_csv_f64(const char* path, const double* data,
+                            int64_t rows, int64_t cols,
+                            const char* header_line,
+                            const char* const* row_label_cells,
+                            int32_t append) {
+  return write_csv_impl(path, data, rows, cols, header_line,
+                        row_label_cells, /*mode=*/0, append);
 }
 
 }  // extern "C"

@@ -175,3 +175,45 @@ def test_formatter_fuzz_random_bit_patterns(tmp_path):
     write_labeled_csv(str(a), m, idx, cols)
     pd.DataFrame(m, index=idx, columns=cols).to_csv(str(b))
     assert a.read_bytes() == b.read_bytes()
+
+
+def test_native_f64_formatter_matches_pandas_bytes(tmp_path):
+    """seekr_write_csv_f64: Python-repr bytes == DataFrame(f64).to_csv
+    for random values and every formatting edge (threshold crossings,
+    signed zero, inf, NaN-as-empty, denormals, huge, integral)."""
+    import io
+
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    from seekr_tpu import native
+    from seekr_tpu.io.fast_csv import _quote
+
+    if not native.native_available():
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(0)
+    edges = [1e15, 1e16, 9.999e15, 1234567890123456.0, 1e-4, 9.9e-5,
+             1e-5, 0.0, -0.0, np.inf, -np.inf, np.nan, 1.0, 0.1, 1 / 3,
+             5e-324, 1.7976931348623157e308, -2.5, 123.0, 1e100, -1e-100]
+    rows = [edges[i:i + 7] + [0.0] * max(0, 7 - len(edges[i:i + 7]))
+            for i in range(0, len(edges), 7)]
+    mats = [
+        np.array(rows, dtype=np.float64),
+        rng.uniform(0, 1, (13, 9)),
+        rng.normal(0, 1e6, (5, 5)) * 10.0 ** rng.integers(-20, 20, (5, 5)),
+    ]
+    for i, mat in enumerate(mats):
+        labels = [f"r{j}" for j in range(mat.shape[0])]
+        cols = [f"c{j}" for j in range(mat.shape[1])]
+        df = pd.DataFrame(mat, index=labels, columns=cols)
+        buf = io.StringIO()
+        df.to_csv(buf)
+        path = tmp_path / f"m{i}.csv"
+        with open(path, "w") as fh:
+            fh.write("," + ",".join(_quote(c) for c in cols) + "\n")
+        native.write_csv_f64(str(path), mat,
+                             row_label_cells=[_quote(l) for l in labels],
+                             append=True)
+        assert path.read_text() == buf.getvalue(), f"matrix {i}"
