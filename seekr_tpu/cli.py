@@ -1481,13 +1481,27 @@ def console_kmer_leiden(argv=None):
                         help="plot output path (pdf appended).")
     parser.add_argument("-cf", "--csvfile", default=None,
                         help="Gephi nodes/edges csv prefix.")
+    parser.add_argument("--stream", default=None,
+                        choices=["auto", "on", "off"],
+                        help="extract the thresholded edge set tile-by-"
+                             "tile instead of materializing the [m, m] "
+                             "similarity matrix (extension; 'auto' "
+                             "streams above 64M cells — the spring plot "
+                             "is skipped, Gephi CSVs hold the detected "
+                             "edges).")
+    parser.add_argument("-dp", "--data_parallel", default=None, type=int,
+                        help="devices on the mesh 'data' axis for the "
+                             "O(m^2) similarity GEMM (extension; implies "
+                             "streamed edge extraction).")
     args = _parse_args_or_exit(parser, argv)
 
     _enable_xla_cache()
+    stream = {None: None, "auto": None, "on": True, "off": False}[args.stream]
     kmer_leiden(args.fasta, args.mean_path, args.std_path, int(args.kmer),
                 args.algo, float(args.rs), float(args.pearsoncutoff),
                 args.setseed, args.edgecolormethod, float(args.edgethreshold),
-                int(args.labelfontsize), args.plotname, args.csvfile)
+                int(args.labelfontsize), args.plotname, args.csvfile,
+                stream=stream, data_parallel=args.data_parallel)
 
 
 # -- kmer_count_barplot ------------------------------------------------------

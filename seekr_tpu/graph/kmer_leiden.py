@@ -27,14 +27,18 @@ _RESOLUTION_ALGOS = {
 }
 
 
-def similarity_graph(inputfile, mean, std, k, pearsoncutoff=0):
+def similarity_graph(inputfile, mean, std, k, pearsoncutoff=0,
+                     counter=None):
     """Thresholded self-similarity DataFrame (headers as labels).
 
     r < pearsoncutoff -> 0; diagonal -> 0 (reference kmer_leiden.py:93-96).
+    ``counter`` reuses an already-parsed KmerCounter for the same file.
     """
     import pandas as pd
 
-    counter = KmerCounter(inputfile, mean=mean, std=std, k=k, silent=True)
+    if counter is None:
+        counter = KmerCounter(inputfile, mean=mean, std=std, k=k,
+                              silent=True)
     headers = [h[1:] for h in counter.headers]  # counter already parsed
     # counts stay device-resident into Pearson (the reference's
     # make_count_file writes nothing here — no outfile); only the
@@ -46,24 +50,89 @@ def similarity_graph(inputfile, mean, std, k, pearsoncutoff=0):
     return pd.DataFrame(sim, columns=headers, index=headers)
 
 
-def leiden_membership(df, algo="RBERVertexPartition", rs=1.0, setseed=False):
-    """Run the native Leiden engine on a thresholded similarity DataFrame."""
+def _run_leiden(src, dst, weights, n_nodes, algo, rs, setseed):
+    """Native Leiden on an explicit undirected edge list."""
     if algo not in native.ALGORITHMS:
         raise ValueError(
             f"algo must be one of {list(native.ALGORITHMS)}, got {algo!r}")
-    vals = df.values
-    src, dst = np.nonzero(np.triu(vals > 0, k=1))
     # Significance is defined for unweighted graphs only; the reference runs
     # it without weights (kmer_leiden.py:131-134) — every edge counts as 1
     if algo == "SignificanceVertexPartition":
         weights = None
-    else:
-        weights = vals[src, dst].astype(np.float64)
+    elif weights is not None:
+        weights = np.asarray(weights, np.float64)
     resolution = rs if algo in _RESOLUTION_ALGOS else 1.0
     seed = 1 if setseed else None
-    return native.leiden(src.astype(np.int64), dst.astype(np.int64), weights,
-                         n_nodes=vals.shape[0], algo=algo,
+    return native.leiden(np.asarray(src, np.int64),
+                         np.asarray(dst, np.int64), weights,
+                         n_nodes=n_nodes, algo=algo,
                          resolution=resolution, seed=seed)
+
+
+def leiden_membership(df, algo="RBERVertexPartition", rs=1.0, setseed=False):
+    """Run the native Leiden engine on a thresholded similarity DataFrame."""
+    vals = df.values
+    src, dst = np.nonzero(np.triu(vals > 0, k=1))
+    return _run_leiden(src, dst, vals[src, dst], vals.shape[0], algo, rs,
+                       setseed)
+
+
+class _EdgeTiles:
+    """Streamed thresholded edge extraction from self-similarity tiles.
+
+    Keeps only the strict-upper entries passing the reference's edge rule
+    — ``sim[sim < cutoff] = 0`` then ``> 0`` (kmer_leiden.py:93-96,106),
+    i.e. ``r >= cutoff and r > 0`` — as the [block, m] tiles come off the
+    device, so host memory holds the SPARSE edge set instead of the
+    [m, m] square (130 GB float32 at the 180k extreme; the edge set at
+    any useful cutoff is orders of magnitude smaller and directly what
+    community detection consumes).
+    """
+
+    def __init__(self, m: int, cutoff: float):
+        self.m = int(m)
+        self.cutoff = cutoff
+        self._row = 0
+        # int32 node ids while accumulating (m < 2^31 always here):
+        # halves the resident edge arrays — at a dense-ish cutoff the
+        # edge set, not the tiles, is the memory high-water mark
+        self._cols = np.arange(self.m, dtype=np.int32)
+        self.src, self.dst, self.w = [], [], []
+
+    def append(self, tile):
+        t = np.asarray(tile)
+        rows = np.arange(self._row, self._row + t.shape[0], dtype=np.int32)
+        mask = ((self._cols[None, :] > rows[:, None])
+                & (t >= self.cutoff) & (t > 0))
+        si, dj = np.nonzero(mask)
+        self.src.append(rows[si])
+        self.dst.append(dj.astype(np.int32))
+        self.w.append(t[si, dj])
+        self._row += t.shape[0]
+
+    def result(self):
+        assert self._row == self.m
+        return (np.concatenate(self.src) if self.src else np.empty(0, np.int32),
+                np.concatenate(self.dst) if self.dst else np.empty(0, np.int32),
+                np.concatenate(self.w) if self.w else np.empty(0, np.float32))
+
+
+def sparse_similarity_edges(counts, pearsoncutoff=0, mesh=None,
+                            block_rows: int = 2048):
+    """(src, dst, weights) of the thresholded self-similarity graph,
+    extracted tile-by-tile (data-sharded over ``mesh`` when given) —
+    the [m, m] matrix never exists on host."""
+    m = int(np.shape(counts)[0])
+    tiles = _EdgeTiles(m, pearsoncutoff)
+    if mesh is not None:
+        from seekr_tpu.parallel.dist import stream_pearson_sharded
+
+        stream_pearson_sharded(mesh, counts, tiles, block_rows=block_rows)
+    else:
+        from seekr_tpu.io.stream import stream_pearson
+
+        stream_pearson(counts, counts, tiles, block_rows=block_rows)
+    return tiles.result()
 
 
 def _edge_style(df, edgecolormethod, edgethreshold):
@@ -150,15 +219,51 @@ def export_gephi_csv(df, membership, csvfile):
     edges.to_csv(f"{csvfile}_edges_leiden.csv", index=False)
 
 
+def export_gephi_csv_edges(names, membership, src, dst, w, csvfile):
+    """Streamed-mode Gephi export: same nodes file as export_gephi_csv;
+    the edges file holds the DETECTED edge set (positive post-cutoff
+    triu entries) instead of the reference's every-triu-cell melt —
+    at streaming scale the full melt is the matrix itself (documented
+    deviation; the detected set is what Gephi renders meaningfully)."""
+    import pandas as pd
+
+    labels, colors = [], []
+    for comm in range(int(membership.max()) + 1 if len(membership) else 0):
+        for node_index in np.nonzero(membership == comm)[0]:
+            labels.append(names[node_index])
+            colors.append(comm + 1)
+    nodes = pd.DataFrame({"Id": labels, "Label": labels, "Color": colors})
+    nodes.to_csv(f"{csvfile}_nodes_leiden.csv", index=False)
+    edges = pd.DataFrame({"Source": [names[i] for i in src],
+                          "Target": [names[j] for j in dst],
+                          "Weight": w})
+    edges.to_csv(f"{csvfile}_edges_leiden.csv", index=False)
+
+
 def kmer_leiden(inputfile, mean, std, k, algo="RBERVertexPartition", rs=1.0,
                 pearsoncutoff=0, setseed=False, edgecolormethod="gradient",
                 edgethreshold=0.1, labelfontsize=12, plotname=None,
-                csvfile=None):
+                csvfile=None, stream=None, data_parallel=None):
     """Leiden community network for the sequences of ``inputfile``.
 
     Same signature and artifacts as reference kmer_leiden.py:66-69; returns
     the membership array (the reference returns None — returning the result
     is a strict superset of that contract).
+
+    Extreme-scale extension: above ``io.stream.STREAM_CELL_THRESHOLD``
+    similarity cells (or with ``stream=True`` / ``data_parallel``), the
+    thresholded edge set is extracted tile-by-tile from the device GEMM
+    (``sparse_similarity_edges``, data-sharded with ``data_parallel``)
+    and fed straight to the native Leiden engine — the [m, m] matrix
+    never exists on host (the reference materializes it at
+    kmer_leiden.py:91, ~130 GB float32 at the 180k GENCODE extreme).
+    In streamed mode the spring-layout plot is skipped with a message
+    (a 100k-node spring layout is not a meaningful artifact and needs
+    the dense matrix) and the Gephi edges file holds the detected edge
+    set (see export_gephi_csv_edges).  Edge weights may differ from the
+    in-memory path at GEMM-retiling ulp, so a value within one ulp of
+    the cutoff can flip in or out — same caveat as every blocked-GEMM
+    consumer (membership at sane cutoffs is unaffected).
     """
     from seekr_tpu.viz.style import check_norm_compat
 
@@ -168,7 +273,31 @@ def kmer_leiden(inputfile, mean, std, k, algo="RBERVertexPartition", rs=1.0,
                              "Leiden community is calculated or plotted"):
         return None
 
-    df = similarity_graph(inputfile, mean, std, k, pearsoncutoff)
+    from seekr_tpu.io.stream import STREAM_CELL_THRESHOLD
+    from seekr_tpu.parallel.mesh import build_mesh_from_flags
+
+    mesh = build_mesh_from_flags(data_parallel)
+    counter = KmerCounter(inputfile, mean=mean, std=std, k=k, silent=True)
+    m = len(counter.headers)
+    do_stream = (stream if stream is not None
+                 else (m * m > STREAM_CELL_THRESHOLD or mesh is not None))
+
+    if do_stream:
+        names = [h[1:] for h in counter.headers]
+        src, dst, w = sparse_similarity_edges(
+            counter.get_counts_device(), pearsoncutoff, mesh=mesh)
+        membership = _run_leiden(src, dst, w, m, algo, rs, setseed)
+        if plotname:
+            print(f"kmer_leiden: streamed mode at m={m} skips the "
+                  f"spring-layout plot ({plotname}.pdf not written) — "
+                  "it needs the dense similarity matrix; use the Gephi "
+                  "CSVs (csvfile=) for large-graph rendering.")
+        if csvfile:
+            export_gephi_csv_edges(names, membership, src, dst, w, csvfile)
+        return membership
+
+    df = similarity_graph(inputfile, mean, std, k, pearsoncutoff,
+                          counter=counter)
     membership = leiden_membership(df, algo=algo, rs=rs, setseed=setseed)
 
     if plotname:

@@ -91,3 +91,65 @@ def test_edge_style_gradient_no_edges():
     df = pd.DataFrame(np.zeros((4, 4)), index=list("abcd"), columns=list("abcd"))
     colors, widths = _edge_style(df, "gradient", 0.1)
     assert colors == [] and widths == []
+
+
+def test_streamed_edges_match_dense(norm_vectors):
+    """sparse_similarity_edges == the dense path's thresholded triu
+    edge set (same src/dst/weights), for positive and zero cutoffs."""
+    from seekr_tpu.graph.kmer_leiden import sparse_similarity_edges
+
+    fa, mean, std = norm_vectors
+    for cutoff in (0.0, 0.15):
+        df = similarity_graph(fa, mean, std, k=2, pearsoncutoff=cutoff)
+        vals = df.values
+        want_src, want_dst = np.nonzero(np.triu(vals > 0, k=1))
+
+        counter = KmerCounter(fa, mean=mean, std=std, k=2, silent=True)
+        src, dst, w = sparse_similarity_edges(
+            counter.get_counts_device(), pearsoncutoff=cutoff,
+            block_rows=5)  # forces multiple tiles
+        order = np.lexsort((dst, src))
+        src, dst, w = src[order], dst[order], w[order]
+        np.testing.assert_array_equal(src, want_src)
+        np.testing.assert_array_equal(dst, want_dst)
+        np.testing.assert_allclose(w, vals[want_src, want_dst],
+                                   rtol=1e-5, atol=1e-7)
+
+
+def test_streamed_membership_matches_dense(norm_vectors, tmp_path,
+                                           monkeypatch, capsys):
+    """kmer_leiden(stream=True): same membership as the dense path
+    (seeded), Gephi CSVs written from the detected edge set, plot
+    skipped with an actionable message."""
+    monkeypatch.chdir(tmp_path)
+    fa, mean, std = norm_vectors
+    dense = kmer_leiden(fa, mean, std, k=2, setseed=True,
+                        pearsoncutoff=0.1)
+    streamed = kmer_leiden(fa, mean, std, k=2, setseed=True,
+                           pearsoncutoff=0.1, stream=True,
+                           plotname="net_s", csvfile="st")
+    np.testing.assert_array_equal(streamed, dense)
+    assert "skips the spring-layout plot" in capsys.readouterr().out
+    assert not (tmp_path / "net_s.pdf").exists()
+    nodes = pd.read_csv(tmp_path / "st_nodes_leiden.csv")
+    edges = pd.read_csv(tmp_path / "st_edges_leiden.csv")
+    assert len(nodes) == 21 and list(nodes.columns) == ["Id", "Label",
+                                                        "Color"]
+    # detected edge set only (not the reference's every-triu-cell melt)
+    assert (edges["Weight"] > 0).all()
+    assert list(edges.columns) == ["Source", "Target", "Weight"]
+
+
+def test_streamed_mesh_membership(norm_vectors):
+    """data_parallel: streamed edge extraction over a virtual mesh gives
+    the same seeded membership."""
+    import jax
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    fa, mean, std = norm_vectors
+    dense = kmer_leiden(fa, mean, std, k=2, setseed=True,
+                        pearsoncutoff=0.1)
+    sharded = kmer_leiden(fa, mean, std, k=2, setseed=True,
+                          pearsoncutoff=0.1, data_parallel=4)
+    np.testing.assert_array_equal(sharded, dense)
