@@ -71,6 +71,13 @@ def run_workflow(seq1file, seq2file=None, background=None, k=6,
     (parallel.dist.init_distributed).  Counting stays per-host (it is
     row-local and bucket-dispatched); results are identical to the
     single-device run within GEMM reduction-order tolerance.
+
+    Scale note: this convenience wrapper holds the pval/adj matrices in
+    memory (interactive scale).  Above ~50k transcripts use the streamed
+    CLI chain instead — ``seekr_find_pval --stream -bo pvals.npy`` then
+    ``seekr_adj_pval pvals.npy <method> -bi`` (and ``seekr_kmer_leiden
+    --stream``) — which never materializes an [m1, m2] matrix
+    (BASELINE.md "Extreme-scale pval chain").
     """
     import pandas as pd
 
