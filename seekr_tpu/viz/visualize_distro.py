@@ -39,9 +39,70 @@ def distro_values(adj) -> np.ndarray:
     return vals[np.isfinite(vals)]
 
 
+def stream_distro_stats(path, bins=100, fine_bins: int = 1 << 20,
+                        chunk_cells: int = 32 << 20):
+    """Bounded-memory histogram + summary stats of a ``.npy`` matrix.
+
+    Two chunked passes over the memmapped artifact (triu values when
+    square-and-symmetric, like ``distro_values``): pass 1 accumulates
+    min/max/count/sum/sum-of-squares, pass 2 fills the plot histogram
+    and a ``fine_bins``-resolution histogram whose cdf crossing gives
+    the median to within one fine-bin width (exact rank selection of
+    10^10 values is the external-sort problem adj_pval_stream solves —
+    a plot title does not warrant it; the title marks it approximate).
+    Returns (counts, edges, n, mean, sd, median_approx).
+    """
+    from seekr_tpu.stats.stream_adj import (_evict, _iter_value_chunks,
+                                            _tiled_symmetric_mm)
+
+    mm = np.load(path, mmap_mode="r")
+    if mm.ndim != 2:
+        raise ValueError("expected a 2D matrix of r-values")
+    symmetric = (mm.shape[0] == mm.shape[1] and _tiled_symmetric_mm(mm))
+    chunk_rows = max(1, int(chunk_cells) // max(1, int(mm.shape[1])))
+
+    n = 0
+    total = 0.0
+    total_sq = 0.0
+    vmin, vmax = np.inf, -np.inf
+    for vals, _ in _iter_value_chunks(mm, symmetric, chunk_rows):
+        v = np.asarray(vals, np.float64)
+        v = v[np.isfinite(v)]
+        if not v.size:
+            continue
+        n += v.size
+        total += v.sum()
+        total_sq += (v * v).sum()
+        vmin = min(vmin, v.min())
+        vmax = max(vmax, v.max())
+        _evict(mm)
+    if n == 0:
+        return None
+    mean = total / n
+    sd = float(np.sqrt(max(total_sq / n - mean * mean, 0.0)))
+
+    span = (vmin, vmax if vmax > vmin else vmin + 1.0)
+    counts = np.zeros(int(bins), np.int64)
+    fine = np.zeros(int(fine_bins), np.int64)
+    for vals, _ in _iter_value_chunks(mm, symmetric, chunk_rows):
+        v = np.asarray(vals, np.float64)
+        v = v[np.isfinite(v)]
+        if not v.size:
+            continue
+        counts += np.histogram(v, bins=int(bins), range=span)[0]
+        fine += np.histogram(v, bins=int(fine_bins), range=span)[0]
+        _evict(mm)
+    edges = np.histogram_bin_edges([], bins=int(bins), range=span)
+    cdf = np.cumsum(fine)
+    mid = np.searchsorted(cdf, (n + 1) // 2)
+    fine_edges = np.histogram_bin_edges([], bins=int(fine_bins), range=span)
+    median = float((fine_edges[mid] + fine_edges[mid + 1]) / 2)
+    return counts, edges, n, float(mean), sd, median
+
+
 def visualize_distro(adj, outputname="distro", bins=100,
                      xlabelsize=20, ylabelsize=20, xticksize=16,
-                     yticksize=16, pformat="pdf", pdpi=300):
+                     yticksize=16, pformat="pdf", pdpi=300, stream=None):
     """Histogram of a matrix's r-value distribution.
 
     Parameters
@@ -51,27 +112,55 @@ def visualize_distro(adj, outputname="distro", bins=100,
     bins : histogram bin count
     pformat / pdpi : figure format and resolution (style.py fallback
         rules apply)
+    stream : for a ``.npy`` path, accumulate the histogram in bounded
+        memory instead of loading the matrix (None = auto above
+        ``io.stream.STREAM_CELL_THRESHOLD`` cells — extreme-scale sim
+        artifacts from ``seekr_pearson -bo``/``seekr_find_pval -bo``
+        cannot be loaded at all); the title's median is then marked
+        approximate (one 2^-20-of-range bin wide)
     """
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
     setup_fonts()
-    vals = distro_values(adj)
-    if vals.size == 0:
-        print("The input matrix has no finite values. No plot is produced.")
-        return None
+    streamed = None
+    if isinstance(adj, str) and adj.endswith(".npy"):
+        from seekr_tpu.io.stream import STREAM_CELL_THRESHOLD
+
+        shape = np.load(adj, mmap_mode="r").shape
+        cells = int(np.prod(shape))
+        if stream or (stream is None and cells > STREAM_CELL_THRESHOLD):
+            streamed = stream_distro_stats(adj, bins=bins)
+            if streamed is None:
+                print("The input matrix has no finite values. "
+                      "No plot is produced.")
+                return None
 
     fig, ax = plt.subplots(figsize=(10, 6))
-    ax.hist(vals, bins=int(bins), color="#4878CF", edgecolor="white",
-            linewidth=0.3)
+    if streamed is not None:
+        counts, edges, n, mean, sd, median = streamed
+        ax.stairs(counts, edges, fill=True, color="#4878CF",
+                  edgecolor="white", linewidth=0.3)
+        title = (f"n={n}  mean={mean:.4f}  sd={sd:.4f}  "
+                 f"median≈{median:.4f}")
+        vals = None
+    else:
+        vals = distro_values(adj)
+        if vals.size == 0:
+            print("The input matrix has no finite values. "
+                  "No plot is produced.")
+            plt.close(fig)
+            return None
+        ax.hist(vals, bins=int(bins), color="#4878CF", edgecolor="white",
+                linewidth=0.3)
+        title = (f"n={vals.size}  mean={vals.mean():.4f}  "
+                 f"sd={vals.std():.4f}  median={np.median(vals):.4f}")
     ax.set_xlabel("r-value", fontsize=xlabelsize)
     ax.set_ylabel("count", fontsize=ylabelsize)
     ax.tick_params(axis="x", labelsize=xticksize)
     ax.tick_params(axis="y", labelsize=yticksize)
-    ax.set_title(
-        f"n={vals.size}  mean={vals.mean():.4f}  sd={vals.std():.4f}  "
-        f"median={np.median(vals):.4f}", fontsize=xlabelsize)
+    ax.set_title(title, fontsize=xlabelsize)
     fig.tight_layout()
     save_figure(outputname, pformat, pdpi)
     plt.close(fig)

@@ -184,3 +184,44 @@ def test_visualize_distro(tmp_path, monkeypatch, capsys):
     assert visualize_distro(np.full((3, 3), np.nan), outputname="d3") is None
     assert "no finite values" in capsys.readouterr().out
     assert not (tmp_path / "d3.pdf").exists()
+
+
+def test_visualize_distro_streamed_matches(tmp_path, monkeypatch):
+    """Streamed histogram == np.histogram of the in-memory value vector
+    (bin-exact); summary stats match to accumulator precision."""
+    import numpy as np
+
+    from seekr_tpu.viz.visualize_distro import (distro_values,
+                                                stream_distro_stats,
+                                                visualize_distro)
+
+    monkeypatch.chdir(tmp_path)
+    rng = np.random.default_rng(0)
+    # symmetric (triu branch) and rectangular (all-values branch)
+    sym = rng.normal(0, 0.3, (40, 40)).astype(np.float32)
+    sym = ((sym + sym.T) / 2)
+    rect = rng.normal(0, 0.3, (17, 31)).astype(np.float32)
+    rect[3, 4] = np.nan  # non-finite values are excluded in both paths
+    for name, mat in (("sym", sym), ("rect", rect)):
+        np.save(f"{name}.npy", mat)
+        vals = distro_values(f"{name}.npy")
+        counts, edges, n, mean, sd, median = stream_distro_stats(
+            f"{name}.npy", bins=50, chunk_cells=64)
+        assert n == vals.size
+        want_counts, want_edges = np.histogram(
+            vals, bins=50, range=(vals.min(), vals.max()))
+        np.testing.assert_array_equal(counts, want_counts)
+        np.testing.assert_allclose(edges, want_edges, rtol=1e-12)
+        assert abs(mean - vals.mean()) < 1e-9
+        assert abs(sd - vals.std()) < 1e-6
+        # the estimate is rank-based (lower middle); np.median averages
+        # the middle pair for even n — assert within that pair +- one
+        # fine-bin width (negligible at streaming scale)
+        srt = np.sort(vals)
+        binw = (vals.max() - vals.min()) / (1 << 20)
+        lo, hi = srt[(n - 1) // 2], srt[n // 2]
+        assert lo - binw <= median <= hi + binw
+        # forced streamed plot renders (returns None by contract)
+        assert visualize_distro(f"{name}.npy", outputname=f"d_{name}",
+                                stream=True) is None
+        assert (tmp_path / f"d_{name}.pdf").exists()
