@@ -1,10 +1,14 @@
 """k=7 scheduling sweep for the Pallas count kernel.
 
-At k=7 the [128, W] @ [W, 128] split already fills a full MXU tile yet
-production measures ~3.2 Gbases/s vs the 6.0 FLOP ceiling (ROADMAP item
-1).  This sweeps row-tile size, chunk width, batched-vs-loop dots, and
-int8 operands — interleaved with the production kernel each round so
-tunnel drift cannot masquerade as a win.
+Historical sweep: wall-clock A/B once read ~3.2 Gbases/s vs the 6.0
+FLOP ceiling, which motivated this harness.  The round-2 xplane traces
+settled it (BASELINE.md "Pure DEVICE time"): at k=7/8 the kernel runs
+at ~90% of the chip's bf16 FLOP peak in pure device time — the gap was
+dispatch/queue distortion plus the (since avoided) flatten relayout,
+not MXU scheduling.  Kept for regression sweeps: row-tile size, chunk
+width, batched-vs-loop dots, int8 operands — interleaved with the
+production kernel each round so tunnel drift cannot masquerade as a
+win.
 
 Run: python exp/kernel_k7.py [--m 4096] [--l 2048]
 """
