@@ -28,11 +28,13 @@ _RESOLUTION_ALGOS = {
 
 
 def similarity_graph(inputfile, mean, std, k, pearsoncutoff=0,
-                     counter=None):
+                     counter=None, mesh=None):
     """Thresholded self-similarity DataFrame (headers as labels).
 
     r < pearsoncutoff -> 0; diagonal -> 0 (reference kmer_leiden.py:93-96).
-    ``counter`` reuses an already-parsed KmerCounter for the same file.
+    ``counter`` reuses an already-parsed KmerCounter for the same file;
+    ``mesh`` runs the O(m^2) GEMM data-sharded (the matrix is still
+    materialized on host — the streamed path avoids that too).
     """
     import pandas as pd
 
@@ -44,7 +46,15 @@ def similarity_graph(inputfile, mean, std, k, pearsoncutoff=0,
     # make_count_file writes nothing here — no outfile); only the
     # [m, m] similarity matrix crosses to the host
     counts = counter.get_counts_device()
-    sim = np.asarray(pearson(counts, counts)).copy()
+    if mesh is not None:
+        from seekr_tpu.io.stream import ArrayCollector
+        from seekr_tpu.parallel.dist import stream_pearson_sharded
+
+        coll = ArrayCollector()
+        stream_pearson_sharded(mesh, counts, coll)
+        sim = coll.result()
+    else:
+        sim = np.asarray(pearson(counts, counts)).copy()
     sim[sim < pearsoncutoff] = 0
     np.fill_diagonal(sim, 0)
     return pd.DataFrame(sim, columns=headers, index=headers)
@@ -219,12 +229,9 @@ def export_gephi_csv(df, membership, csvfile):
     edges.to_csv(f"{csvfile}_edges_leiden.csv", index=False)
 
 
-def export_gephi_csv_edges(names, membership, src, dst, w, csvfile):
-    """Streamed-mode Gephi export: same nodes file as export_gephi_csv;
-    the edges file holds the DETECTED edge set (positive post-cutoff
-    triu entries) instead of the reference's every-triu-cell melt —
-    at streaming scale the full melt is the matrix itself (documented
-    deviation; the detected set is what Gephi renders meaningfully)."""
+def _write_gephi_nodes(names, membership, csvfile):
+    """Nodes file shared by both Gephi exporters: rows ordered by
+    community, 1-based community ids in Color."""
     import pandas as pd
 
     labels, colors = [], []
@@ -234,6 +241,17 @@ def export_gephi_csv_edges(names, membership, src, dst, w, csvfile):
             colors.append(comm + 1)
     nodes = pd.DataFrame({"Id": labels, "Label": labels, "Color": colors})
     nodes.to_csv(f"{csvfile}_nodes_leiden.csv", index=False)
+
+
+def export_gephi_csv_edges(names, membership, src, dst, w, csvfile):
+    """Streamed-mode Gephi export: same nodes file as export_gephi_csv;
+    the edges file holds the DETECTED edge set (positive post-cutoff
+    triu entries) instead of the reference's every-triu-cell melt —
+    at streaming scale the full melt is the matrix itself (documented
+    deviation; the detected set is what Gephi renders meaningfully)."""
+    import pandas as pd
+
+    _write_gephi_nodes(names, membership, csvfile)
     edges = pd.DataFrame({"Source": [names[i] for i in src],
                           "Target": [names[j] for j in dst],
                           "Weight": w})
@@ -297,7 +315,7 @@ def kmer_leiden(inputfile, mean, std, k, algo="RBERVertexPartition", rs=1.0,
         return membership
 
     df = similarity_graph(inputfile, mean, std, k, pearsoncutoff,
-                          counter=counter)
+                          counter=counter, mesh=mesh)
     membership = leiden_membership(df, algo=algo, rs=rs, setseed=setseed)
 
     if plotname:

@@ -405,9 +405,10 @@ class ShardedScorer:
         n_cols) is unchanged — t_real rides into the compiled graphs as
         a traced scalar, so a within-quantum grow reuses every compiled
         executable."""
+        old_shape = (getattr(self, "t_loc", None),
+                     getattr(self, "n_cols", None))
         self.t_real, self.n_cols = (int(d) for d in host.shape)
         t_pad = self.prospective_rows(self.t_real)
-        old_shape = (getattr(self, "t_loc", None), self.n_cols)
         self.t_loc = t_pad // self.n_dev
         padded = np.zeros((self.t_loc * self.n_dev, self.n_cols),
                           np.float32)
@@ -609,8 +610,12 @@ class PodScorer:
     inherent to SPMD collectives, so the serving layer bounds the blast
     radius with a WATCHDOG: every leader entry point (and the
     follower's per-op mirror) runs its broadcast + compute + fetch
-    under ``timeout_s`` (default 120 s; SEEKR_TPU_POD_TIMEOUT
-    overrides).  On expiry the pod latches DEAD: the in-flight call
+    under ``timeout_s`` (default 300 s; SEEKR_TPU_POD_TIMEOUT
+    overrides).  The deadline must exceed the worst-case LEGITIMATE
+    operation — in particular a first-use XLA compile or the recompile
+    after a quantum-crossing grow (warm up before serving, as the CLI
+    does by default, and the compile never rides a request).  On
+    expiry the pod latches DEAD: the in-flight call
     raises an actionable RuntimeError to the socket client within the
     deadline, every later call raises immediately, and ``stop()``
     becomes a no-op (broadcasting into a dead pod would hang the
@@ -629,7 +634,7 @@ class PodScorer:
         self._dead = False
         self.timeout_s = float(
             timeout_s if timeout_s is not None
-            else os.environ.get("SEEKR_TPU_POD_TIMEOUT", 120))
+            else os.environ.get("SEEKR_TPU_POD_TIMEOUT", 300))
         self._scorer = ShardedScorer(mesh, targets_std,
                                      row_quantum=row_quantum)
 

@@ -154,13 +154,14 @@ class SeekrService:
         the device's reported HBM limit (SEEKR_TPU_CORPUS_BUDGET
         overrides; backends without memory stats get no default cap).
 
-        grow_quantum: after the first ``add_targets``, the resident
-        corpus width is padded up to a multiple of this many rows
-        (zero rows, masked out of top-k and sliced out of sim), so N
-        small grows mint O(range/quantum) compiled executables instead
-        of N — each new corpus WIDTH is a fresh compile key for every
-        batch shape.  The initial load is exact-width; snapshots and
-        all results see only real rows.  0/1 disables quantization."""
+        grow_quantum: the resident corpus width is padded up to a
+        multiple of this many rows FROM THE INITIAL LOAD (zero rows,
+        masked out of top-k and sliced out of sim), so N small grows
+        mint O(range/quantum) compiled executables instead of N — each
+        new corpus WIDTH is a fresh compile key for every batch shape —
+        and a within-quantum grow changes no shape at all (existing
+        targets' scores stay bit-identical).  Snapshots and all results
+        see only real rows.  0/1 disables quantization."""
         from seekr_tpu.models.counter import KmerCounter
 
         self.k = int(k)
@@ -1047,12 +1048,21 @@ class _Handler(socketserver.StreamRequestHandler):
                 "the server with --allow-artifacts DIR to permit "
                 "outfile/save_corpus paths under DIR")
         base = os.path.realpath(allow)
-        # realpath the DIRECTORY (ancestors may be symlinks) and rejoin
-        # the final name, which need not exist yet
         apath = os.path.abspath(path)
-        resolved = os.path.join(os.path.realpath(os.path.dirname(apath)),
-                                os.path.basename(apath))
-        if resolved != base and not resolved.startswith(base + os.sep):
+        if os.path.lexists(apath):
+            # an existing final component may itself be a symlink a
+            # co-writer planted — resolve the WHOLE path
+            resolved = os.path.realpath(apath)
+        else:
+            # realpath the DIRECTORY (ancestors may be symlinks) and
+            # rejoin the final name, which need not exist yet
+            resolved = os.path.join(
+                os.path.realpath(os.path.dirname(apath)),
+                os.path.basename(apath))
+        # STRICTLY inside: a path equal to the directory itself would
+        # turn the outfile prefix into sibling files outside it
+        # (prefix + "_sim.npy")
+        if not resolved.startswith(base + os.sep):
             raise PermissionError(
                 f"artifact path {path!r} resolves outside the allowed "
                 f"directory {base!r}")
@@ -1109,12 +1119,16 @@ class _Handler(socketserver.StreamRequestHandler):
         if prefix:
             # artifact mode: large results go to disk as the standard
             # .npy artifacts (JSON-encoding a 13k-column matrix would
-            # dominate the request); one path per requested product,
-            # under the policy-checked prefix resolved above
+            # dominate the request); one path per requested product.
+            # Each FINAL path is policy-checked again: the prefix check
+            # above fails fast pre-compute, but the actual files carry
+            # a suffix the prefix check cannot see (a planted
+            # res_sim.npy symlink must not redirect the write)
             written = {}
             for key in ("sim", "pvals"):
                 if key in out:
-                    path = f"{prefix}_{key}.npy"
+                    path = self._check_artifact_path(
+                        f"{prefix}_{key}.npy")
                     np.save(path, np.asarray(out[key]))
                     written[key] = path
             resp["files"] = written

@@ -183,6 +183,11 @@ def find_pval(seq1file, seq2file, mean_path, std_path, k_mer, fitres,
     do_stream = (stream if stream is not None
                  else (m1 * m2 > STREAM_CELL_THRESHOLD
                        and bool(outputname or npy_out)))
+    if do_stream and not (outputname or npy_out):
+        # a forced stream with no sink would run the whole tile-wise
+        # computation and silently discard every value
+        raise ValueError("find_pval(stream=True) writes artifacts only: "
+                         "pass outputname= (csv) and/or npy_out= (.npy)")
     if do_stream:
         return _stream_pvals(c1, c2, pval_fn, header1, header2,
                              outputname, npy_out, stream_block_rows, mesh)

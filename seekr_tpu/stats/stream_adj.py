@@ -104,7 +104,15 @@ def _sample_boundaries(mm, symmetric: bool, n_rows_sample: int = 128,
 
 
 class _PairStore:
-    """Append-only (values, int64 index) pair files, one per partition."""
+    """Append-only (values, int64 index) pair files, one per partition.
+
+    At most ``_MAX_OPEN`` partitions keep file handles open (appends
+    reopen transparently): the ROW-GROUP store has one partition per
+    output block — ~1,900 files at the 180k extreme, past the common
+    1024-fd default ulimit if every handle stayed open.
+    """
+
+    _MAX_OPEN = 128
 
     def __init__(self, scratch: str, prefix: str, n_parts: int, dtype):
         self.scratch = scratch
@@ -119,8 +127,19 @@ class _PairStore:
 
     def append(self, p: int, vals: np.ndarray, idx: np.ndarray) -> None:
         if p not in self._vfh:
+            if len(self._vfh) >= self._MAX_OPEN:
+                # evict the least-recently-appended partition (dicts
+                # iterate in insertion order; re-inserting on every
+                # append keeps that order = LRU)
+                old = next(iter(self._vfh))
+                self._vfh.pop(old).close()
+                self._ifh.pop(old).close()
             self._vfh[p] = open(self._path("v", p), "ab")
             self._ifh[p] = open(self._path("i", p), "ab")
+        else:
+            # refresh LRU position
+            self._vfh[p] = self._vfh.pop(p)
+            self._ifh[p] = self._ifh.pop(p)
         self._vfh[p].write(np.ascontiguousarray(vals, self.dtype).tobytes())
         self._ifh[p].write(np.ascontiguousarray(idx, np.int64).tobytes())
         self.counts[p] += len(vals)

@@ -211,8 +211,10 @@ def _path(key: str, base: str) -> str:
 
 
 _CAPTURE_LOCK = __import__("threading").Lock()
-_MISMATCH_MARKERS = (b"cpu_aot_loader", b"not  supported on the host",
-                     b"not supported on the host machine")
+# only the loader's OWN log lines are filtered (absl prefixes every
+# line with its source file); broader phrase matching could swallow an
+# unrelated subsystem's diagnostic that raced into the capture window
+_MISMATCH_MARKERS = (b"cpu_aot_loader",)
 
 
 def _deserialize_guarded(payload, in_tree, out_tree):

@@ -40,7 +40,7 @@ def distro_values(adj) -> np.ndarray:
 
 
 def stream_distro_stats(path, bins=100, fine_bins: int = 1 << 20,
-                        chunk_cells: int = 32 << 20):
+                        chunk_cells: int = 32 << 20, symmetric=None):
     """Bounded-memory histogram + summary stats of a ``.npy`` matrix.
 
     Two chunked passes over the memmapped artifact (triu values when
@@ -50,7 +50,11 @@ def stream_distro_stats(path, bins=100, fine_bins: int = 1 << 20,
     the median to within one fine-bin width (exact rank selection of
     10^10 values is the external-sort problem adj_pval_stream solves —
     a plot title does not warrant it; the title marks it approximate).
-    Returns (counts, edges, n, mean, sd, median_approx).
+    ``symmetric`` overrides the 5-decimal transpose detection (the
+    check itself is tiled and bounded, but costs one extra full read of
+    the artifact — pass True/False when the caller already knows, like
+    adj_pval_stream's flag).  Returns
+    (counts, edges, n, mean, sd, median_approx).
     """
     from seekr_tpu.stats.stream_adj import (_evict, _iter_value_chunks,
                                             _tiled_symmetric_mm)
@@ -58,7 +62,8 @@ def stream_distro_stats(path, bins=100, fine_bins: int = 1 << 20,
     mm = np.load(path, mmap_mode="r")
     if mm.ndim != 2:
         raise ValueError("expected a 2D matrix of r-values")
-    symmetric = (mm.shape[0] == mm.shape[1] and _tiled_symmetric_mm(mm))
+    if symmetric is None:
+        symmetric = (mm.shape[0] == mm.shape[1] and _tiled_symmetric_mm(mm))
     chunk_rows = max(1, int(chunk_cells) // max(1, int(mm.shape[1])))
 
     n = 0
@@ -128,8 +133,9 @@ def visualize_distro(adj, outputname="distro", bins=100,
     if isinstance(adj, str) and adj.endswith(".npy"):
         from seekr_tpu.io.stream import STREAM_CELL_THRESHOLD
 
-        shape = np.load(adj, mmap_mode="r").shape
-        cells = int(np.prod(shape))
+        mm = np.load(adj, mmap_mode="r")
+        cells = int(np.prod(mm.shape))
+        del mm  # shape probe only: release the mapping
         if stream or (stream is None and cells > STREAM_CELL_THRESHOLD):
             streamed = stream_distro_stats(adj, bins=bins)
             if streamed is None:

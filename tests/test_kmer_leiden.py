@@ -153,3 +153,19 @@ def test_streamed_mesh_membership(norm_vectors):
     sharded = kmer_leiden(fa, mean, std, k=2, setseed=True,
                           pearsoncutoff=0.1, data_parallel=4)
     np.testing.assert_array_equal(sharded, dense)
+
+
+def test_dense_path_honors_mesh(norm_vectors):
+    """stream=False with data_parallel must run the GEMM data-sharded,
+    not silently ignore the mesh (review finding); memberships match
+    the plain dense path."""
+    import jax
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    fa, mean, std = norm_vectors
+    dense = kmer_leiden(fa, mean, std, k=2, setseed=True,
+                        pearsoncutoff=0.1)
+    meshy = kmer_leiden(fa, mean, std, k=2, setseed=True,
+                        pearsoncutoff=0.1, stream=False, data_parallel=4)
+    np.testing.assert_array_equal(meshy, dense)

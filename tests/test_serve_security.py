@@ -198,3 +198,36 @@ def test_malformed_protocol_fuzz(artifacts, tmp_path):
         # the service is still healthy
         out = request(sock_path, {"seqs": _seqs(rng, 2), "want": ["sim"]})
         assert out["ok"] and len(out["sim"]) == 2
+
+
+def test_prefix_equal_to_allowed_dir_rejected(artifacts, tmp_path):
+    """outfile == the allowed directory itself would write sibling
+    files OUTSIDE it (prefix + '_sim.npy'); strictly-inside is required
+    (review finding)."""
+    sock = str(tmp_path / "s.sock")
+    allowed = tmp_path / "allowed"
+    allowed.mkdir()
+    rng = np.random.default_rng(9)
+    with _Running(_svc(artifacts), sock, artifact_dir=str(allowed)):
+        out = request(sock, {"seqs": _seqs(rng, 1), "want": ["sim"],
+                             "outfile": str(allowed)})
+        assert not out["ok"] and "outside" in out["error"]
+        assert not list(tmp_path.glob("allowed_*.npy"))
+
+
+def test_planted_final_symlink_rejected(artifacts, tmp_path):
+    """A symlink planted at the FINAL artifact path (res_sim.npy) must
+    not redirect the write outside the allowed directory — the final
+    paths are re-checked at write time (review finding)."""
+    sock = str(tmp_path / "s.sock")
+    allowed = tmp_path / "allowed"
+    allowed.mkdir()
+    victim = tmp_path / "victim.bin"
+    victim.write_bytes(b"precious")
+    (allowed / "res_sim.npy").symlink_to(victim)
+    rng = np.random.default_rng(10)
+    with _Running(_svc(artifacts), sock, artifact_dir=str(allowed)):
+        out = request(sock, {"seqs": _seqs(rng, 1), "want": ["sim"],
+                             "outfile": str(allowed / "res")})
+        assert not out["ok"] and "outside" in out["error"]
+    assert victim.read_bytes() == b"precious"  # untouched

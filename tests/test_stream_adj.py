@@ -164,3 +164,20 @@ def test_differential_fuzz_vs_in_memory(tmp_path):
             err_msg=f"trial={trial} m1={m1} m2={m2} sym={symmetric} "
                     f"dtype={dtype} method={method} alpha={alpha} "
                     f"chunk={chunk}")
+
+
+def test_fd_cap_many_row_groups(tmp_path, monkeypatch):
+    """The pair store must not keep one fd per partition open: with the
+    cap forced to 2 and dozens of row groups (1-row chunks), results
+    stay bitwise correct (review finding: ~1,900 fds at the 180k
+    extreme would exceed a 1024 ulimit)."""
+    from seekr_tpu.stats import stream_adj
+
+    monkeypatch.setattr(stream_adj._PairStore, "_MAX_OPEN", 2)
+    arr = _sym_pvals(np.random.default_rng(7), 29)
+    want = adj_pval(pd.DataFrame(arr), "fdr_bh").to_numpy()
+    src = tmp_path / "p.npy"
+    np.save(src, arr)
+    adj_pval_stream(str(src), "fdr_bh", out_npy=str(tmp_path / "o.npy"),
+                    chunk_cells=29)  # one row per chunk -> 29 groups
+    np.testing.assert_array_equal(np.load(tmp_path / "o.npy"), want)

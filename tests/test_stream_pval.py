@@ -148,3 +148,10 @@ def test_data_parallel_matches_single_device(chain, tmp_path, stream):
     a, b = np.load(tmp_path / "s.npy"), np.load(tmp_path / "m.npy")
     assert a.shape == b.shape == (7, 5)
     np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-7)
+
+
+def test_forced_stream_without_sink_is_rejected(chain):
+    """stream=True with no artifact path must raise up front, not run
+    the whole computation into zero sinks (review finding)."""
+    with pytest.raises(ValueError, match="artifacts only"):
+        _run(chain, None, stream=True)
