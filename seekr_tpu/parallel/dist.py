@@ -624,7 +624,7 @@ class PodScorer:
     from entering the device; restart the pod processes to recover.
     """
 
-    _OP_STOP, _OP_SIM, _OP_TOPK, _OP_SIM_TOPK, _OP_GROW = range(5)
+    _OP_STOP, _OP_SIM, _OP_TOPK, _OP_SIM_TOPK, _OP_GROW, _OP_PING = range(6)
 
     def __init__(self, mesh: Mesh, targets_std, row_quantum: int = 1,
                  timeout_s: Optional[float] = None):
@@ -638,7 +638,7 @@ class PodScorer:
         self._scorer = ShardedScorer(mesh, targets_std,
                                      row_quantum=row_quantum)
 
-    def _with_deadline(self, fn, what: str):
+    def _with_deadline(self, fn, what: str, timeout: Optional[float] = None):
         """Run one pod operation (collectives included) to completion
         under the watchdog; materializes device outputs so the deadline
         covers the actual collective execution, not just dispatch."""
@@ -654,14 +654,15 @@ class PodScorer:
             except BaseException as e:  # noqa: BLE001 — reraised below
                 box["e"] = e
 
+        deadline = self.timeout_s if timeout is None else timeout
         t = threading.Thread(target=run, daemon=True,
                              name=f"pod-{what}")
         t.start()
-        t.join(self.timeout_s)
+        t.join(deadline)
         if t.is_alive():
             self._dead = True
             raise RuntimeError(
-                f"pod {what} did not complete within {self.timeout_s:g}s:"
+                f"pod {what} did not complete within {deadline:g}s:"
                 " a participant process is unresponsive (killed follower"
                 " / network partition).  The pod is marked dead — every"
                 " further request fails fast; restart all pod processes"
@@ -669,6 +670,44 @@ class PodScorer:
         if "e" in box:
             raise box["e"]
         return box["v"]
+
+    def heartbeat_start(self, lock, interval: Optional[float] = None):
+        """Leader-side liveness beacon (closes the follower-idle gap).
+
+        Every ``interval`` (default timeout_s/3) the leader broadcasts a
+        payload-free PING under the SAME lock that serializes device
+        ops, so it never interleaves mid-operation.  Two effects:
+        followers can bound their idle header wait (``follow``'s
+        ``header_timeout``) and so detect a DEAD LEADER instead of
+        waiting in the collective forever, and a dead FOLLOWER is
+        detected within one interval even on a completely idle service
+        (the PING broadcast itself rides the watchdog).  Idempotent;
+        no-op on followers and single-process scorers."""
+        if not self.is_leader or getattr(self, "_hb_thread", None):
+            return
+        interval = float(interval or max(1.0, self.timeout_s / 3.0))
+
+        def loop():
+            import time as _time
+
+            while True:
+                _time.sleep(interval)
+                if self._stopped or self._dead:
+                    return
+                with lock:
+                    if self._stopped or self._dead:
+                        return
+                    try:
+                        self._with_deadline(
+                            lambda: self._bcast(np.array(
+                                [self._OP_PING, 0, 0, 0], np.int64)),
+                            "heartbeat")
+                    except RuntimeError:
+                        return  # watchdog latched the pod dead
+
+        self._hb_thread = threading.Thread(target=loop, daemon=True,
+                                           name="pod-heartbeat")
+        self._hb_thread.start()
 
     # ShardedScorer surface the service reads
     @property
@@ -806,7 +845,7 @@ class PodScorer:
             pass  # unresponsive pod: nothing left to release
         self._stopped = True
 
-    def follow(self) -> None:
+    def follow(self, header_timeout: Optional[float] = None) -> None:
         """Follower loop: mirror every leader call until STOP.
 
         Per-op errors are contained: the leader survives a failed
@@ -815,18 +854,31 @@ class PodScorer:
         later broadcast (collectives need all processes).  GROW runs
         the same agree-or-unwind vote as the leader side.
 
-        The IDLE wait (next header) is legitimately unbounded, but once
-        a header lands the payload + mirrored compute run under the
-        same watchdog as the leader: a leader that dies mid-op releases
-        this process within ``timeout_s`` (RuntimeError) instead of
-        pinning it in a dead collective forever.
+        Once a header lands, the payload + mirrored compute run under
+        the same watchdog as the leader: a leader that dies mid-op
+        releases this process within ``timeout_s`` (RuntimeError)
+        instead of pinning it in a dead collective forever.  The IDLE
+        wait (next header) is unbounded by default — a quiet service is
+        indistinguishable from a dead leader without a beacon — but
+        when the leader runs ``heartbeat_start`` (SeekrService does),
+        pass ``header_timeout`` (the service uses 3x timeout_s, ~9
+        heartbeat intervals) and a silent channel raises within that
+        bound too: full liveness in BOTH directions.
         """
         while True:
-            hdr = np.asarray(self._bcast(np.zeros(4, np.int64)))
+            if header_timeout is None:
+                hdr = np.asarray(self._bcast(np.zeros(4, np.int64)))
+            else:
+                hdr = np.asarray(self._with_deadline(
+                    lambda: self._bcast(np.zeros(4, np.int64)),
+                    "follow(header: no leader heartbeat)",
+                    timeout=header_timeout))
             op, rows, cols, n = (int(v) for v in hdr)
             if op == self._OP_STOP:
                 self._stopped = True
                 return
+            if op == self._OP_PING:
+                continue  # leader liveness beacon: no payload, no work
             if op not in (self._OP_SIM, self._OP_TOPK,
                           self._OP_SIM_TOPK, self._OP_GROW):
                 raise RuntimeError(f"pod protocol: unknown op {op}")

@@ -264,6 +264,13 @@ class SeekrService:
                 print(f"seekr_tpu serve: WARNING {over} — queries may "
                       "OOM; raise mem_budget_bytes or shard over a mesh "
                       "(-dp N)", flush=True)
+            from seekr_tpu.parallel.dist import PodScorer
+
+            if isinstance(self._scorer, PodScorer) and self._scorer.is_leader:
+                # liveness beacon under the device lock: followers bound
+                # their idle wait on it (follow), and a dead follower is
+                # detected within one interval even with zero traffic
+                self._scorer.heartbeat_start(self._lock)
 
     def _quantize_pad(self, tstd):
         """Pad a standardized target matrix with zero rows up to the
@@ -405,6 +412,11 @@ class SeekrService:
         while every other process calls ``follow()`` and mirrors the
         leader's device calls until the leader's shutdown releases it
         (parallel.dist.PodScorer).  Returns after STOP.
+
+        The leader service heartbeats (see __init__), so the idle wait
+        is bounded at 3x the pod watchdog timeout: a dead or partitioned
+        leader raises here (the process should exit and be restarted)
+        instead of pinning this process in the collective forever.
         """
         from seekr_tpu.parallel.dist import PodScorer
 
@@ -414,7 +426,7 @@ class SeekrService:
         if self._scorer.is_leader:
             raise ValueError("process 0 is the leader: run the socket "
                              "server here, follow() on the others")
-        self._scorer.follow()
+        self._scorer.follow(header_timeout=3 * self._scorer.timeout_s)
 
     def stop_followers(self) -> None:
         """Release pod followers (no-op single-host / single-process).

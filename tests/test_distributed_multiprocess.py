@@ -110,3 +110,63 @@ def test_pod_liveness_killed_follower(tmp_path):
         for p in procs:
             if p.poll() is None:
                 p.kill()
+
+
+LEADER_DEATH_WORKER = (pathlib.Path(__file__).parent
+                       / "pod_leader_death_worker.py")
+
+
+def test_pod_liveness_killed_leader(tmp_path):
+    """kill -9 the LEADER while the pod is idle: the follower's
+    heartbeat-bounded header wait releases it within the deadline —
+    and the >header-timeout idle period before the kill proves the
+    heartbeats are what keep a healthy idle pod alive (roadmap #4)."""
+    import signal
+    import time
+
+    coordinator = f"127.0.0.1:{_free_port()}"
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(LEADER_DEATH_WORKER), coordinator, "2",
+             str(pid), str(tmp_path)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env)
+        for pid in range(2)
+    ]
+    try:
+        deadline = time.time() + 120
+        while not (tmp_path / "warm").exists():
+            for p in procs:
+                if p.poll() is not None:
+                    pytest.fail("worker died before warm:\n"
+                                + p.communicate()[0])
+            if time.time() > deadline:
+                pytest.fail("pod never warmed")
+            time.sleep(0.2)
+        # idle LONGER than the 12 s header timeout: heartbeats must
+        # keep the follower in follow() (an early exit fails below)
+        time.sleep(15)
+        assert procs[1].poll() is None, (
+            "follower exited during heartbeat-covered idle:\n"
+            + procs[1].communicate()[0])
+        procs[0].send_signal(signal.SIGKILL)
+        procs[0].wait(timeout=30)
+        out, _ = procs[1].communicate(timeout=60)
+        # two valid release paths, both bounded: our watchdog/heartbeat
+        # raises inside follow() (FOLLOWER_RELEASED, rc 0), or the JAX
+        # coordination runtime — whose coordinator died with the leader
+        # on this CPU backend — self-terminates the process first.  On
+        # transports without that self-termination (TPU pods where the
+        # coordinator outlives a scorer leader), the heartbeat bound is
+        # the one that fires.
+        released = ("FOLLOWER_RELEASED" in out and procs[1].returncode == 0)
+        runtime_killed = ("distributed service detected fatal errors"
+                          in out or "Socket closed" in out)
+        assert released or runtime_killed, (
+            f"follower neither released nor terminated:\n{out}")
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
