@@ -947,11 +947,12 @@ def console_canonical_gencode(argv=None):
 
 # -- visualize_distro (legacy capability) ------------------------------------
 
-def _run_visualize_distro(adj, outputname, bins, pformat, pdpi):
+def _run_visualize_distro(adj, outputname, bins, pformat, pdpi,
+                          symmetric=None):
     from seekr_tpu.viz.visualize_distro import visualize_distro
 
     visualize_distro(adj, outputname=outputname, bins=int(bins),
-                     pformat=pformat, pdpi=int(pdpi))
+                     pformat=pformat, pdpi=int(pdpi), symmetric=symmetric)
 
 
 def console_visualize_distro(argv=None):
@@ -967,9 +968,17 @@ def console_visualize_distro(argv=None):
                         help="Figure format (matplotlib-supported).")
     parser.add_argument("-d", "--pdpi", default=300,
                         help="Figure resolution in dpi.")
+    parser.add_argument("--symmetric", default="auto",
+                        choices=["auto", "yes", "no"],
+                        help="streamed .npy mode: skip the transpose "
+                             "detection (a full extra read of a "
+                             "multi-GB artifact) when you already know "
+                             "(extension).")
     args = _parse_args_or_exit(parser, argv)
     _run_visualize_distro(args.adj, args.outputname, args.bins, args.pformat,
-                          args.pdpi)
+                          args.pdpi,
+                          {"auto": None, "yes": True,
+                           "no": False}[args.symmetric])
 
 
 # -- domain_pearson (legacy capability) --------------------------------------

@@ -18,6 +18,15 @@ from seekr_tpu import native
 from seekr_tpu.models.counter import KmerCounter
 from seekr_tpu.models.pearson import pearson
 
+# Auto-stream cutover for kmer_leiden (cells of the self-similarity
+# square).  Deliberately far above io.stream.STREAM_CELL_THRESHOLD:
+# streaming CHANGES user-visible artifacts (the spring plot is skipped,
+# the Gephi edges file holds the detected set instead of the full triu
+# melt), so it must not kick in while the dense path is still
+# comfortable — 2.5e9 cells = m=50k = a 10 GB float32 matrix.  Force
+# earlier with stream=True / --stream on.
+LEIDEN_STREAM_CELL_THRESHOLD = 2_500_000_000
+
 # partition types whose find_partition call takes resolution_parameter
 # (reference kmer_leiden.py:131-146)
 _RESOLUTION_ALGOS = {
@@ -210,16 +219,7 @@ def export_gephi_csv(df, membership, csvfile):
     community (Id, Label, Color with 1-based community ids), edges = upper
     triangle melt (Source, Target, Weight).
     """
-    import pandas as pd
-
-    node_names = list(df.index)
-    labels, colors = [], []
-    for comm in range(int(membership.max()) + 1):
-        for node_index in np.nonzero(membership == comm)[0]:
-            labels.append(node_names[node_index])
-            colors.append(comm + 1)
-    pd.DataFrame({"Id": labels, "Label": labels, "Color": colors}).to_csv(
-        f"{csvfile}_nodes_leiden.csv", index=False)
+    _write_gephi_nodes(list(df.index), membership, csvfile)
 
     mask = np.triu(np.ones(df.shape), k=1).astype(bool)
     # explicit dropna: the reference relied on pandas<3 stack() dropping the
@@ -268,8 +268,10 @@ def kmer_leiden(inputfile, mean, std, k, algo="RBERVertexPartition", rs=1.0,
     the membership array (the reference returns None — returning the result
     is a strict superset of that contract).
 
-    Extreme-scale extension: above ``io.stream.STREAM_CELL_THRESHOLD``
-    similarity cells (or with ``stream=True`` / ``data_parallel``), the
+    Extreme-scale extension: above ``LEIDEN_STREAM_CELL_THRESHOLD``
+    similarity cells — m ~50k, far above the generic streaming cutover
+    because streamed mode changes the artifacts (see below) — or with
+    ``stream=True`` / ``data_parallel``, the
     thresholded edge set is extracted tile-by-tile from the device GEMM
     (``sparse_similarity_edges``, data-sharded with ``data_parallel``)
     and fed straight to the native Leiden engine — the [m, m] matrix
@@ -291,14 +293,14 @@ def kmer_leiden(inputfile, mean, std, k, algo="RBERVertexPartition", rs=1.0,
                              "Leiden community is calculated or plotted"):
         return None
 
-    from seekr_tpu.io.stream import STREAM_CELL_THRESHOLD
     from seekr_tpu.parallel.mesh import build_mesh_from_flags
 
     mesh = build_mesh_from_flags(data_parallel)
     counter = KmerCounter(inputfile, mean=mean, std=std, k=k, silent=True)
     m = len(counter.headers)
     do_stream = (stream if stream is not None
-                 else (m * m > STREAM_CELL_THRESHOLD or mesh is not None))
+                 else (m * m > LEIDEN_STREAM_CELL_THRESHOLD
+                       or mesh is not None))
 
     if do_stream:
         names = [h[1:] for h in counter.headers]

@@ -702,8 +702,16 @@ class PodScorer:
                             lambda: self._bcast(np.array(
                                 [self._OP_PING, 0, 0, 0], np.int64)),
                             "heartbeat")
-                    except RuntimeError:
-                        return  # watchdog latched the pod dead
+                    except BaseException:  # noqa: BLE001 — see below
+                        # ANY beacon failure kills the beacon — and a
+                        # broadcast that errored may or may not have
+                        # reached the followers, so the ordered channel
+                        # is no longer trustworthy: latch the pod dead
+                        # (fail-fast requests) instead of letting a
+                        # healthy-looking leader outlive followers that
+                        # will time out in 3x timeout_s anyway
+                        self._dead = True
+                        return
 
         self._hb_thread = threading.Thread(target=loop, daemon=True,
                                            name="pod-heartbeat")

@@ -113,6 +113,28 @@ def _default_corpus_budget():
     return int(limit) // 2 if limit else None
 
 
+def _atomic_npy_save(path: str, arr: np.ndarray) -> None:
+    """np.save via temp file + os.replace: a crash never leaves a
+    truncated artifact, and a symlink racing into ``path`` after the
+    policy check is REPLACED, not followed (os.replace renames over the
+    link itself)."""
+    import tempfile
+
+    fd, tmp = tempfile.mkstemp(
+        dir=os.path.dirname(os.path.abspath(path)) or ".",
+        suffix=".npy.tmp")
+    try:
+        with os.fdopen(fd, "wb") as fh:
+            np.save(fh, arr)
+        os.replace(tmp, path)
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
+
+
 _TOPK_IMPL = None
 
 
@@ -1131,19 +1153,18 @@ class _Handler(socketserver.StreamRequestHandler):
         if prefix:
             # artifact mode: large results go to disk as the standard
             # .npy artifacts (JSON-encoding a 13k-column matrix would
-            # dominate the request); one path per requested product.
-            # Each FINAL path is policy-checked again: the prefix check
-            # above fails fast pre-compute, but the actual files carry
-            # a suffix the prefix check cannot see (a planted
-            # res_sim.npy symlink must not redirect the write)
-            written = {}
-            for key in ("sim", "pvals"):
-                if key in out:
-                    path = self._check_artifact_path(
-                        f"{prefix}_{key}.npy")
-                    np.save(path, np.asarray(out[key]))
-                    written[key] = path
-            resp["files"] = written
+            # dominate the request).  Each FINAL path is policy-checked
+            # (the prefix check above fails fast pre-compute, but the
+            # actual files carry a suffix it cannot see) — ALL paths
+            # before ANY write, so a rejection cannot leave a partial
+            # artifact set; the write itself is temp + os.replace,
+            # which clobbers rather than follows a symlink planted in
+            # the check-to-write window
+            paths = {key: self._check_artifact_path(f"{prefix}_{key}.npy")
+                     for key in ("sim", "pvals") if key in out}
+            for key, path in paths.items():
+                _atomic_npy_save(path, np.asarray(out[key]))
+            resp["files"] = paths
             return resp
         for key in ("sim", "pvals"):
             if key in out:

@@ -211,10 +211,15 @@ def _path(key: str, base: str) -> str:
 
 
 _CAPTURE_LOCK = __import__("threading").Lock()
-# only the loader's OWN log lines are filtered (absl prefixes every
-# line with its source file); broader phrase matching could swallow an
-# unrelated subsystem's diagnostic that raced into the capture window
-_MISMATCH_MARKERS = (b"cpu_aot_loader",)
+# the loader's own log lines carry the absl source-file prefix; the
+# two message-text markers are the backstop for an XLA that renames the
+# TU or wraps the line — losing DETECTION would silently run a
+# could-be-SIGILL executable when compile features are unknown, a far
+# worse failure than the (narrow) chance of filtering an unrelated
+# diagnostic that both raced into the capture window AND contains one
+# of these exact phrases
+_MISMATCH_MARKERS = (b"cpu_aot_loader", b"not  supported on the host",
+                     b"not supported on the host machine")
 
 
 def _deserialize_guarded(payload, in_tree, out_tree):

@@ -107,7 +107,8 @@ def stream_distro_stats(path, bins=100, fine_bins: int = 1 << 20,
 
 def visualize_distro(adj, outputname="distro", bins=100,
                      xlabelsize=20, ylabelsize=20, xticksize=16,
-                     yticksize=16, pformat="pdf", pdpi=300, stream=None):
+                     yticksize=16, pformat="pdf", pdpi=300, stream=None,
+                     symmetric=None):
     """Histogram of a matrix's r-value distribution.
 
     Parameters
@@ -123,6 +124,9 @@ def visualize_distro(adj, outputname="distro", bins=100,
         artifacts from ``seekr_pearson -bo``/``seekr_find_pval -bo``
         cannot be loaded at all); the title's median is then marked
         approximate (one 2^-20-of-range bin wide)
+    symmetric : streamed mode only — skip the transpose detection (one
+        full extra read of the artifact) when the caller already knows;
+        True takes the strict upper triangle, False every cell
     """
     import matplotlib
     matplotlib.use("Agg")
@@ -137,7 +141,8 @@ def visualize_distro(adj, outputname="distro", bins=100,
         cells = int(np.prod(mm.shape))
         del mm  # shape probe only: release the mapping
         if stream or (stream is None and cells > STREAM_CELL_THRESHOLD):
-            streamed = stream_distro_stats(adj, bins=bins)
+            streamed = stream_distro_stats(adj, bins=bins,
+                                           symmetric=symmetric)
             if streamed is None:
                 print("The input matrix has no finite values. "
                       "No plot is produced.")
