@@ -170,3 +170,13 @@ def test_pod_liveness_killed_leader(tmp_path):
         for p in procs:
             if p.poll() is None:
                 p.kill()
+
+
+SOAK_WORKER = pathlib.Path(__file__).parent / "pod_soak_worker.py"
+
+
+def test_pod_soak_concurrent_clients_and_grows():
+    """Soak: 4 concurrent socket clients (48 mixed requests) + live
+    grows + heartbeats over a 2-process pod — protocol invariants hold
+    under load and shutdown is clean."""
+    _run_workers(SOAK_WORKER, 2)
