@@ -702,14 +702,22 @@ class PodScorer:
                             lambda: self._bcast(np.array(
                                 [self._OP_PING, 0, 0, 0], np.int64)),
                             "heartbeat")
-                    except BaseException:  # noqa: BLE001 — see below
+                    except BaseException as e:  # noqa: BLE001 — below
                         # ANY beacon failure kills the beacon — and a
                         # broadcast that errored may or may not have
                         # reached the followers, so the ordered channel
                         # is no longer trustworthy: latch the pod dead
                         # (fail-fast requests) instead of letting a
                         # healthy-looking leader outlive followers that
-                        # will time out in 3x timeout_s anyway
+                        # will time out in 3x timeout_s anyway.
+                        # LOUDLY: on an idle service this beacon is the
+                        # only thing that ever notices the death
+                        import sys as _sys
+
+                        print("seekr_tpu pod: heartbeat failed — pod "
+                              f"latched DEAD ({type(e).__name__}: "
+                              f"{str(e)[:200]}); restart all pod "
+                              "processes", file=_sys.stderr, flush=True)
                         self._dead = True
                         return
 

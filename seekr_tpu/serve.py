@@ -113,19 +113,20 @@ def _default_corpus_budget():
     return int(limit) // 2 if limit else None
 
 
-def _atomic_npy_save(path: str, arr: np.ndarray) -> None:
-    """np.save via temp file + os.replace: a crash never leaves a
-    truncated artifact, and a symlink racing into ``path`` after the
-    policy check is REPLACED, not followed (os.replace renames over the
-    link itself)."""
+def _atomic_write(path: str, write_fn, suffix: str) -> None:
+    """Write-then-rename: ``write_fn(fh)`` fills a temp file in the
+    target's directory, os.replace publishes it.  A crash never leaves
+    a truncated artifact at ``path``, and a symlink racing into the
+    path after a policy check is REPLACED, not followed (os.replace
+    renames over the link itself).  Shared by the .npz corpus snapshot
+    and the .npy artifact-mode writes."""
     import tempfile
 
     fd, tmp = tempfile.mkstemp(
-        dir=os.path.dirname(os.path.abspath(path)) or ".",
-        suffix=".npy.tmp")
+        dir=os.path.dirname(os.path.abspath(path)), suffix=suffix)
     try:
         with os.fdopen(fd, "wb") as fh:
-            np.save(fh, arr)
+            write_fn(fh)
         os.replace(tmp, path)
     except BaseException:
         try:
@@ -133,6 +134,10 @@ def _atomic_npy_save(path: str, arr: np.ndarray) -> None:
         except OSError:
             pass
         raise
+
+
+def _atomic_npy_save(path: str, arr: np.ndarray) -> None:
+    _atomic_write(path, lambda fh: np.save(fh, arr), ".npy.tmp")
 
 
 _TOPK_IMPL = None
@@ -403,27 +408,17 @@ class SeekrService:
                               else self._targets_std[:self._n_targets],
                               np.float32)
             names = np.asarray(self.target_names)
-        # write-then-rename: a crash or ENOSPC mid-write must never leave
-        # a truncated .npz at the exact path a restart script passes to
-        # -t (load would fail with an opaque zipfile error instead of
-        # the friendly validation ones)
-        import tempfile
-
-        fd, tmp = tempfile.mkstemp(
-            dir=os.path.dirname(os.path.abspath(path)) or ".",
-            suffix=".npz.tmp")
-        try:
-            with os.fdopen(fd, "wb") as fh:
-                np.savez(fh, format=np.int64(1), tstd=host, names=names,
-                         k=np.int64(self.k), log2=np.asarray(self.log2),
-                         mean=self.mean, std=self.std)
-            os.replace(tmp, path)
-        except BaseException:
-            try:
-                os.unlink(tmp)
-            except OSError:
-                pass
-            raise
+        # write-then-rename (_atomic_write): a crash or ENOSPC mid-write
+        # must never leave a truncated .npz at the exact path a restart
+        # script passes to -t (load would fail with an opaque zipfile
+        # error instead of the friendly validation ones)
+        _atomic_write(
+            path,
+            lambda fh: np.savez(fh, format=np.int64(1), tstd=host,
+                                names=names, k=np.int64(self.k),
+                                log2=np.asarray(self.log2),
+                                mean=self.mean, std=self.std),
+            ".npz.tmp")
         return path
 
     def follow(self) -> None:
@@ -517,7 +512,16 @@ class SeekrService:
         make this the whole compile space for such traffic (including
         the device top-k executable for sizes up to ``topk``).  With a
         warm AOT store the loop loads executables instead of compiling.
+
+        Runs under the device lock: on a pod the scorer calls below ride
+        the ordered broadcast channel, and the liveness heartbeat (also
+        serialized on this lock) must never interleave a PING into the
+        middle of a warmup op's header/payload pair.
         """
+        with self._lock:
+            self._warmup_locked(lengths, max_batch, topk)
+
+    def _warmup_locked(self, lengths, max_batch, topk):
         rng = np.random.default_rng(0)
         letters = np.array(list("AGTC"))
         sizes, b = [], 1

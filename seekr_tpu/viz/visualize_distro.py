@@ -64,6 +64,11 @@ def stream_distro_stats(path, bins=100, fine_bins: int = 1 << 20,
         raise ValueError("expected a 2D matrix of r-values")
     if symmetric is None:
         symmetric = (mm.shape[0] == mm.shape[1] and _tiled_symmetric_mm(mm))
+    elif symmetric and mm.shape[0] != mm.shape[1]:
+        raise ValueError(
+            f"symmetric=True needs a square matrix, got {mm.shape} — "
+            "the strict-upper-triangle subset of a rectangle would "
+            "silently misreport every statistic")
     chunk_rows = max(1, int(chunk_cells) // max(1, int(mm.shape[1])))
 
     n = 0

@@ -19,7 +19,7 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "")
     + " --xla_force_host_platform_device_count=4").strip()
-os.environ["SEEKR_TPU_POD_TIMEOUT"] = "4"  # header timeout 12 s
+os.environ["SEEKR_TPU_POD_TIMEOUT"] = "6"  # header timeout 18 s
 
 import jax  # noqa: E402
 
@@ -66,8 +66,8 @@ def main():
         time.sleep(3600)
         return
 
-    # follower: the idle period after warm (driver waits ~15 s > the
-    # 12 s header timeout before killing the leader) is survived thanks
+    # follower: the idle period after warm (driver waits ~20 s > the
+    # 18 s header timeout before killing the leader) is survived thanks
     # to the heartbeats; the dead leader then releases us within the
     # header timeout (watchdog) or immediately (Gloo peer-loss error)
     t0 = time.time()

@@ -145,9 +145,9 @@ def test_pod_liveness_killed_leader(tmp_path):
             if time.time() > deadline:
                 pytest.fail("pod never warmed")
             time.sleep(0.2)
-        # idle LONGER than the 12 s header timeout: heartbeats must
+        # idle LONGER than the 18 s header timeout: heartbeats must
         # keep the follower in follow() (an early exit fails below)
-        time.sleep(15)
+        time.sleep(20)
         assert procs[1].poll() is None, (
             "follower exited during heartbeat-covered idle:\n"
             + procs[1].communicate()[0])
