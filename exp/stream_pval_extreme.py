@@ -54,6 +54,10 @@ def disk_free_gb(path) -> float:
 def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     keep = "--keep" in sys.argv
+    # --defaults: no disk-saving overrides — auto symmetric detection
+    # (one extra full read) and the float64 output artifact, i.e. the
+    # exact path a production `seekr_adj_pval -bi` takes
+    defaults = "--defaults" in sys.argv
     m = int(args[0]) if args else 100_000
     k = int(args[1]) if len(args) > 1 else 6
 
@@ -100,12 +104,13 @@ def main():
     from seekr_tpu.stats.stream_adj import adj_pval_stream
 
     adj_npy = os.path.join(work, "adj.npy")
+    overrides = ({} if defaults else dict(
+        symmetric=True,        # self-pval is symmetric by construction;
+        # the tiled check is bounded but costs one extra full read
+        out_dtype=np.float32,  # disk headroom at m=100k (module doc)
+        unlink_input=True))
     adj_pval_stream(pvals_npy, "fdr_bh", out_npy=adj_npy,
-                    symmetric=True,  # self-pval is symmetric by
-                    # construction; the tiled check itself is bounded
-                    # but costs one extra full read of the 40 GB input
-                    out_dtype=np.float32,  # disk headroom (see module doc)
-                    unlink_input=True,
+                    **overrides,
                     progress=lambda s: print(
                         f"  adj: {s} (t+{time.time() - t0:.0f}s, "
                         f"rss={vm_peak_gb():.1f} GB)", flush=True))
@@ -127,6 +132,7 @@ def main():
         "m": m, "k": k, "cells": m * m,
         "peak_rss_gb": round(vm_peak_gb(), 2),
         "matrix_gb_f32": round(m * m * 4 / 1e9, 1),
+        "mode": "defaults" if defaults else "overrides",
         **stages,
     }
     print(json.dumps(result), flush=True)
