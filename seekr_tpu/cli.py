@@ -1495,9 +1495,9 @@ def console_kmer_leiden(argv=None):
                         help="extract the thresholded edge set tile-by-"
                              "tile instead of materializing the [m, m] "
                              "similarity matrix (extension; 'auto' "
-                             "streams above 64M cells — the spring plot "
-                             "is skipped, Gephi CSVs hold the detected "
-                             "edges).")
+                             "streams above ~2.5B cells, m~50k — the "
+                             "spring plot is skipped, Gephi CSVs hold "
+                             "the detected edges).")
     parser.add_argument("-dp", "--data_parallel", default=None, type=int,
                         help="devices on the mesh 'data' axis for the "
                              "O(m^2) similarity GEMM (extension; implies "

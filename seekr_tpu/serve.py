@@ -179,7 +179,8 @@ class SeekrService:
         device on a mesh).  ``add_targets`` past the budget returns an
         actionable refusal instead of a mid-serve OOM.  Default: half
         the device's reported HBM limit (SEEKR_TPU_CORPUS_BUDGET
-        overrides; backends without memory stats get no default cap).
+        overrides; 0 disables the cap; backends without memory stats
+        get no default cap).
 
         grow_quantum: the resident corpus width is padded up to a
         multiple of this many rows FROM THE INITIAL LOAD (zero rows,
@@ -206,7 +207,17 @@ class SeekrService:
         self.grow_quantum = max(1, int(grow_quantum))
         if mem_budget_bytes is None:
             env = os.environ.get("SEEKR_TPU_CORPUS_BUDGET")
-            mem_budget_bytes = int(env) if env else _default_corpus_budget()
+            if env:
+                try:
+                    mem_budget_bytes = int(env)
+                except ValueError:
+                    raise ValueError(
+                        f"SEEKR_TPU_CORPUS_BUDGET must be an integer byte "
+                        f"count (0 disables the cap), got {env!r}") from None
+                if mem_budget_bytes <= 0:
+                    mem_budget_bytes = None  # 0 = unlimited, by convention
+            else:
+                mem_budget_bytes = _default_corpus_budget()
         self.mem_budget_bytes = mem_budget_bytes
         # one merged device batch never exceeds this many query rows
         # (pre-padding): bounds the compiled-shape space and the HBM
@@ -749,7 +760,13 @@ class SeekrService:
         while n_run < n_req:
             n_run *= 2
         n_run = min(n_run, t_cols)
-        mask = self_sim or limit < t_cols
+        # the mask decision must be STABLE across in-place grows: with a
+        # grow quantum, a grow that exactly fills the pad would flip
+        # `limit < t_cols` False and mint a new static key — a mid-serve
+        # recompile the width-quantization guarantee forbids.  Masking
+        # with limit == t_cols is a semantic no-op (every column is
+        # selectable), so quantized services always mask.
+        mask = self_sim or self.grow_quantum > 1 or limit < t_cols
         vals, idx = aot_call(_TOPK_IMPL, (sim_dev, limit),
                              dict(n=n_run, mask_cols=mask))
         return (np.asarray(vals)[:q, :n_req],

@@ -19,6 +19,13 @@ matrix with bounded host memory and SEQUENTIAL disk traffic only:
             the EXACT arithmetic of ``stats.multitest`` (same op order,
             float64), and a monotone carry (min/max so far) links the
             buckets — bitwise identical to the one-shot accumulate.
+            Buckets above the in-RAM cap — tie masses, which quantile
+            boundaries cannot split (empirical p-values are quantized
+            to a grid of N+1 values; fitted ones saturate at exactly
+            0.0/1.0) — never load whole: an all-equal bucket streams in
+            append order (= its stable sorted order) with no sort, and
+            a mixed oversized bucket is byte-radix refined into bounded
+            all-equal/small segments first (_bucket_segments).
             Corrected values are then re-partitioned into OUTPUT
             ROW-GROUP files (appends, sequential); the value bucket is
             deleted as soon as it is consumed.
@@ -110,17 +117,30 @@ class _PairStore:
     reopen transparently): the ROW-GROUP store has one partition per
     output block — ~1,900 files at the 180k extreme, past the common
     1024-fd default ulimit if every handle stayed open.
+
+    ``track_keys=True`` additionally records the min/max sort key seen
+    per partition (as uint64; float32 keys are zero-extended, order
+    preserved).  min == max proves every value in the partition is
+    bit-identical — the tie-mass detector the oversized-bucket path
+    runs on.
     """
 
     _MAX_OPEN = 128
 
-    def __init__(self, scratch: str, prefix: str, n_parts: int, dtype):
+    def __init__(self, scratch: str, prefix: str, n_parts: int, dtype,
+                 track_keys: bool = False):
         self.scratch = scratch
         self.prefix = prefix
         self.dtype = np.dtype(dtype)
         self.counts = np.zeros(n_parts, dtype=np.int64)
         self._vfh = {}
         self._ifh = {}
+        if track_keys:
+            self.minkey = np.full(n_parts, np.iinfo(np.uint64).max,
+                                  dtype=np.uint64)
+            self.maxkey = np.zeros(n_parts, dtype=np.uint64)
+        else:
+            self.minkey = self.maxkey = None
 
     def _path(self, kind: str, p: int) -> str:
         return os.path.join(self.scratch, f"{self.prefix}{kind}{p:05d}")
@@ -145,16 +165,24 @@ class _PairStore:
         self.counts[p] += len(vals)
 
     def add_partitioned(self, part_ids: np.ndarray, vals: np.ndarray,
-                        idx: np.ndarray) -> None:
+                        idx: np.ndarray, keys=None) -> None:
         """Partition one chunk by id (single stable counting sort)."""
         order = np.argsort(part_ids, kind="stable")
         vals, idx, part_ids = vals[order], idx[order], part_ids[order]
+        if self.minkey is not None:
+            keys = (np.asarray(keys, np.uint64)[order] if keys is not None
+                    else _sortable_bits(vals).astype(np.uint64))
         present = np.unique(part_ids)
         bounds = np.searchsorted(part_ids, present)
         bounds = np.append(bounds, len(part_ids))
         for j, p in enumerate(present):
-            self.append(int(p), vals[bounds[j]:bounds[j + 1]],
-                        idx[bounds[j]:bounds[j + 1]])
+            lo, hi = bounds[j], bounds[j + 1]
+            self.append(int(p), vals[lo:hi], idx[lo:hi])
+            if self.minkey is not None:
+                p = int(p)
+                kseg = keys[lo:hi]
+                self.minkey[p] = min(self.minkey[p], kseg.min())
+                self.maxkey[p] = max(self.maxkey[p], kseg.max())
 
     def close_writes(self):
         for fh in list(self._vfh.values()) + list(self._ifh.values()):
@@ -174,6 +202,109 @@ class _PairStore:
                 os.unlink(self._path(kind, p))
             except FileNotFoundError:
                 pass
+
+
+class _Seg:
+    """One rank-contiguous slice of a value bucket's sorted order.
+
+    ``equal=True`` means every value in the segment is bit-identical, so
+    its file's APPEND order IS its stable sorted order — it can be
+    consumed in bounded chunks (forward or backward) with no sort and no
+    full read.  ``equal=False`` segments are small enough (<= the
+    in-RAM cap) to load and stable-sort whole.
+    """
+
+    __slots__ = ("vpath", "ipath", "cnt", "equal")
+
+    def __init__(self, vpath, ipath, cnt, equal):
+        self.vpath, self.ipath = vpath, ipath
+        self.cnt, self.equal = int(cnt), bool(equal)
+
+    def drop(self):
+        for path in (self.vpath, self.ipath):
+            try:
+                os.unlink(path)
+            except FileNotFoundError:
+                pass
+
+
+def _iter_pair_file_chunks(seg: _Seg, dtype, chunk_pairs: int,
+                           reverse: bool):
+    """Yield (vals, idx, offset) chunks of a pair file, <= chunk_pairs
+    each, in forward or reverse FILE order (within a chunk the order is
+    always file order — for an all-equal segment that is ascending
+    stable rank order either way)."""
+    dtype = np.dtype(dtype)
+    starts = list(range(0, seg.cnt, chunk_pairs))
+    if reverse:
+        starts.reverse()
+    for off in starts:
+        cnt = min(chunk_pairs, seg.cnt - off)
+        vals = np.fromfile(seg.vpath, dtype=dtype, count=cnt,
+                           offset=off * dtype.itemsize)
+        idx = np.fromfile(seg.ipath, dtype=np.int64, count=cnt,
+                          offset=off * 8)
+        yield vals, idx, off
+
+
+def _refine_segments(vpath, ipath, cnt, dtype, lokey, hikey, cap,
+                     scratch, chunk_pairs) -> list:
+    """Decompose one oversized mixed-value bucket into ascending
+    rank-contiguous segments, each all-equal or <= ``cap`` pairs.
+
+    Byte-radix refinement at the FIRST DIFFERING BYTE of the bucket's
+    min/max sort keys: one sequential partition pass into <= 256
+    sub-buckets (stable — append order preserved within each).  Both
+    the min- and max-key values are present in the data, and they land
+    in different sub-buckets, so every level strictly splits; child
+    min/max keys share the partition byte, so the differing-byte
+    position strictly decreases — depth is bounded by the key width
+    (8), and in practice tie-dominated buckets resolve immediately
+    because an all-equal child is detected from its min == max metadata
+    with no further pass.  The parent pair files are consumed (unlinked
+    right after the partition pass) so scratch high-water stays ~1x."""
+    shift = np.uint64(8 * ((int(lokey ^ hikey).bit_length() - 1) // 8))
+    sub_scratch = tempfile.mkdtemp(prefix="refine_", dir=scratch)
+    sub = _PairStore(sub_scratch, "q", 256, dtype, track_keys=True)
+    src = _Seg(vpath, ipath, cnt, False)
+    for vals, idx, _ in _iter_pair_file_chunks(src, dtype, chunk_pairs,
+                                               reverse=False):
+        keys = _sortable_bits(vals).astype(np.uint64)
+        sub.add_partitioned(((keys >> shift) & np.uint64(0xFF)
+                             ).astype(np.int64), vals, idx, keys)
+    sub.close_writes()
+    src.drop()
+    segs = []
+    for p in range(256):
+        c = int(sub.counts[p])
+        if c == 0:
+            continue
+        vp, ip = sub._path("v", p), sub._path("i", p)
+        if sub.minkey[p] == sub.maxkey[p]:
+            segs.append(_Seg(vp, ip, c, True))
+        elif c <= cap:
+            segs.append(_Seg(vp, ip, c, False))
+        else:
+            segs.extend(_refine_segments(vp, ip, c, dtype, sub.minkey[p],
+                                         sub.maxkey[p], cap, scratch,
+                                         chunk_pairs))
+    return segs
+
+
+def _bucket_segments(store: _PairStore, b: int, cap: int, scratch,
+                     chunk_pairs: int) -> list:
+    """Ascending segment decomposition of value bucket ``b`` (memoize —
+    the two-stage reject count and the correction sweep share it)."""
+    cnt = int(store.counts[b])
+    if cnt == 0:
+        return []
+    vp, ip = store._path("v", b), store._path("i", b)
+    if store.minkey[b] == store.maxkey[b]:
+        return [_Seg(vp, ip, cnt, True)]
+    if cnt <= cap:
+        return [_Seg(vp, ip, cnt, False)]
+    return _refine_segments(vp, ip, cnt, store.dtype, store.minkey[b],
+                            store.maxkey[b], cap, scratch, chunk_pairs)
 
 
 def _evict(arr) -> None:
@@ -251,7 +382,8 @@ def adj_pval_stream(pvals, method: str, alpha: float = 0.05,
                     outputname=None, out_npy=None, index=None,
                     columns=None, symmetric=None, scratch_dir=None,
                     chunk_cells: int = 32 << 20, out_dtype=np.float64,
-                    unlink_input: bool = False, progress=None):
+                    unlink_input: bool = False, progress=None,
+                    max_bucket_pairs=None):
     """Multiple-comparison correction of a disk-resident p-value matrix.
 
     ``pvals``: path to a .npy artifact (memmapped; float32 or float64)
@@ -270,6 +402,17 @@ def adj_pval_stream(pvals, method: str, alpha: float = 0.05,
     extraction pass.  Scratch pair files are dropped as each stage
     consumes them.  ``progress`` (callable, gets stage strings) hooks
     long-run observability.
+
+    ``max_bucket_pairs`` caps the in-RAM sort (default: max(chunk_cells,
+    2x the balanced bucket size n/256)).  Buckets above the cap — the
+    TIE-MASS case: empirical p-values are grid-quantized to N+1 distinct
+    values and fitted ones saturate at exactly 0.0/1.0, and quantile
+    boundaries cannot split equal keys — are decomposed into bounded
+    segments: an all-equal bucket (detected from pass-A min/max key
+    metadata, zero extra IO) streams in append order with NO sort at
+    all, and a mixed oversized bucket is byte-radix refined
+    (_refine_segments).  RSS stays bounded for ANY value distribution,
+    and the output is still bitwise identical to the in-memory path.
     """
     from seekr_tpu.stats.multitest import _METHOD_ALIASES, _harmonic_sum
 
@@ -315,11 +458,13 @@ def adj_pval_stream(pvals, method: str, alpha: float = 0.05,
     try:
         note("pass A: value partition")
         boundaries = _sample_boundaries(mm, symmetric)
-        store = _PairStore(scratch, "b", _N_BUCKETS, mm.dtype)
+        store = _PairStore(scratch, "b", _N_BUCKETS, mm.dtype,
+                           track_keys=True)
         for vals, idx in _iter_value_chunks(mm, symmetric, chunk_rows):
             keys = _sortable_bits(vals)
             store.add_partitioned(
-                np.searchsorted(boundaries, keys, side="right"), vals, idx)
+                np.searchsorted(boundaries, keys, side="right"), vals, idx,
+                keys)
             _evict(mm)  # keep the input's page-cache residency bounded
         store.close_writes()
         assert int(store.counts.sum()) == n
@@ -328,12 +473,23 @@ def adj_pval_stream(pvals, method: str, alpha: float = 0.05,
             os.unlink(pvals)
 
         note("correction sweep")
+        cap = (int(max_bucket_pairs) if max_bucket_pairs
+               else max(int(chunk_cells), 2 * (n // _N_BUCKETS)))
+        chunk_pairs = max(1, min(int(chunk_cells), cap))
+        seg_cache = {}
+
+        def segments(b):
+            if b not in seg_cache:
+                seg_cache[b] = _bucket_segments(store, b, cap, scratch,
+                                                chunk_pairs)
+            return seg_cache[b]
+
         groups = _PairStore(scratch, "g", n_groups, np.float64)
         if n:
             _correct_sweep(store, groups, group_cells, n, method,
                            float(alpha),
                            _harmonic_sum(n) if method == "fdr_by" else 0.0,
-                           note)
+                           note, segments, chunk_pairs)
         groups.close_writes()
 
         note("assembly")
@@ -350,9 +506,45 @@ def _bucket_order(method: str):
     return range(_N_BUCKETS)
 
 
+def _correct_chunk(method_core: str, p64: np.ndarray, base: int, n: int,
+                   hsum: float, carry):
+    """Correct one rank-contiguous chunk of the globally sorted vector
+    (``p64`` float64, ascending stable order, global ranks
+    [base, base+len)).  Chunks must be visited in ``_bucket_order``
+    direction with ``carry`` (the running unclipped min/max) threaded
+    through; min/max are exact, so chunked accumulation is bitwise
+    identical to one accumulate over the whole vector — the same ops in
+    the same order as ``stats.multitest``.  Returns (corrected, carry).
+    """
+    cnt = len(p64)
+    if method_core == "bonferroni":
+        return np.clip(p64 * n, 0, 1), carry
+    if method_core == "sidak":
+        return np.clip(-np.expm1(n * np.log1p(-p64)), 0, 1), carry
+    if method_core in ("holm", "holm-sidak"):
+        factors = np.arange(n - base, n - base - cnt, -1,
+                            dtype=np.float64)
+        pre = (p64 * factors if method_core == "holm"
+               else -np.expm1(factors * np.log1p(-p64)))
+        np.maximum.accumulate(pre, out=pre)
+        if carry is not None:
+            np.maximum(pre, carry, out=pre)
+        return np.clip(pre, 0, 1), pre[-1]
+    if method_core == "simes-hochberg":
+        factors = np.arange(n - base, n - base - cnt, -1,
+                            dtype=np.float64)
+        pre = p64 * factors
+    else:  # fdr_bh / fdr_by core
+        pre = p64 / _ecdf_chunk(base, cnt, n, hsum)
+    np.minimum.accumulate(pre[::-1], out=pre[::-1])
+    if carry is not None:
+        np.minimum(pre, carry, out=pre)
+    return np.clip(pre, 0, 1), pre[0]
+
+
 def _correct_sweep(store: _PairStore, groups: _PairStore, group_cells: int,
                    n: int, method: str, alpha: float, hsum: float,
-                   note) -> None:
+                   note, segments, chunk_pairs: int) -> None:
     bases = np.concatenate([[0], np.cumsum(store.counts)])[:-1]
 
     # two-stage FDR needs stage-1's reject count before any corrected
@@ -363,53 +555,18 @@ def _correct_sweep(store: _PairStore, groups: _PairStore, group_cells: int,
         bky = method == "fdr_tsbky"
         alpha_prime = alpha / (1 + alpha) if bky else alpha
         post = (1 + alpha) if bky else 1.0
-        r1 = _bh_reject_count(store, bases, n, alpha_prime)
+        r1 = _bh_reject_count(store, bases, n, alpha_prime, segments)
         method_core = "fdr_bh"
     else:
         method_core = method
+    ascending = method_core not in _SUFFIX_MIN
 
-    carry = None  # running min (suffix) / max (prefix) across buckets
-    for b in _bucket_order(method_core):
-        cnt = int(store.counts[b])
-        if cnt == 0:
-            continue
-        vals, idx = store.read(b)
-        order = np.argsort(_sortable_bits(vals), kind="stable")
-        vals, idx = vals[order], idx[order]
-        base = int(bases[b])
-        p64 = np.asarray(vals, np.float64)
+    state = {"carry": None}  # running min (suffix) / max (prefix)
 
-        if method_core == "bonferroni":
-            corrected = np.clip(p64 * n, 0, 1)
-        elif method_core == "sidak":
-            corrected = np.clip(-np.expm1(n * np.log1p(-p64)), 0, 1)
-        elif method_core in ("holm", "holm-sidak"):
-            factors = np.arange(n - base, n - base - cnt, -1,
-                                dtype=np.float64)
-            pre = (p64 * factors if method_core == "holm"
-                   else -np.expm1(factors * np.log1p(-p64)))
-            np.maximum.accumulate(pre, out=pre)
-            if carry is not None:
-                np.maximum(pre, carry, out=pre)
-            carry = pre[-1]
-            corrected = np.clip(pre, 0, 1)
-        elif method_core == "simes-hochberg":
-            factors = np.arange(n - base, n - base - cnt, -1,
-                                dtype=np.float64)
-            pre = p64 * factors
-            np.minimum.accumulate(pre[::-1], out=pre[::-1])
-            if carry is not None:
-                np.minimum(pre, carry, out=pre)
-            carry = pre[0]
-            corrected = np.clip(pre, 0, 1)
-        else:  # fdr_bh / fdr_by core
-            pre = p64 / _ecdf_chunk(base, cnt, n, hsum)
-            np.minimum.accumulate(pre[::-1], out=pre[::-1])
-            if carry is not None:
-                np.minimum(pre, carry, out=pre)
-            carry = pre[0]
-            corrected = np.clip(pre, 0, 1)
-
+    def emit(vals, idx, cbase):
+        corrected, state["carry"] = _correct_chunk(
+            method_core, np.asarray(vals, np.float64), cbase, n, hsum,
+            state["carry"])
         if two_stage:
             # multitest: np.clip(corr1 * post * ntests0 / n, 0, 1) with
             # ntests0 = n - r1 — reproduce the exact op order
@@ -417,30 +574,69 @@ def _correct_sweep(store: _PairStore, groups: _PairStore, group_cells: int,
                 corrected = np.clip(corrected * post, 0, 1)
             else:
                 corrected = np.clip(corrected * post * (n - r1) / n, 0, 1)
-
         groups.add_partitioned(idx // group_cells, corrected, idx)
+
+    for b in _bucket_order(method_core):
+        if int(store.counts[b]) == 0:
+            continue
+        segs = segments(b)
+        seg_bases = int(bases[b]) + np.concatenate(
+            [[0], np.cumsum([s.cnt for s in segs], dtype=np.int64)])[:-1]
+        walk = list(zip(segs, seg_bases))
+        if not ascending:
+            walk.reverse()
+        for seg, sbase in walk:
+            if seg.equal:
+                # all-equal segment: append order IS stable rank order —
+                # stream bounded chunks, no sort, never a full read
+                for vals, idx, off in _iter_pair_file_chunks(
+                        seg, store.dtype, chunk_pairs,
+                        reverse=not ascending):
+                    emit(vals, idx, int(sbase) + off)
+            else:
+                vals = np.fromfile(seg.vpath, dtype=store.dtype)
+                idx = np.fromfile(seg.ipath, dtype=np.int64)
+                order = np.argsort(_sortable_bits(vals), kind="stable")
+                emit(vals[order], idx[order], int(sbase))
+            seg.drop()
         store.drop(b)  # value-pair files shrink as group files grow
 
 
-def _bh_reject_count(store: _PairStore, bases, n: int,
-                     alpha: float) -> int:
+def _bh_reject_count(store: _PairStore, bases, n: int, alpha: float,
+                     segments) -> int:
     """Stage-1 BH reject count: the last global rank r with
     p_sorted[r] <= ecdf[r] * alpha (multitest._fdr_correct's rule,
-    same arithmetic), +1.  One ascending value-only sweep."""
+    same arithmetic), +1.  One ascending value-only sweep; an all-equal
+    segment needs only its LAST rank's threshold (the threshold grows
+    with rank while the value is constant, so the last rank decides),
+    computed with the exact _ecdf_chunk arithmetic — never a full read.
+    """
     last = -1
     for b in range(_N_BUCKETS):
-        cnt = int(store.counts[b])
-        if cnt == 0:
+        if int(store.counts[b]) == 0:
             continue
-        vals, _ = store.read(b)
-        vals = vals[np.argsort(_sortable_bits(vals), kind="stable")]
-        base = int(bases[b])
-        thr = _ecdf_chunk(base, cnt, n, 0.0)
-        thr *= alpha
-        below = np.asarray(vals, np.float64) <= thr
-        nz = np.nonzero(below)[0]
-        if nz.size:
-            last = base + int(nz.max())
+        sbase = int(bases[b])
+        for seg in segments(b):
+            if seg.equal:
+                v = np.float64(np.fromfile(seg.vpath, dtype=store.dtype,
+                                           count=1)[0])
+                # arange's last element (base+cnt) is an exact integer
+                # < 2^53; /= n then *= alpha elementwise == these ops
+                e = np.float64(sbase + seg.cnt)
+                e = e / n
+                if v <= e * alpha:
+                    last = sbase + seg.cnt - 1
+            else:
+                vals = np.fromfile(seg.vpath, dtype=store.dtype)
+                vals = vals[np.argsort(_sortable_bits(vals),
+                                       kind="stable")]
+                thr = _ecdf_chunk(sbase, seg.cnt, n, 0.0)
+                thr *= alpha
+                below = np.asarray(vals, np.float64) <= thr
+                nz = np.nonzero(below)[0]
+                if nz.size:
+                    last = sbase + int(nz.max())
+            sbase += seg.cnt
     return last + 1
 
 
@@ -461,9 +657,11 @@ def _assemble(groups: _PairStore, m1: int, m2: int, chunk_rows: int,
             columns = [str(i) for i in range(m2)]
         if index is None:
             index = [str(i) for i in range(m1)]
+        # the in-memory path (and the reference, adj_pval.py:90) always
+        # append ".csv" — match it exactly so both paths name artifacts
+        # identically for any outputname
         sinks.append(StreamingCsvWriter(
-            outputname if str(outputname).endswith(".csv")
-            else f"{outputname}.csv",
+            f"{outputname}.csv",
             columns=columns, row_labels=index, fmt="%s"))
     group_cells = chunk_rows * m2
     g = 0

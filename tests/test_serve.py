@@ -949,3 +949,62 @@ def test_grow_quantum_mesh_reuses_executables(artifacts):
     assert np.asarray(out2["topk_idx"]).max() < 9
     np.testing.assert_array_equal(
         np.asarray(out1["topk_sim"]).shape, (2, 4))
+
+
+def test_exact_fill_grow_keeps_topk_key_stable(artifacts, monkeypatch):
+    """A grow that EXACTLY fills the quantization pad must not change
+    the top-k executable's static key: `limit < t_cols` flips False at
+    the boundary, and keying the mask on it would mint a recompile the
+    width-quantization guarantee forbids (review finding).  Quantized
+    services therefore always mask (a no-op when every column is
+    real)."""
+    import seekr_tpu.utils.aot as aot_mod
+
+    calls = []
+    real = aot_mod.aot_call
+
+    def spy(fn, args, static=None):
+        if static and "mask_cols" in static:
+            calls.append(dict(static))
+        return real(fn, args, static)
+
+    monkeypatch.setattr(aot_mod, "aot_call", spy)
+    tmp, _ = artifacts
+    rng = np.random.default_rng(53)
+    svc = SeekrService(str(tmp / "mean.npy"), str(tmp / "std.npy"), k=K,
+                       targets=str(tmp / "targets.fa"), grow_quantum=8)
+    assert int(svc._targets_std.shape[0]) == 8  # 6 targets padded to 8
+    queries = _seqs(rng, 2)
+    svc.query(queries, want=("topk",), topk=4)
+    svc.add_targets(_seqs(rng, 2))  # 6 -> 8: exact fill, in-place
+    assert svc._n_targets == 8
+    assert int(svc._targets_std.shape[0]) == 8
+    out = svc.query(queries, want=("topk",), topk=4)
+    assert len(calls) == 2
+    assert calls[0] == calls[1], \
+        f"static top-k key changed across an in-place grow: {calls}"
+    assert calls[0]["mask_cols"] is True
+    assert np.asarray(out["topk_idx"]).max() < 8  # grown rows selectable
+
+
+def test_corpus_budget_env_parsing(artifacts, monkeypatch):
+    """SEEKR_TPU_CORPUS_BUDGET: '0' disables the cap (the conventional
+    unlimited sentinel), integers are bytes, and junk raises an error
+    naming the variable instead of a bare int() ValueError (review
+    finding)."""
+    tmp, _ = artifacts
+
+    monkeypatch.setenv("SEEKR_TPU_CORPUS_BUDGET", "0")
+    svc = SeekrService(str(tmp / "mean.npy"), str(tmp / "std.npy"), k=K,
+                       targets=str(tmp / "targets.fa"), grow_quantum=8)
+    assert svc.mem_budget_bytes is None  # 0 = no cap, growth unbounded
+
+    monkeypatch.setenv("SEEKR_TPU_CORPUS_BUDGET", "4096")
+    svc = SeekrService(str(tmp / "mean.npy"), str(tmp / "std.npy"), k=K,
+                       targets=str(tmp / "targets.fa"), grow_quantum=8)
+    assert svc.mem_budget_bytes == 4096
+
+    monkeypatch.setenv("SEEKR_TPU_CORPUS_BUDGET", "4G")
+    with pytest.raises(ValueError, match="SEEKR_TPU_CORPUS_BUDGET"):
+        SeekrService(str(tmp / "mean.npy"), str(tmp / "std.npy"), k=K,
+                     targets=str(tmp / "targets.fa"), grow_quantum=8)

@@ -166,6 +166,112 @@ def test_differential_fuzz_vs_in_memory(tmp_path):
                     f"chunk={chunk}")
 
 
+def test_tie_mass_streams_without_refinement(tmp_path, monkeypatch):
+    """An oversized ALL-EQUAL bucket (the structural-tie case: empirical
+    p-values are grid-quantized, fitted ones saturate at exactly 0.0 and
+    1.0) must stream in bounded chunks with NO sort and NO refinement
+    pass — detected straight from pass-A min/max key metadata — and
+    every in-RAM chunk must stay <= the cap.  Bitwise parity holds for
+    both accumulate directions and the two-stage scaling."""
+    from seekr_tpu.stats import stream_adj
+
+    refines = []
+    real_refine = stream_adj._refine_segments
+    monkeypatch.setattr(stream_adj, "_refine_segments",
+                        lambda *a, **k: refines.append(1) or
+                        real_refine(*a, **k))
+    seen = []
+    real_chunk = stream_adj._correct_chunk
+    monkeypatch.setattr(stream_adj, "_correct_chunk",
+                        lambda m, p, *a: seen.append(len(p)) or
+                        real_chunk(m, p, *a))
+
+    rng = np.random.default_rng(8)
+    # pure grid: every value is one of 4 distinct floats -> at most 4
+    # nonempty buckets, all all-equal, all far above the cap
+    grid = np.array([0.0, 0.25, 0.875, 1.0])
+    arr = rng.choice(grid, size=(23, 31), p=[0.1, 0.1, 0.2, 0.6])
+    cap = 16
+    for method in ("fdr_bh", "holm", "fdr_tsbky"):
+        want = adj_pval(pd.DataFrame(arr), method).to_numpy()
+        src = tmp_path / f"t_{method}.npy"
+        np.save(src, arr)
+        out = tmp_path / f"o_{method}.npy"
+        adj_pval_stream(str(src), method, out_npy=str(out),
+                        max_bucket_pairs=cap)
+        np.testing.assert_array_equal(np.load(out), want)
+    assert not refines, "all-equal buckets must not trigger refinement"
+    assert seen and max(seen) <= cap, \
+        f"a chunk of {max(seen)} pairs exceeded the {cap}-pair cap"
+
+
+def test_mixed_oversized_bucket_radix_refines(tmp_path, monkeypatch):
+    """A tie mass sharing its quantile bucket with near-equal distinct
+    values (keys differing only in low bits — quantiles cannot split
+    them either) forces the byte-radix refinement, which must still be
+    bitwise-exact and keep every sorted segment within the cap."""
+    from seekr_tpu.stats import stream_adj
+
+    refines = []
+    real_refine = stream_adj._refine_segments
+    monkeypatch.setattr(stream_adj, "_refine_segments",
+                        lambda *a, **k: refines.append(1) or
+                        real_refine(*a, **k))
+    seen = []
+    real_chunk = stream_adj._correct_chunk
+    monkeypatch.setattr(stream_adj, "_correct_chunk",
+                        lambda m, p, *a: seen.append(len(p)) or
+                        real_chunk(m, p, *a))
+
+    rng = np.random.default_rng(9)
+    base = np.float64(0.5)
+    # a tie mass at exactly 0.5 plus ~1000 distinct near-0.5 values
+    # (low-bit perturbations): several distinct values land in every
+    # quantile bucket, so buckets overflow the cap WITHOUT being
+    # all-equal — only byte-radix refinement can bound them
+    eps = np.spacing(base) * rng.integers(1, 1000, size=(64, 64))
+    arr = np.where(rng.uniform(size=(64, 64)) < 0.3, base, base + eps)
+    cap = 8
+    for method in ("fdr_by", "simes-hochberg", "holm-sidak"):
+        want = adj_pval(pd.DataFrame(arr), method).to_numpy()
+        src = tmp_path / f"r_{method}.npy"
+        np.save(src, arr)
+        out = tmp_path / f"ro_{method}.npy"
+        adj_pval_stream(str(src), method, out_npy=str(out),
+                        max_bucket_pairs=cap)
+        np.testing.assert_array_equal(np.load(out), want)
+    assert refines, "expected the mixed oversized bucket to refine"
+    assert seen and max(seen) <= cap
+
+
+def test_tie_fuzz_with_tiny_cap(tmp_path):
+    """Randomized empirical-grid p-values (k/N quantization — guaranteed
+    massive ties) under a tiny in-RAM cap: streamed == in-memory,
+    bitwise, for every method family."""
+    rng = np.random.default_rng(4321)
+    for trial in range(15):
+        m1 = int(rng.integers(2, 20))
+        m2 = int(rng.integers(1, 20))
+        n_grid = int(rng.integers(1, 6))  # tiny empirical sample size
+        grid = np.arange(n_grid + 1, dtype=np.float64) / n_grid
+        arr = rng.choice(grid, size=(m1, m2))
+        if rng.integers(0, 2):
+            arr = arr.astype(np.float32)
+        method = METHODS[int(rng.integers(0, len(METHODS)))]
+        cap = int(rng.choice([2, 5, 17]))
+        want = adj_pval(pd.DataFrame(arr), method).to_numpy()
+        src = tmp_path / f"g{trial}.npy"
+        np.save(src, arr)
+        out = tmp_path / f"go{trial}.npy"
+        adj_pval_stream(str(src), method, out_npy=str(out),
+                        max_bucket_pairs=cap,
+                        chunk_cells=int(rng.choice([3, 64])))
+        np.testing.assert_array_equal(
+            np.load(out), want,
+            err_msg=f"trial={trial} m1={m1} m2={m2} grid={n_grid + 1} "
+                    f"method={method} cap={cap}")
+
+
 def test_fd_cap_many_row_groups(tmp_path, monkeypatch):
     """The pair store must not keep one fd per partition open: with the
     cap forced to 2 and dozens of row groups (1-row chunks), results
