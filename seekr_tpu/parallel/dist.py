@@ -611,7 +611,7 @@ class PodScorer:
     radius with a WATCHDOG: every leader entry point (and the
     follower's per-op mirror) runs its broadcast + compute + fetch
     under ``timeout_s`` (default 300 s; SEEKR_TPU_POD_TIMEOUT
-    overrides).  The deadline must exceed the worst-case LEGITIMATE
+    overrides; 0 disables the watchdog and the heartbeat).  The deadline must exceed the worst-case LEGITIMATE
     operation — in particular a first-use XLA compile or the recompile
     after a quantum-crossing grow (warm up before serving, as the CLI
     does by default, and the compile never rides a request).  On
@@ -632,9 +632,18 @@ class PodScorer:
         self.is_leader = jax.process_index() == 0
         self._stopped = False
         self._dead = False
-        self.timeout_s = float(
-            timeout_s if timeout_s is not None
-            else os.environ.get("SEEKR_TPU_POD_TIMEOUT", 300))
+        if timeout_s is None:
+            env = os.environ.get("SEEKR_TPU_POD_TIMEOUT", "300")
+            try:
+                timeout_s = float(env)
+            except ValueError:
+                raise ValueError(
+                    f"SEEKR_TPU_POD_TIMEOUT must be a number of seconds "
+                    f"(0 disables the watchdog), got {env!r}") from None
+        # 0/negative = watchdog disabled (same convention as the sibling
+        # SEEKR_TPU_CORPUS_BUDGET knob): ops wait unboundedly, the
+        # heartbeat beacon is off, followers wait for headers forever
+        self.timeout_s = float(timeout_s) if timeout_s > 0 else None
         self._scorer = ShardedScorer(mesh, targets_std,
                                      row_quantum=row_quantum)
 
@@ -655,6 +664,8 @@ class PodScorer:
                 box["e"] = e
 
         deadline = self.timeout_s if timeout is None else timeout
+        if deadline is None:  # watchdog disabled: plain inline call
+            return fn()
         t = threading.Thread(target=run, daemon=True,
                              name=f"pod-{what}")
         t.start()
@@ -685,6 +696,8 @@ class PodScorer:
         no-op on followers and single-process scorers."""
         if not self.is_leader or getattr(self, "_hb_thread", None):
             return
+        if interval is None and self.timeout_s is None:
+            return  # watchdog disabled: liveness is off by choice
         interval = float(interval or max(1.0, self.timeout_s / 3.0))
 
         def loop():
@@ -859,7 +872,12 @@ class PodScorer:
                                              dtype=np.int64)), "stop")
         except RuntimeError:
             pass  # unresponsive pod: nothing left to release
-        self._stopped = True
+        finally:
+            # latch on ANY outcome — a broadcast that failed with some
+            # other exception type may have reached a subset of the
+            # followers; a retried stop() must not re-broadcast into a
+            # collective with missing participants
+            self._stopped = True
 
     def follow(self, header_timeout: Optional[float] = None) -> None:
         """Follower loop: mirror every leader call until STOP.

@@ -454,7 +454,8 @@ class SeekrService:
         if self._scorer.is_leader:
             raise ValueError("process 0 is the leader: run the socket "
                              "server here, follow() on the others")
-        self._scorer.follow(header_timeout=3 * self._scorer.timeout_s)
+        t = self._scorer.timeout_s  # None = watchdog disabled
+        self._scorer.follow(header_timeout=3 * t if t else None)
 
     def stop_followers(self) -> None:
         """Release pod followers (no-op single-host / single-process).

@@ -133,7 +133,17 @@ def find_pval(seq1file, seq2file, mean_path, std_path, k_mer, fitres,
             print("fitres should be the output of find_dist.")
             print("No p value is calculated. The output is None.")
             return None
-        if not 1 <= int(bestfit) <= len(fitres):
+        try:
+            if float(bestfit) != int(bestfit):  # 1.5 must not truncate
+                raise ValueError
+            bestfit = int(bestfit)
+        except (TypeError, ValueError):
+            print(f"bestfit must be an integer between 1 and the number "
+                  f"of fitted distributions in fitres ({len(fitres)}), "
+                  f"got {bestfit!r}.")
+            print("No p value is calculated. The output is None.")
+            return None
+        if not 1 <= bestfit <= len(fitres):
             # deliberate hardening over the reference, which indexes
             # fitres[bestfit-1] unchecked: an empty/short list raises
             # IndexError and bestfit=0 silently selects fitres[-1] — the

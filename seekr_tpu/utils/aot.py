@@ -301,6 +301,13 @@ def _load(key: str, base: str):
                    "suppressed: compile-feature keys match)")
         else:
             _debug(f"loaded {key[:8]}")
+        try:
+            # touch: _prune orders by mtime, so without this a store past
+            # the cap would evict the oldest-COMPILED (= most-reused)
+            # executables first instead of the least-recently-USED ones
+            os.utime(path)
+        except OSError:
+            pass
         return fn
     except FileNotFoundError:
         return None
@@ -321,8 +328,23 @@ _MAX_FILES = 512
 
 def _prune(base: str) -> None:
     try:
-        files = [os.path.join(base, f) for f in os.listdir(base)
-                 if f.endswith(".pkl")]
+        import time as _time
+
+        files = []
+        now = _time.time()
+        for f in os.listdir(base):
+            path = os.path.join(base, f)
+            if f.endswith(".tmp"):
+                # orphan from a save interrupted between mkstemp and
+                # os.replace (Ctrl-C / OOM-kill); old enough that no
+                # live writer can still own it -> reclaim
+                try:
+                    if now - os.stat(path).st_mtime > 3600:
+                        os.unlink(path)
+                except OSError:
+                    pass
+            elif f.endswith(".pkl"):
+                files.append(path)
         keep = _MAX_FILES - 1  # the imminent save takes the cap slot
         if len(files) <= keep:
             return

@@ -325,3 +325,39 @@ def test_loader_mismatch_suppressed_under_matching_key(store,
     err = capfd.readouterr().err
     assert "cpu_aot_loader" not in err  # the loader noise is gone
     assert "unrelated stderr line survives" in err  # real stderr kept
+
+
+def test_load_touches_mtime_for_lru(store):
+    """A warm load must refresh the executable's mtime: _prune orders by
+    mtime, so untouched hot entries would be evicted ahead of cold ones
+    compiled later (review finding)."""
+    import os
+
+    x, y = _args()
+    aot.aot_call(_toy, (x, y), dict(k=5))  # compile + save
+    (pkl,) = list(store.glob("*.pkl"))
+    os.utime(pkl, (1_000_000, 1_000_000))  # pretend it is ancient
+    aot._LOADED.clear()
+    aot._FAST.clear()  # simulate a fresh process: force the disk load
+    aot.aot_call(_toy, (x, y), dict(k=5))
+    assert os.stat(pkl).st_mtime > 1_000_000
+
+
+def test_prune_reclaims_orphan_tmp(store):
+    """A .tmp orphaned by an interrupted save (kill between mkstemp and
+    os.replace) is reclaimed by the next prune once it is stale; a fresh
+    .tmp (possibly a live concurrent writer) is left alone."""
+    import os
+    import time
+
+    old = store / "deadbeef.tmp"
+    old.write_bytes(b"x" * 100)
+    ts = time.time() - 7200
+    os.utime(old, (ts, ts))
+    fresh = store / "livewriter.tmp"
+    fresh.write_bytes(b"y")
+
+    x, y = _args()
+    aot.aot_call(_toy, (x, y), dict(k=7))  # triggers a save + prune
+    assert not old.exists()
+    assert fresh.exists()

@@ -135,3 +135,43 @@ def test_pod_watchdog_bounds_hung_collective(monkeypatch):
 
     scorer.stop()  # must not broadcast into the dead pod (returns fast)
     assert scorer._stopped
+
+
+def test_pod_timeout_env_parsing(monkeypatch):
+    """SEEKR_TPU_POD_TIMEOUT: '0' disables the watchdog (ops run inline,
+    heartbeat off) instead of instantly dead-latching the pod via
+    join(0); junk values raise an error naming the variable (review
+    finding — same conventions as SEEKR_TPU_CORPUS_BUDGET)."""
+    import threading
+
+    import numpy as np
+    import pytest
+
+    from seekr_tpu.parallel.dist import PodScorer
+    from seekr_tpu.parallel.mesh import make_mesh
+
+    import jax
+
+    mesh = make_mesh(jax.devices()[:4])
+    tstd = np.random.default_rng(0).normal(size=(10, 64)).astype(np.float32)
+
+    monkeypatch.setenv("SEEKR_TPU_POD_TIMEOUT", "0")
+    scorer = PodScorer(mesh, tstd)
+    assert scorer.timeout_s is None
+    # watchdog disabled: the op runs inline (no runner thread), succeeds
+    n0 = threading.active_count()
+    q = np.random.default_rng(1).normal(size=(2, 64)).astype(np.float32)
+    sim = np.asarray(scorer.sim(q))
+    assert sim.shape[0] == 2 and sim.shape[1] >= 10  # cols padded to shards
+    assert threading.active_count() == n0
+    scorer.heartbeat_start(threading.Lock())  # no-op, no beacon thread
+    assert getattr(scorer, "_hb_thread", None) is None
+    assert not scorer._dead
+    scorer.stop()
+
+    # explicit 0 argument follows the same convention
+    assert PodScorer(mesh, tstd, timeout_s=0).timeout_s is None
+
+    monkeypatch.setenv("SEEKR_TPU_POD_TIMEOUT", "soon")
+    with pytest.raises(ValueError, match="SEEKR_TPU_POD_TIMEOUT"):
+        PodScorer(mesh, tstd)

@@ -150,8 +150,16 @@ def test_find_pval_bestfit_out_of_range_returns_none(ref_data, example_fa,
     assert find_pval(*args, fitres=[], bestfit=1) is None
     out = capsys.readouterr().out
     assert "bestfit must be between 1 and" in out
-    # in-range still works
+    # non-integer bestfit: advisory + None, never a TypeError from the
+    # index nor a silent 1.5 -> 1 truncation (review finding)
+    assert find_pval(*args, fitres=fitres, bestfit=1.5) is None
+    assert find_pval(*args, fitres=fitres, bestfit="two") is None
+    assert find_pval(*args, fitres=fitres, bestfit=None) is None
+    out = capsys.readouterr().out
+    assert "bestfit must be an integer" in out
+    # in-range still works, including integral strings/floats
     assert find_pval(*args, fitres=fitres, bestfit=1) is not None
+    assert find_pval(*args, fitres=fitres, bestfit="1") is not None
 
 
 def test_resolve_models_drops_unfittable_with_message(capsys):
