@@ -56,12 +56,15 @@ def similarity_graph(inputfile, mean, std, k, pearsoncutoff=0,
     # [m, m] similarity matrix crosses to the host
     counts = counter.get_counts_device()
     if mesh is not None:
-        from seekr_tpu.io.stream import ArrayCollector
+        from seekr_tpu.ops.pearson import _RowFiller
         from seekr_tpu.parallel.dist import stream_pearson_sharded
 
-        coll = ArrayCollector()
-        stream_pearson_sharded(mesh, counts, coll)
-        sim = coll.result()
+        # preallocate + fill in place: collecting tiles and vstacking
+        # would transiently hold the matrix twice (13 GB extra at the
+        # m=40k dense comfort ceiling)
+        m = int(counts.shape[0])
+        sim = np.empty((m, m), dtype=np.float32)
+        stream_pearson_sharded(mesh, counts, _RowFiller(sim))
     else:
         sim = np.asarray(pearson(counts, counts)).copy()
     sim[sim < pearsoncutoff] = 0
@@ -221,7 +224,9 @@ def export_gephi_csv(df, membership, csvfile):
     """
     _write_gephi_nodes(list(df.index), membership, csvfile)
 
-    mask = np.triu(np.ones(df.shape), k=1).astype(bool)
+    # bool from the start: float64 ones + triu copy would transiently
+    # cost 16 bytes/cell (40 GB at the m=50k dense ceiling)
+    mask = np.triu(np.ones(df.shape, dtype=bool), k=1)
     # explicit dropna: the reference relied on pandas<3 stack() dropping the
     # NaN-masked lower triangle (kmer_leiden.py:342)
     edges = df.where(mask).stack().dropna().reset_index()
@@ -234,11 +239,14 @@ def _write_gephi_nodes(names, membership, csvfile):
     community, 1-based community ids in Color."""
     import pandas as pd
 
-    labels, colors = [], []
-    for comm in range(int(membership.max()) + 1 if len(membership) else 0):
-        for node_index in np.nonzero(membership == comm)[0]:
-            labels.append(names[node_index])
-            colors.append(comm + 1)
+    # rows ordered by community, ascending node index within each — a
+    # stable argsort gives exactly that in O(m log m) (a scan per
+    # community is O(C*m): minutes at streamed scale where a high
+    # cutoff leaves most nodes as singleton communities)
+    membership = np.asarray(membership)
+    order = np.argsort(membership, kind="stable")
+    labels = [names[i] for i in order]
+    colors = [int(c) + 1 for c in membership[order]]
     nodes = pd.DataFrame({"Id": labels, "Label": labels, "Color": colors})
     nodes.to_csv(f"{csvfile}_nodes_leiden.csv", index=False)
 

@@ -143,6 +143,12 @@ class StreamingCsvWriter:
         self.fmt = fmt
         self.row_labels = list(row_labels) if row_labels is not None else None
         self.labeled = columns is not None
+        if self.labeled and self.row_labels is None:
+            # fail before the header hits the disk: every labeled append
+            # slices row_labels, so deferring this to the first block
+            # would leave a partial artifact behind a TypeError
+            raise ValueError("StreamingCsvWriter: columns= requires "
+                             "row_labels= (a labeled CSV has both)")
         self._quote = _quote
         # '%s' on float32 equals pandas shortest-repr bytes (mode 0)
         # except NaN; '%1.6f' is mode 1 — other fmts take the fallback

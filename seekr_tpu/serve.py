@@ -560,12 +560,19 @@ class SeekrService:
             # the coalesced path's segmented epilogue compiles per
             # (padded rows, n_segments): cover the (q, segments<=q)
             # power-of-two grid so the first real merge is warm too —
-            # and cap merges at the largest shape warmed here, so a
+            # and cap merges at the largest shape EVER warmed, so a
             # fan-in burst can never force a fresh backend compile
-            # while holding the device lock (raise max_batch to allow
-            # bigger merges)
-            self.max_coalesce_rows = min(self.max_coalesce_rows,
-                                         max(sizes))
+            # while holding the device lock.  Across warmups the cap is
+            # the max of the warmed sizes (earlier warmups' executables
+            # stay resident): a later warmup(max_batch=64) RAISES the
+            # cap — min() here would make that documented knob a no-op
+            if not hasattr(self, "_coalesce_hard_cap"):
+                # the pre-warmup cap (ctor default or operator override)
+                self._coalesce_hard_cap = self.max_coalesce_rows
+            self._warmed_rows = max(getattr(self, "_warmed_rows", 0),
+                                    max(sizes))
+            self.max_coalesce_rows = min(self._coalesce_hard_cap,
+                                         self._warmed_rows)
             from seekr_tpu.ops.normalize import normalize_counts_segmented
 
             for q in sizes:

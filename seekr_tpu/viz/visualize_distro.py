@@ -21,18 +21,27 @@ from seekr_tpu.utils.adj import get_adj, triu_values
 from seekr_tpu.viz.style import save_figure, setup_fonts
 
 
-def distro_values(adj) -> np.ndarray:
+def distro_values(adj, symmetric=None) -> np.ndarray:
     """Finite r-values of a matrix: strict upper triangle when the
     matrix is square and symmetric (5-decimal tolerance, same detector
     as adj_pval — GEMM roundoff must not flip a similarity matrix into
-    the double-counting branch), else every cell."""
+    the double-counting branch), else every cell.  ``symmetric``
+    overrides the detection (same contract as the streamed path — the
+    flag must mean the same thing at every artifact size)."""
     from seekr_tpu.stats.adj_pval import _tiled_symmetric
 
     loaded = get_adj(adj)  # ndarray for .npy, DataFrame for CSV/in-memory
     mat = np.asarray(loaded, dtype=np.float64)
     if mat.ndim != 2:
         raise ValueError("expected a 2D matrix of r-values")
-    if mat.shape[0] == mat.shape[1] and _tiled_symmetric(mat):
+    if symmetric and mat.shape[0] != mat.shape[1]:
+        raise ValueError(
+            f"symmetric=True needs a square matrix, got {mat.shape} — "
+            "the strict-upper-triangle subset of a rectangle would "
+            "silently misreport every statistic")
+    if symmetric is None:
+        symmetric = mat.shape[0] == mat.shape[1] and _tiled_symmetric(mat)
+    if symmetric:
         vals = triu_values(mat)
         return vals[np.isfinite(vals)]
     vals = np.ravel(mat)
@@ -128,10 +137,18 @@ def visualize_distro(adj, outputname="distro", bins=100,
         ``io.stream.STREAM_CELL_THRESHOLD`` cells — extreme-scale sim
         artifacts from ``seekr_pearson -bo``/``seekr_find_pval -bo``
         cannot be loaded at all); the title's median is then marked
-        approximate (one 2^-20-of-range bin wide)
-    symmetric : streamed mode only — skip the transpose detection (one
-        full extra read of the artifact) when the caller already knows;
-        True takes the strict upper triangle, False every cell
+        approximate (one 2^-20-of-range bin wide).  ``stream=True``
+        with anything but a ``.npy`` path raises (a labeled CSV cannot
+        be histogrammed in bounded memory; convert with -bo first)
+        rather than silently loading the whole matrix
+    symmetric : skip/override the transpose detection (in streamed mode
+        the check costs one full extra read of the artifact); True
+        takes the strict upper triangle, False every cell — honored
+        identically on the dense and streamed paths
+
+    Returns the finite value array (dense path) or the streamed stats
+    tuple ``(counts, edges, n, mean, sd, median)``; None only when no
+    plot was produced (no finite values).
     """
     import matplotlib
     matplotlib.use("Agg")
@@ -139,7 +156,13 @@ def visualize_distro(adj, outputname="distro", bins=100,
 
     setup_fonts()
     streamed = None
-    if isinstance(adj, str) and adj.endswith(".npy"):
+    is_npy_path = isinstance(adj, str) and adj.endswith(".npy")
+    if stream and not is_npy_path:
+        raise ValueError(
+            "stream=True needs a .npy artifact path (labeled CSVs and "
+            "in-memory matrices cannot be histogrammed in bounded "
+            "memory; write the matrix with -bo / np.save first)")
+    if is_npy_path:
         from seekr_tpu.io.stream import STREAM_CELL_THRESHOLD
 
         mm = np.load(adj, mmap_mode="r")
@@ -160,9 +183,9 @@ def visualize_distro(adj, outputname="distro", bins=100,
                   edgecolor="white", linewidth=0.3)
         title = (f"n={n}  mean={mean:.4f}  sd={sd:.4f}  "
                  f"median≈{median:.4f}")
-        vals = None
+        vals = streamed  # distinguishable-from-failure success value
     else:
-        vals = distro_values(adj)
+        vals = distro_values(adj, symmetric=symmetric)
         if vals.size == 0:
             print("The input matrix has no finite values. "
                   "No plot is produced.")

@@ -1008,3 +1008,20 @@ def test_corpus_budget_env_parsing(artifacts, monkeypatch):
     with pytest.raises(ValueError, match="SEEKR_TPU_CORPUS_BUDGET"):
         SeekrService(str(tmp / "mean.npy"), str(tmp / "std.npy"), k=K,
                      targets=str(tmp / "targets.fa"), grow_quantum=8)
+
+
+def test_warmup_can_raise_coalesce_cap(artifacts):
+    """A later warmup(max_batch=N) with larger N RAISES the coalesce cap
+    (review finding: min() made the documented knob a no-op after the
+    first warmup), while the first warmup still tightens it from the
+    pre-warmup default."""
+    tmp, _ = artifacts
+    svc = SeekrService(str(tmp / "mean.npy"), str(tmp / "std.npy"), k=K,
+                       targets=str(tmp / "targets.fa"))
+    assert svc.max_coalesce_rows == 512  # pre-warmup hard default
+    svc.warmup(lengths=(64,), max_batch=2, topk=0)
+    assert svc.max_coalesce_rows == 2
+    svc.warmup(lengths=(64,), max_batch=4, topk=0)
+    assert svc.max_coalesce_rows == 4  # raised, not min()'d to 2
+    svc.warmup(lengths=(64,), max_batch=2, topk=0)
+    assert svc.max_coalesce_rows == 4  # largest EVER warmed wins

@@ -192,3 +192,17 @@ def test_pearson_pairs_matches_full_matrix():
     got = pearson_pairs(counts, ii, jj, chunk=128)
     np.testing.assert_allclose(got, full[ii, jj], rtol=1e-5, atol=1e-5)
     assert pearson_pairs(counts, [], []).size == 0
+
+
+def test_csv_writer_rejects_columns_without_row_labels(tmp_path):
+    """columns= without row_labels= must fail at construction, before
+    the header line is on disk (review finding: it used to crash with a
+    TypeError on the first append, leaving a partial artifact)."""
+    import pytest
+
+    from seekr_tpu.io.stream import StreamingCsvWriter
+
+    path = tmp_path / "x.csv"
+    with pytest.raises(ValueError, match="row_labels"):
+        StreamingCsvWriter(str(path), columns=["a", "b"])
+    assert not path.exists()

@@ -221,7 +221,38 @@ def test_visualize_distro_streamed_matches(tmp_path, monkeypatch):
         binw = (vals.max() - vals.min()) / (1 << 20)
         lo, hi = srt[(n - 1) // 2], srt[n // 2]
         assert lo - binw <= median <= hi + binw
-        # forced streamed plot renders (returns None by contract)
-        assert visualize_distro(f"{name}.npy", outputname=f"d_{name}",
-                                stream=True) is None
+        # forced streamed plot renders and returns the stats tuple —
+        # distinguishable from the None that means "no plot produced"
+        got = visualize_distro(f"{name}.npy", outputname=f"d_{name}",
+                               stream=True)
+        assert got is not None and got[2] == n
         assert (tmp_path / f"d_{name}.pdf").exists()
+
+
+def test_visualize_distro_flag_consistency(tmp_path, monkeypatch, capsys):
+    """The symmetric= hint means the same thing at every artifact size
+    (review finding: it was silently ignored on the dense path), and
+    stream=True on a non-.npy input raises instead of silently loading
+    the whole matrix."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    from seekr_tpu.viz.visualize_distro import distro_values, visualize_distro
+
+    monkeypatch.chdir(tmp_path)
+    rng = np.random.default_rng(1)
+    sym = rng.normal(0, 0.3, (12, 12)).astype(np.float32)
+    sym = (sym + sym.T) / 2
+    np.save("s.npy", sym)
+    # dense path honors the explicit override exactly like streamed mode
+    assert distro_values("s.npy", symmetric=False).size == 144
+    assert distro_values("s.npy", symmetric=True).size == 12 * 11 // 2
+    with pytest.raises(ValueError, match="square"):
+        distro_values(rng.normal(size=(3, 5)), symmetric=True)
+    # stream=True without a .npy path: loud refusal, not a silent load
+    pd.DataFrame(sym).to_csv("s.csv")
+    with pytest.raises(ValueError, match="npy"):
+        visualize_distro("s.csv", stream=True)
+    with pytest.raises(ValueError, match="npy"):
+        visualize_distro(sym, stream=True)
