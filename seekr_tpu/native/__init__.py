@@ -343,26 +343,8 @@ def write_csv_f32(path: str, matrix: np.ndarray, header_line: str = None,
     ``append`` opens the file in append mode (streamed row blocks).
     Callers are responsible for CSV-quoting labels (see io.fast_csv).
     """
-    lib = _load()
-    if lib is None:
-        raise RuntimeError(f"native library unavailable: {_load_error}")
-    m = np.ascontiguousarray(matrix, dtype=np.float32)
-    if m.ndim != 2:
-        raise ValueError("matrix must be 2-D")
-    rows, cols = m.shape
-    labels_arr = None
-    if row_label_cells is not None:
-        if len(row_label_cells) != rows:
-            raise ValueError("row_label_cells length must equal row count")
-        labels_arr = (ctypes.c_char_p * rows)(
-            *[str(s).encode("utf-8") for s in row_label_cells])
-    rc = lib.seekr_write_csv_f32(
-        str(path).encode(), m.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        rows, cols,
-        header_line.encode("utf-8") if header_line else None,
-        labels_arr, int(mode), int(bool(append)))
-    if rc != 0:
-        raise IOError(f"seekr_write_csv_f32 failed for {path!r}")
+    _write_csv_native(path, matrix, np.float32, header_line,
+                      row_label_cells, mode, append)
 
 
 def write_csv_f64(path: str, matrix: np.ndarray, header_line: str = None,
@@ -370,10 +352,18 @@ def write_csv_f64(path: str, matrix: np.ndarray, header_line: str = None,
     """float64 flavor of :func:`write_csv_f32` — pandas/Python repr
     bytes (``DataFrame(float64).to_csv``), NaN as empty cells; the
     streamed adj_pval CSV emitter's fast path."""
+    _write_csv_native(path, matrix, np.float64, header_line,
+                      row_label_cells, None, append)
+
+
+def _write_csv_native(path, matrix, dtype, header_line, row_label_cells,
+                      mode, append):
+    """Shared body of the two CSV writers (they differ only in dtype,
+    the ctypes entry, and f32's mode argument)."""
     lib = _load()
     if lib is None:
         raise RuntimeError(f"native library unavailable: {_load_error}")
-    m = np.ascontiguousarray(matrix, dtype=np.float64)
+    m = np.ascontiguousarray(matrix, dtype=dtype)
     if m.ndim != 2:
         raise ValueError("matrix must be 2-D")
     rows, cols = m.shape
@@ -383,13 +373,21 @@ def write_csv_f64(path: str, matrix: np.ndarray, header_line: str = None,
             raise ValueError("row_label_cells length must equal row count")
         labels_arr = (ctypes.c_char_p * rows)(
             *[str(s).encode("utf-8") for s in row_label_cells])
-    rc = lib.seekr_write_csv_f64(
-        str(path).encode(),
-        m.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), rows, cols,
-        header_line.encode("utf-8") if header_line else None,
-        labels_arr, int(bool(append)))
+    header = header_line.encode("utf-8") if header_line else None
+    if dtype is np.float32:
+        name = "seekr_write_csv_f32"
+        rc = lib.seekr_write_csv_f32(
+            str(path).encode(),
+            m.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), rows, cols,
+            header, labels_arr, int(mode), int(bool(append)))
+    else:
+        name = "seekr_write_csv_f64"
+        rc = lib.seekr_write_csv_f64(
+            str(path).encode(),
+            m.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), rows, cols,
+            header, labels_arr, int(bool(append)))
     if rc != 0:
-        raise IOError(f"seekr_write_csv_f64 failed for {path!r}")
+        raise IOError(f"{name} failed for {path!r}")
 
 
 def argsort_f64(keys: np.ndarray):
@@ -445,8 +443,13 @@ def scatter_by_order(values: np.ndarray, order: np.ndarray,
     if v.ndim != 1 or o.shape != v.shape:
         raise ValueError("values/order must be equal-length 1-D arrays")
     if os.environ.get("SEEKR_TPU_CHECK_SCATTER") == "1" and len(o):
+        # explicit range check first: numpy fancy assignment WRAPS
+        # negative indices instead of raising, which would let a
+        # non-permutation slip past the seen-mask test below
+        if (o < 0).any() or (o >= len(o)).any():
+            raise ValueError("order contains out-of-range indices")
         seen = np.zeros(len(o), dtype=bool)
-        seen[o] = True  # out-of-range raises IndexError here, pre-C++
+        seen[o] = True
         if not seen.all():
             raise ValueError(
                 "order is not a permutation (duplicate indices race "

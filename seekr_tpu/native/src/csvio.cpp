@@ -139,6 +139,7 @@ int64_t write_csv_impl(const char* path, const T* data,
     ok = std::fwrite(header_line, 1, std::strlen(header_line), f) ==
          std::strlen(header_line);
 
+  try {
   const int64_t chunk = 256;  // rows per formatting task (~10 MB of text)
   int64_t n_threads = std::min<int64_t>(
       std::max<int64_t>(1, std::thread::hardware_concurrency()),
@@ -150,21 +151,27 @@ int64_t write_csv_impl(const char* path, const T* data,
     int64_t base = wave * chunk * n_threads;
     std::vector<std::thread> ts;
     int64_t live = 0;
-    for (int64_t t = 0; t < n_threads; ++t) {
-      int64_t r0 = base + t * chunk;
-      if (r0 >= rows) break;
-      int64_t r1 = std::min(rows, r0 + chunk);
-      ++live;
-      ts.emplace_back([&, t, r0, r1] {
-        // exceptions (bad_alloc) must not escape a thread entry — that
-        // would std::terminate the process instead of returning -1
-        try {
-          format_rows(data, cols, r0, r1, row_label_cells, mode,
-                      bufs[size_t(t)]);
-        } catch (...) {
-          worker_ok[size_t(t)] = 0;
-        }
-      });
+    try {
+      for (int64_t t = 0; t < n_threads; ++t) {
+        int64_t r0 = base + t * chunk;
+        if (r0 >= rows) break;
+        int64_t r1 = std::min(rows, r0 + chunk);
+        ++live;
+        ts.emplace_back([&, t, r0, r1] {
+          // exceptions (bad_alloc) must not escape a thread entry — that
+          // would std::terminate the process instead of returning -1
+          try {
+            format_rows(data, cols, r0, r1, row_label_cells, mode,
+                        bufs[size_t(t)]);
+          } catch (...) {
+            worker_ok[size_t(t)] = 0;
+          }
+        });
+      }
+    } catch (...) {
+      // spawn failed mid-wave: join what launched (a joinable thread's
+      // destructor would std::terminate), then abort the write
+      ok = false;
     }
     for (auto& th : ts) th.join();
     for (int64_t t = 0; ok && t < live; ++t) {
@@ -175,6 +182,10 @@ int64_t write_csv_impl(const char* path, const T* data,
   }
   ok = (std::fclose(f) == 0) && ok;
   return ok ? 0 : -1;
+  } catch (...) {
+    std::fclose(f);
+    return -1;
+  }
 }
 
 extern "C" {
@@ -353,27 +364,37 @@ int64_t seekr_csv_label(void* h, int64_t r, char* out, int64_t cap) {
 int64_t seekr_csv_data(void* h, float* out) {
   auto f = static_cast<CsvFile*>(h);
   if (!f || !out) return -1;
+  try {
   int64_t n_threads = std::min<int64_t>(
       std::max<int64_t>(1, std::thread::hardware_concurrency()),
       std::max<int64_t>(f->rows, 1));
   std::vector<std::thread> ts;
   std::vector<char> oks(static_cast<size_t>(n_threads), 1);
   int64_t per = (f->rows + n_threads - 1) / n_threads;
-  for (int64_t t = 0; t < n_threads; ++t) {
-    int64_t r0 = t * per, r1 = std::min(f->rows, r0 + per);
-    if (r0 >= r1) break;
-    ts.emplace_back([f, out, r0, r1, t, &oks] {
-      try {
-        oks[size_t(t)] = parse_rows(f, out, r0, r1) ? 1 : 0;
-      } catch (...) {
-        oks[size_t(t)] = 0;
-      }
-    });
+  bool spawn_ok = true;
+  try {
+    for (int64_t t = 0; t < n_threads; ++t) {
+      int64_t r0 = t * per, r1 = std::min(f->rows, r0 + per);
+      if (r0 >= r1) break;
+      ts.emplace_back([f, out, r0, r1, t, &oks] {
+        try {
+          oks[size_t(t)] = parse_rows(f, out, r0, r1) ? 1 : 0;
+        } catch (...) {
+          oks[size_t(t)] = 0;
+        }
+      });
+    }
+  } catch (...) {
+    spawn_ok = false;  // join what launched before reporting failure
   }
   for (auto& th : ts) th.join();
+  if (!spawn_ok) return -1;
   for (char okf : oks)
     if (!okf) return -1;
   return 0;
+  } catch (...) {
+    return -1;
+  }
 }
 
 void seekr_csv_close(void* h) { delete static_cast<CsvFile*>(h); }

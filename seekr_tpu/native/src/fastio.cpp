@@ -13,9 +13,12 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <memory>
 #include <string>
 #include <thread>
 #include <vector>
+
+#include "host_parallel.h"
 
 namespace {
 
@@ -46,10 +49,14 @@ struct DigitInit {
 
 extern "C" {
 
-// Parse a FASTA file. Returns an opaque handle, or nullptr on IO error.
+// Parse a FASTA file. Returns an opaque handle, or nullptr on IO error
+// or allocation failure (a multi-GB input on a constrained host must
+// make the caller fall back to the Python reader, not let bad_alloc
+// cross the C ABI and terminate the process).
 void* seekr_fasta_open(const char* path) {
   FILE* f = std::fopen(path, "rb");
   if (!f) return nullptr;
+  try {
   std::fseek(f, 0, SEEK_END);
   long size = std::ftell(f);
   if (size < 0) {  // unseekable (FIFO/stdin): caller falls back to Python
@@ -63,8 +70,10 @@ void* seekr_fasta_open(const char* path) {
     return nullptr;
   }
   std::fclose(f);
+  f = nullptr;
 
-  auto* ff = new FastaFile();
+  auto owned = std::make_unique<FastaFile>();
+  auto* ff = owned.get();
   std::string cur_seq;
   bool have_record = false;
   size_t pos = 0;
@@ -102,7 +111,11 @@ void* seekr_fasta_open(const char* path) {
     pos = end + 1;
   }
   if (have_record) ff->seqs.push_back(std::move(cur_seq));
-  return ff;
+  return owned.release();
+  } catch (...) {
+    if (f) std::fclose(f);
+    return nullptr;
+  }
 }
 
 void seekr_fasta_close(void* h) { delete static_cast<FastaFile*>(h); }
@@ -152,27 +165,24 @@ int64_t seekr_fasta_encode_batch(void* h, const int64_t* ids, int64_t m,
   for (int64_t r = 0; r < m; ++r) {
     if (ids[r] < 0 || size_t(ids[r]) >= ff->seqs.size()) return -1;
   }
-  int64_t n_threads = std::min<int64_t>(
-      std::max<int64_t>(1, std::thread::hardware_concurrency()), m);
-  auto worker = [&](int64_t t) {
-    for (int64_t r = t; r < m; r += n_threads) {
-      const std::string& s = ff->seqs[size_t(ids[r])];
-      int8_t* row = out + r * lpad;
-      int64_t n = std::min<int64_t>(lpad, int64_t(s.size()));
-      for (int64_t i = 0; i < n; ++i) {
-        row[i] = kDigit[(unsigned char)s[size_t(i)]];
+  try {
+    const int64_t n_threads = std::min<int64_t>(
+        seekr_host::pick_threads(m, 1), std::max<int64_t>(m, 1));
+    seekr_host::run_parallel(n_threads, [&](int64_t t) {
+      for (int64_t r = t; r < m; r += n_threads) {
+        const std::string& s = ff->seqs[size_t(ids[r])];
+        int8_t* row = out + r * lpad;
+        int64_t n = std::min<int64_t>(lpad, int64_t(s.size()));
+        for (int64_t i = 0; i < n; ++i) {
+          row[i] = kDigit[(unsigned char)s[size_t(i)]];
+        }
+        if (n < lpad) std::memset(row + n, 4, size_t(lpad - n));
       }
-      if (n < lpad) std::memset(row + n, 4, size_t(lpad - n));
-    }
-  };
-  if (n_threads <= 1) {
-    worker(0);
-  } else {
-    std::vector<std::thread> threads;
-    for (int64_t t = 0; t < n_threads; ++t) threads.emplace_back(worker, t);
-    for (auto& th : threads) th.join();
+    });
+    return 0;
+  } catch (...) {
+    return -4;
   }
-  return 0;
 }
 
 // Standalone encoder for one raw string (used when sequences come from
@@ -195,6 +205,7 @@ int64_t seekr_fasta_count_kmers(void* h, int64_t k, float* out) {
   const uint64_t mask = uint64_t(n_cols - 1);
   const int64_t m = int64_t(ff->seqs.size());
 
+  try {
   int64_t n_threads = std::min<int64_t>(
       std::max<int64_t>(1, std::thread::hardware_concurrency()), std::max<int64_t>(m, 1));
   // per-thread scratch is 4*4^k bytes (64 MB at k=12); cap the THREAD
@@ -240,14 +251,11 @@ int64_t seekr_fasta_count_kmers(void* h, int64_t k, float* out) {
       }
     }
   };
-  if (n_threads <= 1) {
-    worker(0);
-  } else {
-    std::vector<std::thread> threads;
-    for (int64_t t = 0; t < n_threads; ++t) threads.emplace_back(worker, t);
-    for (auto& th : threads) th.join();
-  }
+  seekr_host::run_parallel(n_threads, worker);
   return 0;
+  } catch (...) {
+    return -4;
+  }
 }
 
 }  // extern "C"

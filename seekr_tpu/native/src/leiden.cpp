@@ -495,8 +495,9 @@ extern "C" {
 
 // Undirected graph as an edge list (each edge once, u != v allowed to repeat
 // as self loops). Writes per-node community ids (compacted, 0-based) into
-// membership_out [n_nodes]. Returns the number of communities, or -1 on
-// invalid arguments.
+// membership_out [n_nodes]. Returns the number of communities, -1 on
+// invalid arguments, or -4 on an internal failure (CSR allocation for a
+// hundreds-of-millions-edge list): exceptions must not cross the C ABI.
 int64_t seekr_leiden(int64_t n_nodes, int64_t n_edges, const int64_t* src,
                      const int64_t* dst, const double* weight,
                      const char* quality, double resolution, int64_t seed,
@@ -505,6 +506,7 @@ int64_t seekr_leiden(int64_t n_nodes, int64_t n_edges, const int64_t* src,
   if (n_edges > 0 && (!src || !dst)) return -1;
   Quality q;
   if (!parse_quality(quality, &q)) return -1;
+  try {
 
   // build CSR (symmetrize)
   Graph g;
@@ -548,6 +550,9 @@ int64_t seekr_leiden(int64_t n_nodes, int64_t n_edges, const int64_t* src,
   int32_t nc = 0;
   for (int64_t v = 0; v < n_nodes; ++v) nc = std::max(nc, membership[v]);
   return nc + 1;
+  } catch (...) {
+    return -4;
+  }
 }
 
 }  // extern "C"

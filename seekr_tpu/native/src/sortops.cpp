@@ -214,8 +214,12 @@ inline double clip01(double x) {
 // Computes clip01(suffix-min of p_sorted[i]/ecdf[i]) into corrected_out
 // and returns the BH rejection count (leading sorted hypotheses with
 // p <= ecdf*alpha).  p(i) abstracts the storage (raw array or sorted
-// items) so both public entries share the pass structure.
-int64_t fdr_from_sorted(const std::function<double(int64_t)>& p, int64_t n,
+// items) so both public entries share the pass structure; it is a
+// template parameter so the per-element access inlines into the three
+// hot passes (std::function dispatch per element defeated
+// vectorization of exactly the loops this file exists to accelerate).
+template <typename P>
+int64_t fdr_from_sorted(const P& p, int64_t n,
                         double alpha, double harmonic_sum,
                         int64_t n_threads, int64_t block,
                         double* corrected_out) {
@@ -273,11 +277,15 @@ extern "C" {
 
 // Stable ascending argsort of float64 keys.  Writes the permutation into
 // order[n] (int64) and the sorted values into sorted_out[n].
-// Returns 0 on success, -1 on invalid arguments.
+// Returns 0 on success, -1 on invalid arguments, -4 on an internal
+// failure (allocation at the ~2.7 GB 84.5M-element scale): exceptions
+// must not cross the C ABI — the Python wrapper raises and the caller
+// falls back to numpy.
 int64_t seekr_argsort_f64(const double* keys, int64_t n, int64_t* order,
                           double* sorted_out) {
   if (n < 0 || (n > 0 && (!keys || !order || !sorted_out))) return -1;
   if (n == 0) return 0;
+  try {
   const int64_t n_threads = pick_threads(n, 1 << 15);
   const int64_t block = (n + n_threads - 1) / n_threads;
   std::vector<Item> a, b;
@@ -290,6 +298,9 @@ int64_t seekr_argsort_f64(const double* keys, int64_t n, int64_t* order,
     }
   });
   return 0;
+  } catch (...) {
+    return -4;
+  }
 }
 
 // Inverse-permutation scatter: out_vals[order[i]] = vals[i], and (when the
@@ -304,6 +315,7 @@ int64_t seekr_scatter_f64_u8(const double* vals, const uint8_t* flags,
                              double* out_vals, uint8_t* out_flags) {
   if (n < 0 || (n > 0 && (!vals || !order || !out_vals))) return -1;
   if ((flags == nullptr) != (out_flags == nullptr)) return -1;
+  try {
   const int64_t n_threads = pick_threads(n, 1 << 16);
   const int64_t block = (n + n_threads - 1) / n_threads;
   std::atomic<int64_t> bad{0};
@@ -320,6 +332,9 @@ int64_t seekr_scatter_f64_u8(const double* vals, const uint8_t* flags,
     }
   });
   return bad.load() ? -2 : 0;
+  } catch (...) {
+    return -4;
+  }
 }
 
 // BH/BY correction of an ALREADY ASCENDING-SORTED p-value vector
@@ -332,11 +347,15 @@ int64_t seekr_fdr_sorted_f64(const double* p_sorted, int64_t n, double alpha,
                              double harmonic_sum, double* corrected_out) {
   if (n < 0 || (n > 0 && (!p_sorted || !corrected_out))) return -1;
   if (n == 0) return 0;
-  const int64_t n_threads = pick_threads(n, 1 << 16);
-  const int64_t block = (n + n_threads - 1) / n_threads;
-  return fdr_from_sorted([p_sorted](int64_t i) { return p_sorted[i]; }, n,
-                         alpha, harmonic_sum, n_threads, block,
-                         corrected_out);
+  try {
+    const int64_t n_threads = pick_threads(n, 1 << 16);
+    const int64_t block = (n + n_threads - 1) / n_threads;
+    return fdr_from_sorted([p_sorted](int64_t i) { return p_sorted[i]; }, n,
+                           alpha, harmonic_sum, n_threads, block,
+                           corrected_out);
+  } catch (...) {
+    return -4;
+  }
 }
 
 // Fully fused BH/BY correction of an UNSORTED p-value vector: stable
@@ -353,6 +372,7 @@ int64_t seekr_fdr_f64(const double* pvals, int64_t n, double alpha,
   if (n < 0 || (n > 0 && (!pvals || !corrected_out || !reject_out)))
     return -1;
   if (n == 0) return 0;
+  try {
   const int64_t n_threads = pick_threads(n, 1 << 15);
   const int64_t block = (n + n_threads - 1) / n_threads;
   std::vector<Item> a, b;
@@ -373,6 +393,9 @@ int64_t seekr_fdr_f64(const double* pvals, int64_t n, double alpha,
     }
   });
   return n_reject;
+  } catch (...) {
+    return -4;
+  }
 }
 
 }  // extern "C"

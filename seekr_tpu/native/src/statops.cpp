@@ -40,6 +40,7 @@ extern "C" {
 int64_t seekr_sym_round5_f64(const double* mat, int64_t m) {
   if (m < 0 || (m > 0 && !mat)) return -1;
   if (m <= 1) return 1;
+  try {
   constexpr int64_t kTile = 256;
   const int64_t n_tiles = (m + kTile - 1) / kTile;
   // upper-triangle tile pairs, flattened for round-robin assignment
@@ -68,6 +69,9 @@ int64_t seekr_sym_round5_f64(const double* mat, int64_t m) {
     }
   });
   return asym.load() ? 0 : 1;
+  } catch (...) {
+    return -4;  // exceptions must not cross the C ABI
+  }
 }
 
 // Strict-upper-triangle (k=1) values in row-major order — the
@@ -75,6 +79,7 @@ int64_t seekr_sym_round5_f64(const double* mat, int64_t m) {
 int64_t seekr_triu_values_f64(const double* mat, int64_t m, double* out) {
   if (m < 0 || (m > 0 && (!mat || !out))) return -1;
   if (m <= 1) return 0;
+  try {
   const int64_t n_threads = pick_threads(m * m, 1 << 20);
   run_parallel(n_threads, [&](int64_t t) {
     for (int64_t i = t; i < m - 1; i += n_threads) {
@@ -85,6 +90,9 @@ int64_t seekr_triu_values_f64(const double* mat, int64_t m, double* out) {
     }
   });
   return 0;
+  } catch (...) {
+    return -4;
+  }
 }
 
 // Inverse of the gather: out[i, j] = flat[tri(i, j)] for j > i, else
@@ -94,6 +102,7 @@ int64_t seekr_triu_values_f64(const double* mat, int64_t m, double* out) {
 int64_t seekr_triu_fill_f64(const double* flat, int64_t m, double fill,
                             double* out) {
   if (m < 0 || (m > 0 && !out) || (m > 1 && !flat)) return -1;
+  try {
   const int64_t n_threads = pick_threads(m * m, 1 << 20);
   run_parallel(n_threads, [&](int64_t t) {
     for (int64_t i = t; i < m; i += n_threads) {
@@ -106,6 +115,9 @@ int64_t seekr_triu_fill_f64(const double* flat, int64_t m, double fill,
     }
   });
   return 0;
+  } catch (...) {
+    return -4;
+  }
 }
 
 }  // extern "C"

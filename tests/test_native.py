@@ -423,6 +423,12 @@ def test_scatter_by_order_debug_check_catches_duplicates(monkeypatch):
     exp = np.empty(3)
     exp[ok] = [10.0, 20.0, 30.0]
     assert np.array_equal(out, exp)
+    # negative indices WRAP in numpy fancy assignment, so the old
+    # seen-mask test alone passed [-1, 0, 1] (review finding): the
+    # debug check must reject them explicitly, pre-C++
+    neg = np.array([-1, 0, 1], dtype=np.int64)
+    with pytest.raises(ValueError, match="out-of-range"):
+        native.scatter_by_order(np.zeros(3), neg)
 
 
 @pytest.mark.parametrize("by", [False, True])
