@@ -65,11 +65,17 @@ def _unquote(cell: str) -> str:
 
 
 def _is_int(v: str) -> bool:
-    return bool(v) and (v.isdigit() or (v[0] == "-" and v[1:].isdigit()))
+    # ASCII digits only: str.isdigit() accepts superscripts etc., which
+    # int() then rejects with a ValueError pandas never raises
+    body = v[1:] if v[:1] in "+-" else v
+    return bool(body) and body.isascii() and body.isdigit()
 
 
 def _is_float(v: str) -> bool:
-    if not v:
+    # Python float() accepts underscore-grouped literals ('1_000');
+    # pandas' C parser does not — reject them so the inferred dtype
+    # matches pd.read_csv(index_col=0)
+    if not v or "_" in v:
         return False
     try:
         float(v)
@@ -80,14 +86,14 @@ def _is_float(v: str) -> bool:
 
 def _infer_index(labels):
     """Per-COLUMN dtype inference, matching pd.read_csv(index_col=0):
-    all-int -> ints, all-float-like -> floats, else strings with empty
-    cells as NaN."""
-    import numpy as np
-
+    all-int -> ints, all-float-like (empty cells = NaN, like pandas'
+    missing-value handling) -> floats, else strings with empty cells as
+    NaN."""
     if labels and all(_is_int(v) for v in labels):
         return [int(v) for v in labels]
-    if labels and all(_is_float(v) for v in labels):
-        return [float(v) for v in labels]
+    if labels and any(v != "" for v in labels) \
+            and all(v == "" or _is_float(v) for v in labels):
+        return [np.nan if v == "" else float(v) for v in labels]
     return [np.nan if v == "" else v for v in labels]
 
 
@@ -111,16 +117,22 @@ def read_labeled_csv(path):
         except (IOError, RuntimeError):
             data = None
         if data is not None:
-            head_cells = next(iter(csv.reader([header])))
-            cols = head_cells[1:]  # pandas keeps header cells as strings
-            if len(set(cols)) != len(cols):
-                # pandas mangles duplicate headers ('a' -> 'a.1'); rare
-                # (k-mer columns are unique) — defer to pandas
+            try:
+                head_cells = next(iter(csv.reader([header])), [""])
+                cols = head_cells[1:]  # pandas keeps header cells as strings
+                if len(set(cols)) != len(cols):
+                    # pandas mangles duplicate headers ('a' -> 'a.1');
+                    # rare (k-mer columns are unique) — defer to pandas
+                    return pd.read_csv(path, index_col=0)
+                index = _infer_index([_unquote(l) for l in raw_labels])
+                df = pd.DataFrame(data, index=index, columns=cols)
+                df.index.name = head_cells[0] or None
+                return df
+            except Exception:
+                # malformed shapes (blank header line, header/data column
+                # mismatch): the contract is fall-back-to-pandas, never a
+                # raise the pandas path would not produce
                 return pd.read_csv(path, index_col=0)
-            index = _infer_index([_unquote(l) for l in raw_labels])
-            df = pd.DataFrame(data, index=index, columns=cols)
-            df.index.name = head_cells[0] or None
-            return df
     return pd.read_csv(path, index_col=0)
 
 

@@ -185,10 +185,16 @@ class KmerCounter:
         Kept for API parity with the reference (kmer_counts.py:140-151);
         the bulk path does not call this per sequence.
         """
-        row = np.asarray(row)
         counts = count_kmers_host([seq], self.k, self.alphabet)[0]
-        hit = counts > 0
-        row[hit] = counts[hit]
+        hit = np.nonzero(counts > 0)[0]
+        if isinstance(row, np.ndarray):
+            row[hit] = counts[hit]
+        else:
+            # the reference assigns into whatever sequence the caller
+            # passed (kmer_counts.py:150 mutates a list in place);
+            # np.asarray would copy a list and silently drop the writes
+            for i in hit:
+                row[int(i)] = float(counts[i])
         return row
 
     def _encode_from_file(self, include_ids=None):

@@ -137,11 +137,26 @@ def pearson_pairs(counts, ii, jj, row_standardize: bool = True,
         c = aot_call(_row_standardize, (c,))
     ii = np.asarray(ii, dtype=np.int32)
     jj = np.asarray(jj, dtype=np.int32)
+    m = int(c.shape[0])
+    for name, arr in (("ii", ii), ("jj", jj)):
+        # validate host-side: jnp.take silently CLAMPS out-of-range
+        # indices, which would return a plausible-looking wrong r-value
+        # where the reference's numpy indexing raises
+        if arr.size and (int(arr.min()) < -m or int(arr.max()) >= m):
+            raise IndexError(
+                f"{name} contains indices outside [-{m}, {m}) for a "
+                f"{m}-row count matrix")
+    ii = np.where(ii < 0, ii + m, ii).astype(np.int32)
+    jj = np.where(jj < 0, jj + m, jj).astype(np.int32)
     n_pairs = ii.size
     out = np.empty(n_pairs, dtype=np.float32)
     if n_pairs == 0:
         return out
-    chunk = int(min(chunk, n_pairs))
+    # next power of two >= n_pairs, capped: O(log) compiled shapes
+    # across arbitrary subset sizes instead of one fresh 20-60 s remote
+    # compile per distinct pair count (the padding already makes the
+    # oversize tail free)
+    chunk = int(min(chunk, 1 << max(0, n_pairs - 1).bit_length()))
 
     pad = np.zeros(chunk, dtype=np.int32)
     for start in range(0, n_pairs, chunk):

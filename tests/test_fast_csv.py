@@ -217,3 +217,45 @@ def test_native_f64_formatter_matches_pandas_bytes(tmp_path):
                              row_label_cells=[_quote(l) for l in labels],
                              append=True)
         assert path.read_text() == buf.getvalue(), f"matrix {i}"
+
+
+def test_index_inference_edge_cases_match_pandas(tmp_path):
+    """Label-column dtype inference must match pd.read_csv(index_col=0)
+    on the adversarial cases (review findings): non-ASCII digits,
+    underscore-grouped numerics, and empty-mixed numeric labels."""
+    import numpy as np
+    import pandas as pd
+
+    from seekr_tpu.io.fast_csv import read_labeled_csv
+
+    cases = [
+        ["²", "a"],     # superscript two: isdigit() but not int()
+        ["1_000", "2"],      # Python float() accepts it, pandas does not
+        ["1", ""],           # pandas: float64 [1.0, nan]
+        ["-3", "4"],         # signed ints stay an int index
+    ]
+    for i, labels in enumerate(cases):
+        path = tmp_path / f"c{i}.csv"
+        pd.DataFrame([[1.5, 2.5], [3.5, 4.5]], index=labels,
+                     columns=["x", "y"]).to_csv(path)
+        want = pd.read_csv(path, index_col=0)
+        got = read_labeled_csv(str(path))
+        assert got.index.dtype == want.index.dtype, labels
+        assert [(x if x == x else None) for x in got.index] == \
+            [(x if x == x else None) for x in want.index], labels
+
+
+def test_malformed_header_falls_back_to_pandas(tmp_path):
+    """A header/data shape the fast path cannot assemble must defer to
+    pandas, not raise (the documented contract)."""
+    import pandas as pd
+
+    from seekr_tpu.io.fast_csv import read_labeled_csv
+
+    path = tmp_path / "m.csv"
+    # header row with FEWER cells than the data rows
+    path.write_text(",x\na,1.0,2.0\nb,3.0,4.0\n")
+    want = pd.read_csv(path, index_col=0)
+    got = read_labeled_csv(str(path))
+    assert list(got.columns) == list(want.columns)
+    assert got.shape == want.shape

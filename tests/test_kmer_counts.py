@@ -399,3 +399,19 @@ def test_normalize_segmented_bitwise_per_block():
 
     with pytest.raises(ValueError, match="provided"):
         normalize_counts_segmented(counts, seg_ids, 8, mean=True, std=std)
+
+
+def test_occurrences_mutates_list_like_reference():
+    """The reference assigns into whatever sequence the caller passes
+    (kmer_counts.py:150 mutates a list in place); np.asarray would copy
+    a list and silently drop the writes (review finding)."""
+    from seekr_tpu.models.counter import KmerCounter
+
+    counter = KmerCounter(None, k=1, silent=True)
+    row = [0.0, 0.0, 0.0, 0.0]
+    out = counter.occurrences(row, "AATG")
+    assert out is row
+    assert row[0] == pytest.approx(500.0)   # A: 2 of 4 windows * 1000
+    assert row[1] == pytest.approx(250.0)   # G
+    assert row[2] == pytest.approx(250.0)   # T
+    assert row[3] == 0.0                    # C absent

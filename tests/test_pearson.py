@@ -67,3 +67,23 @@ def test_pearson_against_standardized_matches_pearson_device():
     want = np.asarray(pearson_device(q, t))
     got = np.asarray(pearson_against_standardized(q, standardize_rows(t)))
     np.testing.assert_array_equal(got, want)
+
+
+def test_pearson_pairs_index_validation_and_negatives():
+    """jnp.take clamps out-of-range indices silently — the wrapper must
+    raise like numpy would (review finding), and honor numpy's negative
+    indexing."""
+    import numpy as np
+    import pytest
+
+    from seekr_tpu.ops.pearson import pearson_pairs
+
+    rng = np.random.default_rng(0)
+    c = rng.normal(size=(6, 32)).astype(np.float32)
+    with pytest.raises(IndexError):
+        pearson_pairs(c, [6], [0])
+    with pytest.raises(IndexError):
+        pearson_pairs(c, [0], [-7])
+    got = pearson_pairs(c, [-1, 0], [0, -2])
+    want = pearson_pairs(c, [5, 0], [0, 4])
+    np.testing.assert_array_equal(got, want)
