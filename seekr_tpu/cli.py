@@ -633,6 +633,8 @@ def console_query(argv=None):
                         help="socket timeout in seconds.")
     args = _parse_args_or_exit(parser, argv)
 
+    import os
+
     import pandas as pd
 
     from seekr_tpu.io.fasta import Reader
@@ -719,9 +721,13 @@ def console_doctor(argv=None):
     parser.add_argument("--no-device", action="store_true",
                         help="skip the accelerator probe (host-only).")
     if argv is None:
+        argv = sys.argv[1:]
+    if not argv:
         # unlike the data commands (bare invocation = help, reference
-        # convention), a bare doctor RUNS — that is the whole point
-        argv = sys.argv[1:] or ["--device-timeout", "90"]
+        # convention), a bare doctor RUNS — that is the whole point —
+        # whether invoked via the entry point (argv=None) or the module
+        # dispatcher (argv=[])
+        argv = ["--device-timeout", "90"]
     args = _parse_args_or_exit(parser, argv)
     healthy = run_doctor(device_timeout=args.device_timeout,
                          skip_device=args.no_device)
@@ -1167,7 +1173,10 @@ def _run_norm_vectors(fasta, mean_vector, std_vector, log2, kmer):
     from seekr_tpu.models.counter import KmerCounter
 
     counter = KmerCounter(fasta, k=int(kmer), log2=log2)
-    counter.get_counts()
+    # device path: computes + sets .mean/.std without fetching the full
+    # [m, 4^k] normalized matrix (~3 GB at GENCODE scale) that this
+    # command never uses — only the two [4^k] vectors cross to host
+    counter.get_counts_device()
     np.save(mean_vector, counter.mean)
     np.save(std_vector, counter.std)
 

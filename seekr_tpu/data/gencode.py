@@ -109,8 +109,10 @@ class Downloader:
                     self.gunzip(gtf_path)
         except urllib.error.URLError as url_error:
             print("The file failed to download because:\n", url_error)
-            cd_err = ("<urlopen error ftp error: error_perm('550 Failed to "
-                      "change directory.',)>")
-            if str(url_error) == cd_err:
+            # the reference compares against a Python-2-era repr
+            # ("...error_perm('550 ...',)>", fasta.py:164) that modern
+            # urllib never produces — match the stable substring so the
+            # hint actually fires on a bad release directory
+            if "550 Failed to change directory" in str(url_error):
                 print("Did you pass a valid `--release` value "
                       "(e.g. M14, 22)?")

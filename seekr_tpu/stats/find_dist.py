@@ -193,10 +193,14 @@ def sample_triu_pairs(counts, subset_size: int) -> np.ndarray:
     return pearson_pairs(counts, ii, jj)
 
 
-def _fit_one(name, data, statsmethod):
+def _fit_one(name, data, statsmethod, rvs_seed=None):
     """Fit one scipy distribution; returns (name, D, params) or an error str.
 
-    Module-level so ProcessPoolExecutor can pickle it.
+    Module-level so ProcessPoolExecutor can pickle it.  ``rvs_seed``
+    pins the mse method's synthetic draw: spawn-context workers get
+    fresh OS-entropy RNGs, so without a per-task seed drawn in the
+    parent, n_jobs > 1 would break both seeded reproducibility and the
+    parallel == sequential guarantee.
     """
     from scipy import stats
     from scipy.stats import kstest
@@ -218,7 +222,8 @@ def _fit_one(name, data, statsmethod):
             if statsmethod == "ks":
                 D, _ = kstest(data, name, args=params)
             elif statsmethod == "mse":
-                synthetic = distribution.rvs(*params, size=len(data))
+                synthetic = distribution.rvs(*params, size=len(data),
+                                             random_state=rvs_seed)
                 D = float(np.mean((data - synthetic) ** 2))
             else:  # aic / bic
                 ll = np.sum(distribution.logpdf(data, *params))
@@ -230,7 +235,7 @@ def _fit_one(name, data, statsmethod):
     return (name, D, params)
 
 
-def _fit_one_timed(name, data, statsmethod, fit_timeout):
+def _fit_one_timed(name, data, statsmethod, fit_timeout, rvs_seed=None):
     """_fit_one under a SIGALRM deadline (None/0 = no deadline).
 
     The alarm fires inside _fit_one's try block, so a timeout surfaces as
@@ -243,7 +248,7 @@ def _fit_one_timed(name, data, statsmethod, fit_timeout):
 
     if not fit_timeout or not hasattr(signal, "SIGALRM") \
             or threading.current_thread() is not threading.main_thread():
-        return _fit_one(name, data, statsmethod)
+        return _fit_one(name, data, statsmethod, rvs_seed)
 
     def _raise(signum, frame):
         raise TimeoutError(f"fitting exceeded fit_timeout={fit_timeout}s")
@@ -251,7 +256,7 @@ def _fit_one_timed(name, data, statsmethod, fit_timeout):
     old = signal.signal(signal.SIGALRM, _raise)
     signal.setitimer(signal.ITIMER_REAL, fit_timeout)
     try:
-        return _fit_one(name, data, statsmethod)
+        return _fit_one(name, data, statsmethod, rvs_seed)
     except TimeoutError as e:
         # the alarm can also fire just outside _fit_one's internal try
         # (e.g. between fit completion and return); still a skip, not a crash
@@ -279,6 +284,14 @@ def fit_distributions(data, names, statsmethod="ks", progress_bar=False,
               "Use default 'ks' now.")
         statsmethod = "ks"
 
+    names = list(names)
+    # mse draws synthetic samples: one seed per task, drawn HERE from the
+    # global RNG (np.random.seed in the caller pins them, like the
+    # reference's global-RNG rvs), so parallel == sequential and seeded
+    # runs reproduce regardless of n_jobs
+    seeds = (np.random.randint(0, 2 ** 31 - 1, size=len(names))
+             if statsmethod == "mse" else [None] * len(names))
+
     raw = []
     if n_jobs > 1:
         import concurrent.futures as cf
@@ -290,14 +303,15 @@ def fit_distributions(data, names, statsmethod="ks", progress_bar=False,
         with cf.ProcessPoolExecutor(max_workers=n_jobs, mp_context=ctx) as pool:
             # the deadline runs inside each worker (its own main thread)
             futures = [pool.submit(_fit_one_timed, name, data, statsmethod,
-                                   fit_timeout)
-                       for name in names]
+                                   fit_timeout, seed)
+                       for name, seed in zip(names, seeds)]
             iterable = my_tqdm()(futures) if progress_bar else futures
             raw = [f.result() for f in iterable]
     else:
-        iterable = my_tqdm()(names) if progress_bar else names
-        raw = [_fit_one_timed(name, data, statsmethod, fit_timeout)
-               for name in iterable]
+        pairs = list(zip(names, seeds))
+        iterable = my_tqdm()(pairs) if progress_bar else pairs
+        raw = [_fit_one_timed(name, data, statsmethod, fit_timeout, seed)
+               for name, seed in iterable]
 
     results = []
     for item in raw:

@@ -219,6 +219,12 @@ def multipletests(pvals, alpha: float = 0.05, method: str = "fdr_bh",
     if returnsorted:
         return reject, corrected, alphac_sidak, alphac_bonf
 
+    if is_sorted:
+        # order is the identity: the unsort scatter would gather 84M+
+        # elements through arange(n) to produce exactly the input order
+        return (reject.reshape(shape), corrected.reshape(shape),
+                alphac_sidak, alphac_bonf)
+
     corrected_full = reject_full = None
     if _use_native(n):
         from seekr_tpu import native

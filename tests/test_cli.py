@@ -214,3 +214,47 @@ def test_run_pearson_streams_large_outputs(ref_data, example_fa, tmp_path,
     _run_pearson(counts_csv, counts_csv, npy_out, False, True)
     np.testing.assert_allclose(np.load(npy_out + ".npy"), a.values,
                                rtol=1e-5, atol=1e-6)
+
+
+def test_query_dual_output_writes_both_csvs(tmp_path, monkeypatch):
+    """-o with a sim+pvals response splits into <root>_sim/<root>_pvals
+    CSVs; this branch crashed with NameError: os before the fix (review
+    finding — only the dual-output path touches os)."""
+    from seekr_tpu import cli, serve
+
+    fa = tmp_path / "q.fa"
+    fa.write_text(">q1\nAGTC\n>q2\nCCCC\n")
+
+    def fake_request(path, payload, timeout=None):
+        return {"ok": True,
+                "sim": [[0.5, 0.1], [0.2, 0.3]],
+                "pvals": [[0.01, 0.9], [0.5, 0.2]],
+                "target_names": ["t1", "t2"]}
+
+    monkeypatch.setattr(serve, "request", fake_request)
+    monkeypatch.setattr(cli, "request", fake_request, raising=False)
+    out = tmp_path / "res.csv"
+    cli.console_query([str(fa), "--socket", str(tmp_path / "sock"),
+                       "--pvals", "-o", str(out)])
+    assert (tmp_path / "res_sim.csv").exists()
+    assert (tmp_path / "res_pvals.csv").exists()
+
+
+def test_bare_doctor_runs_via_module_dispatcher(monkeypatch):
+    """main(['doctor']) passes argv=[] to console_doctor, which must RUN
+    the checks like the bare entry point does, not print help and exit 0
+    without doing anything (review finding)."""
+    import seekr_tpu.utils.doctor as doctor_mod
+    from seekr_tpu import cli
+
+    ran = {}
+
+    def fake_run_doctor(device_timeout=90.0, skip_device=False):
+        ran["timeout"] = device_timeout
+        return True
+
+    monkeypatch.setattr(doctor_mod, "run_doctor", fake_run_doctor)
+    with pytest.raises(SystemExit) as exc:
+        cli.console_doctor([])
+    assert exc.value.code == 0
+    assert ran, "doctor checks never ran on bare dispatcher invocation"

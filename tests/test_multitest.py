@@ -134,3 +134,16 @@ def test_native_path_nan_falls_back(monkeypatch):
     monkeypatch.setenv("SEEKR_TPU_HOST_SORT", "numpy")
     ref = multipletests(p, method="fdr_bh")
     assert np.array_equal(ref[1], got[1], equal_nan=True)
+
+
+def test_is_sorted_matches_unsorted_and_skips_scatter():
+    """is_sorted=True returns the same corrected values as the unsorted
+    call on pre-sorted input (it now skips the identity-permutation
+    scatter entirely — review finding)."""
+    rng = np.random.default_rng(11)
+    p = np.sort(rng.uniform(0, 1, 5000))
+    for method in ("fdr_bh", "fdr_by", "holm"):
+        r1, c1 = multipletests(p, 0.05, method=method)[:2]
+        r2, c2 = multipletests(p, 0.05, method=method, is_sorted=True)[:2]
+        np.testing.assert_array_equal(c1, c2)
+        np.testing.assert_array_equal(r1, r2)

@@ -432,3 +432,22 @@ def test_similarity_triu_mesh_matches_single(ref_data):
     mesh = make_mesh(jax.devices()[:4])
     meshed = similarity_triu(counts, mesh=mesh, block_rows=10)
     np.testing.assert_allclose(meshed, oracle, rtol=1e-5, atol=1e-6)
+
+
+def test_mse_fitting_deterministic_across_n_jobs():
+    """statsmethod='mse' draws synthetic samples: per-task seeds from
+    the global RNG make seeded runs reproduce and n_jobs>1 identical to
+    sequential (review finding: spawn workers got OS-entropy RNGs)."""
+    import numpy as np
+
+    from seekr_tpu.stats.find_dist import fit_distributions
+
+    data = np.random.default_rng(5).normal(0.1, 0.2, 400)
+    np.random.seed(7)
+    seq1 = fit_distributions(data, ["norm", "uniform"], "mse")
+    np.random.seed(7)
+    seq2 = fit_distributions(data, ["norm", "uniform"], "mse")
+    assert seq1 == seq2
+    np.random.seed(7)
+    par = fit_distributions(data, ["norm", "uniform"], "mse", n_jobs=2)
+    assert par == seq1
