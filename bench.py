@@ -199,8 +199,13 @@ def bench_mesh(bases, lengths, data_parallel, kmer_parallel, iters, reps):
                          f"have {len(devices)}")
     mesh = make_mesh(devices[:need], kmer_parallel=kmer_parallel)
     fn = distributed_pipeline(mesh, k=K, log2="Log2.post")
-    b = jax.device_put(bases)
-    n = jax.device_put(lengths)
+    # place inputs WITH the mesh sharding up front: a bare device_put
+    # leaves them on device 0 and every timed iteration would pay a
+    # device-0 -> mesh reshard the 1-chip reference run never pays,
+    # deflating the reported scaling efficiency
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    b = jax.device_put(bases, NamedSharding(mesh, P("data", None)))
+    n = jax.device_put(lengths, NamedSharding(mesh, P("data")))
     print(f"bench: compiling {need}-device mesh pipeline...",
           file=sys.stderr, flush=True)
     _sync(fn(b, n)[3])  # warmup (sim output)

@@ -37,8 +37,11 @@ def save_sharded(path: str, array) -> None:
     path = os.path.abspath(path)  # orbax rejects relative checkpoint paths
 
     ckptr = ocp.StandardCheckpointer()
-    # StandardCheckpointer takes pytrees, not bare arrays
-    ckptr.save(path, {"array": jax.numpy.asarray(array)})
+    # StandardCheckpointer takes pytrees, not bare arrays.  force=True:
+    # checkpoints exist to be overwritten on a rerun — without it a
+    # crashed job's restart dies with 'Destination ... already exists'
+    # at exactly the save it was restarted to redo
+    ckptr.save(path, {"array": jax.numpy.asarray(array)}, force=True)
     ckptr.wait_until_finished()
 
 

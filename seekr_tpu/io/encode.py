@@ -153,21 +153,37 @@ def encode_seqs(
     lut = base_lut(alphabet)
     lengths = np.fromiter((len(s) for s in seqs), dtype=np.int32, count=len(seqs))
 
+    buckets = _assemble_buckets(lengths, k, min_bucket_len, row_multiple,
+                                max_rows_per_bucket,
+                                _py_encode_chunk(seqs, lut))
+    return EncodedSeqs(buckets=buckets, n_seqs=len(seqs), alphabet=alphabet, lengths=lengths)
+
+
+def _py_encode_chunk(seqs, lut):
+    """Row-chunk encoder closure shared by the pure-Python bucket paths
+    (encode_seqs and encode_fasta's fallback)."""
     def encode_chunk(ids, lpad):
         out = np.full((len(ids), lpad), INVALID, dtype=np.int8)
         for r, i in enumerate(ids):
-            raw = np.frombuffer(seqs[i].encode("ascii", errors="replace"), dtype=np.uint8)
+            raw = np.frombuffer(seqs[i].encode("ascii", errors="replace"),
+                                dtype=np.uint8)
             out[r, : raw.size] = lut[raw]
         return out
+    return encode_chunk
 
-    buckets = _assemble_buckets(lengths, k, min_bucket_len, row_multiple,
-                                max_rows_per_bucket, encode_chunk)
-    return EncodedSeqs(buckets=buckets, n_seqs=len(seqs), alphabet=alphabet, lengths=lengths)
+
+_GATE_CACHE: dict = {}  # (abspath, size, mtime_ns) -> verdict
 
 
 def _native_parse_is_safe(path: str) -> bool:
     """Cheap byte-level gate: may the C++ parser's output differ from the
     canonical Python reader's?
+
+    The verdict is memoized per (path, size, mtime_ns): the counter flow
+    runs the gate twice per file (Reader at construction, encode_fasta at
+    count time), and at GENCODE scale each scan is a multi-GB read — the
+    stat key invalidates on any file change, the same drift discipline as
+    counter._encode_from_file.
 
     Falls back (returns False) on any '\\r' (Python universal newlines
     treat lone CR as a line break; native splits on '\\n' only), any
@@ -177,6 +193,24 @@ def _native_parse_is_safe(path: str) -> bool:
     One sequential pass over the raw bytes; GENCODE files are pure-ASCII
     LF so the fast path stays native.
     """
+    import os as _os
+
+    try:
+        st = _os.stat(path)
+        cache_key = (_os.path.abspath(path), st.st_size, st.st_mtime_ns)
+    except OSError:
+        return False
+    cached = _GATE_CACHE.get(cache_key)
+    if cached is not None:
+        return cached
+    verdict = _gate_scan(path)
+    if len(_GATE_CACHE) > 64:
+        _GATE_CACHE.clear()
+    _GATE_CACHE[cache_key] = verdict
+    return verdict
+
+
+def _gate_scan(path: str) -> bool:
     first_line_ok = None
     carry = b""
     try:
@@ -261,15 +295,9 @@ def encode_fasta(
     lengths = np.array([len(s) for s in seqs], dtype=np.int64)
     lut = base_lut(alphabet)
 
-    def encode_chunk(ids, lpad):  # same shape as encode_seqs' closure
-        out = np.full((len(ids), lpad), INVALID, dtype=np.int8)
-        for r, i in enumerate(ids):
-            raw = np.frombuffer(seqs[i].encode("ascii", errors="replace"), dtype=np.uint8)
-            out[r, : raw.size] = lut[raw]
-        return out
-
     buckets = _assemble_buckets(lengths, k, min_bucket_len, row_multiple,
-                                max_rows_per_bucket, encode_chunk,
+                                max_rows_per_bucket,
+                                _py_encode_chunk(seqs, lut),
                                 include=include_ids)
     return EncodedSeqs(buckets=buckets, n_seqs=len(seqs), alphabet=alphabet,
                        lengths=lengths)

@@ -53,13 +53,26 @@ class Reader:
         """
         new_data: List[str] = []
         seq = ""
+        seen_header = False
         for i, line in enumerate(self.data):
+            if not line:
+                # blank lines are tolerated ANYWHERE, including before the
+                # first header — the native gate approves such files, so
+                # the Python path must parse them identically (the
+                # reference crashes with IndexError on any blank line;
+                # documented deviation)
+                continue
             if line[:1] == ">":
                 if seq:
                     new_data.append(seq.upper())
                     seq = ""
                 else:
-                    assert i == 0, f"There may be a header without a sequence at line {i}."
+                    # the FIRST header legitimately has no sequence yet;
+                    # any later empty-sequence header is the reference's
+                    # header-without-a-sequence error
+                    assert not seen_header, \
+                        f"There may be a header without a sequence at line {i}."
+                seen_header = True
                 new_data.append(line)
             else:
                 seq += line

@@ -104,9 +104,12 @@ def pdist_auto(data, metric: str = "correlation") -> np.ndarray:
         except Exception as e:  # no device / compile failure
             # scipy still works, but at this size it is O(rows^2 cols)
             # on one core — hours, not seconds.  Never downgrade silently.
+            import sys as _sys
+
             print(f"seekr_tpu: device pdist unavailable "
                   f"({type(e).__name__}: {str(e)[:120]}); falling back to "
                   f"single-core scipy pdist — this may take a long time "
-                  f"at {arr.shape[0]} x {arr.shape[1]}.")
+                  f"at {arr.shape[0]} x {arr.shape[1]}.",
+                  file=_sys.stderr, flush=True)
     from scipy.spatial.distance import pdist
     return pdist(arr, metric=metric)

@@ -60,3 +60,18 @@ def test_relative_path_roundtrip(tmp_path, monkeypatch):
     save_sharded("rel_ckpt", jax.device_put(x))
     restored = load_sharded("rel_ckpt")
     np.testing.assert_array_equal(np.asarray(restored), x)
+
+
+def test_save_overwrites_existing_checkpoint(tmp_path):
+    """A rerun must overwrite its own checkpoint (review finding: orbax
+    refuses by default, so the restart died with 'Destination already
+    exists' at exactly the save it was restarted to redo)."""
+    import numpy as np
+
+    from seekr_tpu.io.checkpoint import load_sharded, save_sharded
+
+    path = tmp_path / "ck"
+    save_sharded(str(path), np.arange(6.0))
+    save_sharded(str(path), np.arange(6.0) * 2)  # rerun: must not raise
+    np.testing.assert_array_equal(np.asarray(load_sharded(str(path))),
+                                  np.arange(6.0) * 2)

@@ -217,3 +217,19 @@ def test_out_of_kernel_range_k_full_counter_path(k, tmp_path):
                 code = code * 4 + order[c]
             expect[code] += 1000.0 / denom
         np.testing.assert_allclose(row, expect, rtol=1e-4, atol=1e-3)
+
+
+def test_native_gate_memo_invalidates_on_file_change(tmp_path):
+    """The gate verdict is memoized per (path, size, mtime): a rewrite
+    that flips the verdict (e.g. introducing a CR byte) must be
+    re-scanned, never served stale."""
+    from seekr_tpu.io.encode import _native_parse_is_safe
+
+    fa = tmp_path / "memo.fa"
+    fa.write_text(">h\nACGT\n")
+    assert _native_parse_is_safe(str(fa)) is True
+    assert _native_parse_is_safe(str(fa)) is True  # cached
+    fa.write_text(">h\r\nACGT\r\n")  # CRLF: native must be rejected
+    import os
+    os.utime(fa, (1, 1))  # force a distinct stat key even on coarse mtime
+    assert _native_parse_is_safe(str(fa)) is False

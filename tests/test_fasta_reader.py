@@ -76,3 +76,25 @@ class TestNativeParserDivergenceGates:
         fa.write_bytes(b"ACGT\n>h\nTTTT\n")
         lines = Reader(str(fa)).get_lines()
         assert lines == ["ACGT", ">h", "TTTT"]
+
+
+def test_leading_blank_lines_parse_identically_both_paths(tmp_path,
+                                                          monkeypatch):
+    """Blank lines before the first header must parse the same with and
+    without the native toolchain (review finding: the native gate
+    approved such files while the Python path raised AssertionError —
+    behavior depended on toolchain availability).  The reference crashes
+    with IndexError on ANY blank line; tolerating them is the package's
+    documented deviation and must hold on both paths."""
+    from seekr_tpu.io.fasta import Reader
+
+    fa = tmp_path / "lead.fa"
+    fa.write_text("\n\n>h1\nacgt\n\n>h2\nTTTT\n")
+
+    native_seqs = Reader(str(fa)).get_seqs()
+
+    import seekr_tpu.native as native_mod
+    monkeypatch.setattr(native_mod, "native_available", lambda: False)
+    python_seqs = Reader(str(fa)).get_seqs()
+
+    assert native_seqs == python_seqs == ["ACGT", "TTTT"]
