@@ -188,8 +188,8 @@ def _edge_style(df, edgecolormethod, edgethreshold):
 def plot_network(df, membership, plotname, edgecolormethod="gradient",
                  edgethreshold=0.1, labelfontsize=12):
     """Spring-layout community plot saved as ``{plotname}.pdf``."""
-    import matplotlib
-    matplotlib.use("Agg")
+    from seekr_tpu.viz.style import ensure_headless_backend
+    ensure_headless_backend()
     import matplotlib.pyplot as plt
     import networkx as nx
 

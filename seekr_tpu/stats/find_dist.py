@@ -331,8 +331,8 @@ def plot_fits(data, results, plotfit):
         print("No distributions were successfully fitted; skipping the "
               "fit plot.")
         return
-    import matplotlib
-    matplotlib.use("Agg")
+    from seekr_tpu.viz.style import ensure_headless_backend
+    ensure_headless_backend()
     import matplotlib.pyplot as plt
     from scipy import stats
 

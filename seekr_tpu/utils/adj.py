@@ -63,7 +63,12 @@ def triu_fill(m: int, flat: np.ndarray, fill=np.nan) -> np.ndarray:
                 return native.triu_fill_f64(m, flat, fill=fill)
             except (RuntimeError, ValueError, TypeError):
                 pass
-    out = np.full((m, m), fill, dtype=flat.dtype)
+    # match the native path's float64-only contract: an integer flat
+    # with the default fill=np.nan would silently cast NaN to INT_MIN
+    flat = np.asarray(flat)
+    dtype = flat.dtype if np.issubdtype(flat.dtype, np.floating) \
+        else np.float64
+    out = np.full((m, m), fill, dtype=dtype)
     pos = 0
     for i in range(m - 1):
         cnt = m - i - 1

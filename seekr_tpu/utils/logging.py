@@ -29,12 +29,20 @@ def get_logger(name: str = "seekr_tpu") -> logging.Logger:
         with _CONFIGURE_LOCK:
             if not _CONFIGURED:
                 level = os.environ.get("SEEKR_TPU_LOG", "warning").upper()
-                handler = logging.StreamHandler()
-                handler.setFormatter(logging.Formatter(
-                    "%(asctime)s %(name)s %(levelname)s %(message)s",
-                    "%H:%M:%S"))
                 root = logging.getLogger("seekr_tpu")
-                root.addHandler(handler)
+                if not logging.getLogger().handlers:
+                    # standalone process (CLI): attach our own handler
+                    # and own the output.  When the HOST APP configured
+                    # logging (root handlers exist — including pytest's
+                    # caplog), attach nothing and let propagation
+                    # deliver each record exactly once through the
+                    # app's handlers instead of printing it twice.
+                    handler = logging.StreamHandler()
+                    handler.setFormatter(logging.Formatter(
+                        "%(asctime)s %(name)s %(levelname)s %(message)s",
+                        "%H:%M:%S"))
+                    root.addHandler(handler)
+                    root.propagate = False
                 root.setLevel(getattr(logging, level, logging.WARNING))
                 _CONFIGURED = True
     return logging.getLogger(name)
@@ -45,9 +53,14 @@ def stage_timer(stage: str, items: int | None = None, unit: str = "items"):
     """Context manager logging wall time (and throughput if items given)."""
     log = get_logger("seekr_tpu.timing")
     t0 = time.perf_counter()
-    yield
-    dt = time.perf_counter() - t0
-    if items:
-        log.info("%s: %.3fs (%.1f %s/s)", stage, dt, items / max(dt, 1e-9), unit)
-    else:
-        log.info("%s: %.3fs", stage, dt)
+    try:
+        yield
+    finally:
+        # log even when the timed block raises: the duration before an
+        # OOM/abort is exactly the observability data a post-mortem needs
+        dt = time.perf_counter() - t0
+        if items:
+            log.info("%s: %.3fs (%.1f %s/s)", stage, dt,
+                     items / max(dt, 1e-9), unit)
+        else:
+            log.info("%s: %.3fs", stage, dt)

@@ -13,15 +13,20 @@ from __future__ import annotations
 import contextlib
 import os
 
-_TRACE_DIR = os.environ.get("SEEKR_TPU_TRACE")
 _ACTIVE = False
+
+
+def _trace_dir():
+    # read at CALL time: setting SEEKR_TPU_TRACE after import must work
+    # (the module docstring says 'opt-in via env')
+    return os.environ.get("SEEKR_TPU_TRACE")
 
 
 @contextlib.contextmanager
 def trace_session(trace_dir: str | None = None):
     """Collect a jax.profiler trace for the enclosed region."""
     global _ACTIVE
-    target = trace_dir or _TRACE_DIR
+    target = trace_dir or _trace_dir()
     if not target or _ACTIVE:
         yield
         return
@@ -42,13 +47,14 @@ def start_trace_if_configured() -> bool:
     is stopped at interpreter exit.  Returns whether tracing started.
     """
     global _ACTIVE
-    if not _TRACE_DIR or _ACTIVE:
+    target = _trace_dir()
+    if not target or _ACTIVE:
         return False
     import atexit
 
     import jax
 
-    jax.profiler.start_trace(_TRACE_DIR)
+    jax.profiler.start_trace(target)
     _ACTIVE = True
     atexit.register(jax.profiler.stop_trace)
     return True
@@ -57,6 +63,11 @@ def start_trace_if_configured() -> bool:
 @contextlib.contextmanager
 def profile_region(name: str):
     """Named annotation inside a trace (no-op overhead when not tracing)."""
+    if not _ACTIVE:
+        # jax-free when no trace is active: host-only CLI paths must not
+        # pay the jax import (or require jax at all) for a no-op
+        yield
+        return
     import jax
 
     with jax.profiler.TraceAnnotation(name):

@@ -20,8 +20,8 @@ def kmer_count_barplot(inputfile, mean, std, k, log2="Log2.post",
                        yticksize=20, legendsize=12,
                        outputname="test_kmer_count_barplot", pformat="pdf",
                        pdpi=300):
-    import matplotlib
-    matplotlib.use("Agg")
+    from seekr_tpu.viz.style import ensure_headless_backend
+    ensure_headless_backend()
     import matplotlib.pyplot as plt
     import pandas as pd
     import seaborn as sns

@@ -13,8 +13,8 @@ def kmer_dendrogram(df, dendro_direct="row", distmetric="correlation",
                     linkmethod="complete", plot_ht=8, wd_ratio=0.5,
                     leaf_font_size=16, outputname="test_kmer_dendrogram",
                     pformat="pdf", pdpi=300):
-    import matplotlib
-    matplotlib.use("Agg")
+    from seekr_tpu.viz.style import ensure_headless_backend
+    ensure_headless_backend()
     import matplotlib.pyplot as plt
     from scipy.cluster.hierarchy import dendrogram, linkage
 

@@ -19,7 +19,6 @@ def make_cmap(color_range, thresh_value, datamin, datamax):
     """2- or 3-color colormap; the middle color pins at the threshold."""
     from matplotlib.colors import LinearSegmentedColormap
 
-    turnval = (thresh_value - datamin) / (datamax - datamin)
     if not check_hex_colors(color_range):
         print("color_range must be a list of valid hex colors "
               "(for example '#ffffff').")
@@ -35,6 +34,14 @@ def make_cmap(color_range, thresh_value, datamin, datamax):
     if len(color_range) == 2:
         stops = [(0, color_range[0]), (1, color_range[1])]
     else:
+        # clamp the pivot into (0, 1): a threshold outside
+        # [datamin, datamax] (e.g. every p-value above the default 0.05)
+        # or datamin == datamax would otherwise crash from_list with a
+        # mapping-points ValueError / ZeroDivisionError — the clamped
+        # colormap still orders the colors correctly
+        span = datamax - datamin
+        turnval = (thresh_value - datamin) / span if span else 0.5
+        turnval = min(max(turnval, 1e-9), 1 - 1e-9)
         stops = [(0, color_range[0]), (turnval, color_range[1]),
                  (1, color_range[2])]
     return LinearSegmentedColormap.from_list("custom_cmap", stops)
@@ -92,8 +99,8 @@ def kmer_heatmap(df, datamin, datamax, thresh_value=0.05,
                  linkmethod="complete", hmapw_ratio=0.3, hmaph_ratio=0.3,
                  x_tick_size=16, y_tick_size=16, cbar_font_size=16,
                  outputname="test_kmer_heatmap", hformat="pdf", hdpi=300):
-    import matplotlib
-    matplotlib.use("Agg")
+    from seekr_tpu.viz.style import ensure_headless_backend
+    ensure_headless_backend()
     import matplotlib.pyplot as plt
     import seaborn as sns
     from matplotlib.gridspec import GridSpec

@@ -16,8 +16,8 @@ def kmer_msd_barplot(inputfile, mean, std, k, log2="Log2.post",
                      xticksize=20, yticksize=20,
                      outputname="test_kmer_msd_barplot", pformat="pdf",
                      pdpi=300):
-    import matplotlib
-    matplotlib.use("Agg")
+    from seekr_tpu.viz.style import ensure_headless_backend
+    ensure_headless_backend()
     import matplotlib.pyplot as plt
     import pandas as pd
     import seaborn as sns

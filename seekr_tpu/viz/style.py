@@ -35,6 +35,23 @@ def check_hex_colors(lst) -> bool:
     return all(is_hex_color(color) for color in lst)
 
 
+def ensure_headless_backend():
+    """Pin the Agg backend ONLY when pyplot has not been imported yet.
+
+    Library code must not switch backends mid-session: matplotlib.use
+    triggers switch_backend once pyplot is up, which closes ALL of the
+    caller's open figures and knocks notebook sessions off the inline
+    backend.  CLI/headless processes (pyplot not yet imported) still get
+    Agg pinned before the first pyplot import.
+    """
+    import sys
+
+    if "matplotlib.pyplot" not in sys.modules:
+        import matplotlib
+
+        matplotlib.use("Agg")
+
+
 def setup_fonts():
     """Register the bundled font (if any) and set editable-pdf fonttype."""
     import matplotlib as mpl

@@ -70,7 +70,7 @@ def _match_info(seq, words):
 
 def _draw_seq_line(ax, line_chars, line_idx, row_offset, y_base, matched,
                    matched_flat, color_vec, wraplen, char_spacing,
-                   line_spacing, rect_height, seqfontsize, text_color):
+                   rect_height, seqfontsize, text_color):
     """One wrapped line of one sequence: color blocks + glyphs."""
     from matplotlib.patches import Rectangle
 
@@ -95,8 +95,8 @@ def kmer_comp_textplot(seq1file, seq2file, words, color_vec="default",
                        outputname="comp_textplot", plotformat="pdf",
                        plotdpi=300):
     """Two sequences interleaved line-by-line with shared motif colors."""
-    import matplotlib
-    matplotlib.use("Agg")
+    from seekr_tpu.viz.style import ensure_headless_backend
+    ensure_headless_backend()
     import matplotlib.pyplot as plt
 
     seq1 = Reader(seq1file).get_seqs()[0]
@@ -122,12 +122,12 @@ def kmer_comp_textplot(seq1file, seq2file, words, color_vec="default",
         y_base = total_lines * row_height - i * row_height
         if i < len(wrapped1):
             _draw_seq_line(ax, wrapped1[i], i, 0.0, y_base, matched1, flat1,
-                           color_vec, wraplen, char_spacing, line_spacing,
+                           color_vec, wraplen, char_spacing,
                            colorblockh, seqfontsize, "#000000")
         if i < len(wrapped2):
             _draw_seq_line(ax, wrapped2[i], i, line_spacing, y_base, matched2,
                            flat2, color_vec, wraplen, char_spacing,
-                           line_spacing, colorblockh, seqfontsize, "#838383")
+                           colorblockh, seqfontsize, "#838383")
         for j in range(wraplen):
             if i * wraplen + j < max(len(seq1), len(seq2)):
                 ax.text(j * char_spacing, y_base - line_spacing * 2,
@@ -143,8 +143,8 @@ def kmer_indi_textplot(seqfile, words, color_vec="default", wraplen=60,
                        numfontsize=18, colorblockh=0.5, outputpath="",
                        plotformat="pdf", plotdpi=300):
     """One plot per sequence; plot name = header up to the first '|'."""
-    import matplotlib
-    matplotlib.use("Agg")
+    from seekr_tpu.viz.style import ensure_headless_backend
+    ensure_headless_backend()
     import matplotlib.pyplot as plt
 
     reader = Reader(seqfile)
@@ -152,8 +152,10 @@ def kmer_indi_textplot(seqfile, words, color_vec="default", wraplen=60,
     headers = [h[1:] for h in reader.get_headers()]  # cached, no re-parse
     plotnames = [header.split("|")[0] for header in headers]
 
+    # words/colors are sequence-independent: resolve ONCE so the
+    # truncation/default-color advisories print once, not per sequence
+    seq_words, seq_colors = _resolve_words_colors(words, color_vec)
     for seq, plotname in zip(seqs, plotnames):
-        seq_words, seq_colors = _resolve_words_colors(words, color_vec)
         matched, flat = _match_info(seq, seq_words)
 
         wrapped = [seq[i:i + wraplen] for i in range(0, len(seq), wraplen)]
@@ -170,7 +172,7 @@ def kmer_indi_textplot(seqfile, words, color_vec="default", wraplen=60,
         for i in range(total_lines):
             y_base = total_lines * row_height - i * row_height
             _draw_seq_line(ax, wrapped[i], i, 0.0, y_base, matched, flat,
-                           seq_colors, wraplen, char_spacing, line_spacing,
+                           seq_colors, wraplen, char_spacing,
                            colorblockh, seqfontsize, "#000000")
             for j in range(wraplen):
                 if i * wraplen + j < len(seq):

@@ -150,8 +150,8 @@ def visualize_distro(adj, outputname="distro", bins=100,
     tuple ``(counts, edges, n, mean, sd, median)``; None only when no
     plot was produced (no finite values).
     """
-    import matplotlib
-    matplotlib.use("Agg")
+    from seekr_tpu.viz.style import ensure_headless_backend
+    ensure_headless_backend()
     import matplotlib.pyplot as plt
 
     setup_fonts()
