@@ -159,7 +159,11 @@ class Maker:
             names = [str(i) for i in range(vals.shape[0])]
         graph = networkx.Graph()
         graph.add_nodes_from(names)
-        rows, cols = np.nonzero(np.triu(vals, k=1))
+        # strictly positive weights only (the documented contract): a
+        # negative threshold would otherwise leave negative-r entries in
+        # the adjacency, feeding negative-weight edges into a modularity
+        # optimization that is undefined for them
+        rows, cols = np.nonzero(np.triu(vals, k=1) > 0)
         graph.add_weighted_edges_from(
             (names[i], names[j], float(vals[i, j]))
             for i, j in zip(rows.tolist(), cols.tolist()))

@@ -73,12 +73,21 @@ def percentile_of_scores(null: np.ndarray, scores: np.ndarray) -> np.ndarray:
 
     Vectorized equivalent of ``scipy.stats.percentileofscore(null, s,
     kind='mean')``: 100 * (#strictly-below + #at-or-below) / (2 * n).
+
+    NaN-correct like scipy: a NaN SCORE yields a NaN percentile (a
+    zero-variance window's undefined r must never surface as a fake
+    100th-percentile hit — searchsorted would rank NaN above every
+    finite value), and NaN NULL entries are excluded from the ranking
+    denominator instead of silently deflating every percentile.
     """
-    null_sorted = np.sort(np.asarray(null, dtype=np.float64))
+    null_arr = np.asarray(null, dtype=np.float64)
+    null_sorted = np.sort(null_arr[~np.isnan(null_arr)])
     s = np.asarray(scores, dtype=np.float64)
     lo = np.searchsorted(null_sorted, s, side="left")
     hi = np.searchsorted(null_sorted, s, side="right")
-    return 100.0 * (lo + hi) / (2.0 * len(null_sorted))
+    n = max(len(null_sorted), 1)
+    out = 100.0 * (lo + hi) / (2.0 * n)
+    return np.where(np.isnan(s), np.nan, out)
 
 
 class DomainPearson:
@@ -154,7 +163,17 @@ class DomainPearson:
         reader = Reader(self.target_path)
         seqs = reader.get_seqs()
         headers = reader.get_headers()
-        self.target_names = [self._short_name(h) for h in headers]
+        raw_names = [self._short_name(h) for h in headers]
+        # de-duplicate pre-'|' short names pandas-mangle style: two
+        # targets sharing a short name would otherwise mint identical
+        # window labels ('chr1|0' twice), silently corrupting .loc
+        # lookups on the r_values/percentiles artifacts
+        seen: dict = {}
+        self.target_names = []
+        for n in raw_names:
+            c = seen.get(n, 0)
+            seen[n] = c + 1
+            self.target_names.append(n if c == 0 else f"{n}.{c}")
         labels, window_seqs = [], []
         for name, seq in zip(self.target_names, seqs):
             for start, wseq in tile_windows(seq, self.window, self.slide):
@@ -194,6 +213,7 @@ class DomainPearson:
                        if ref_seqs is not None else None)
 
             mean, std = self.mean, self.std
+            basis_norm = basis = None
             if mean is True or std is True:
                 basis = ref_raw if ref_raw is not None else window_raw
                 if std is True and basis.shape[0] == 1:
@@ -201,15 +221,24 @@ class DomainPearson:
                         "You cannot standardize a single sequence. "
                         "Please pass the path to an std. dev. array, "
                         "or use raw counts by setting std=False.")
-                _, bmean, bstd = normalize_counts(
+                basis_norm, bmean, bstd = normalize_counts(
                     basis, log2_mode=self.log2, mean=mean, std=std)
                 if mean is True:
                     mean = np.asarray(bmean)
                 if std is True:
                     std = np.asarray(bstd)
 
-            query_counts = self._normalized(query_raw, mean, std)
-            window_counts = self._normalized(window_raw, mean, std)
+            def normalized(raw):
+                # deriving bmean/bstd already produced the fully
+                # normalized basis matrix (same vectors, same op order)
+                # — reuse it instead of a second elementwise HBM pass
+                # over the largest matrix of the run
+                if raw is basis:
+                    return np.asarray(basis_norm)
+                return self._normalized(raw, mean, std)
+
+            query_counts = normalized(query_raw)
+            window_counts = normalized(window_raw)
             # [n_windows, n_queries]: windows batch through the device
             # counter once; one blocked GEMM covers every pair
             r = pearson(window_counts, query_counts)
@@ -220,7 +249,7 @@ class DomainPearson:
             self.r_values.to_csv(self.r_values_path)
 
         if ref_seqs is not None:
-            ref_counts = self._normalized(ref_raw, mean, std)
+            ref_counts = normalized(ref_raw)
             null = pearson(query_counts, ref_counts)  # [q, n_ref]
             pct = np.empty_like(r)
             for j in range(r.shape[1]):

@@ -127,22 +127,28 @@ def run_workflow(seq1file, seq2file=None, background=None, k=6,
         return out.result()
 
     with stage_timer("workflow/background"):
+        from seekr_tpu.ops.normalize import normalize_counts
+
+        # the background is parsed and RAW-counted exactly once; the two
+        # consumers differ only in the normalization epilogue (a cheap
+        # elementwise pass), so re-counting the largest corpus of the
+        # run for the null sample would double the stage for nothing
         bkg = KmerCounter(background, k=k, log2=log2, silent=True)
-        # device path: only the mean/std vectors are needed on host — the
-        # normalized background matrix itself never crosses
-        bkg.get_counts_device()
-        mean = np.asarray(bkg.mean)
-        std = np.asarray(bkg.std)
+        raw_dev = bkg._raw_counts_device()
+        # epilogue 1: mean/std under the requested log2 ordering — only
+        # the two [4^k] vectors cross to host
+        _, mean_d, std_d = normalize_counts(raw_dev, log2_mode=log2,
+                                            mean=True, std=True)
+        mean = np.asarray(mean_d)
+        std = np.asarray(std_d)
         if is_writer:
             np.save(os.path.join(outdir, f"mean_{k}mers.npy"), mean)
             np.save(os.path.join(outdir, f"std_{k}mers.npy"), std)
-        # null sample: background self-similarity, upper triangle
-        # (the second counter keeps default log2 like the reference
-        # find_dist quirk — see stats/find_dist.py); counts stay on
-        # device straight into the blocked/sharded Pearson
-        bkg_counted = KmerCounter(background, mean=mean, std=std, k=k,
-                                  silent=True)
-        bkg_dev = bkg_counted.get_counts_device()
+        # epilogue 2 (null sample): default Log2.post with the computed
+        # vectors — the reference find_dist quirk (see stats/find_dist
+        # .py); counts stay on device straight into the Pearson
+        bkg_dev, _, _ = normalize_counts(raw_dev, log2_mode="Log2.post",
+                                         mean=mean, std=std)
         sim_bkg = big_pearson(bkg_dev, bkg_dev)
         null_sample = triu_values(sim_bkg)
         if len(null_sample) > subset_size:
@@ -169,8 +175,7 @@ def run_workflow(seq1file, seq2file=None, background=None, k=6,
 
     with stage_timer("workflow/pearson", items=len(headers1) * len(headers2),
                      unit="cells"):
-        sim = (pearson(c1_dev, c2_dev) if mesh is None
-               else big_pearson(c1_dev, c2_dev))
+        sim = big_pearson(c1_dev, c2_dev)
 
     with stage_timer("workflow/pvalues"):
         pvals = np.asarray(empirical_pvals(null_sample, sim),

@@ -37,13 +37,16 @@ def _versions() -> List[Tuple[str, str, str]]:
 
 def _device_probe(timeout: float) -> Tuple[str, str, str]:
     """Fresh-process device check: backend, device kind, tiny op."""
+    # '|'-separated: device_kind strings contain SPACES on the target
+    # hardware ('TPU v4', 'Tesla V100-SXM2-16GB'), so a whitespace split
+    # would crash the doctor on exactly the devices it exists to check
     probe = (
         "import jax, numpy as np\n"
         "d = jax.devices()\n"
         "x = jax.numpy.ones((8, 8))\n"
         "v = float(np.asarray((x @ x)[0, :1])[0])\n"
         "print(jax.default_backend(), len(d), "
-        "getattr(d[0], 'device_kind', '?'), v)\n"
+        "getattr(d[0], 'device_kind', '?'), v, sep='|')\n"
     )
     try:
         proc = subprocess.run([sys.executable, "-c", probe],
@@ -54,9 +57,11 @@ def _device_probe(timeout: float) -> Tuple[str, str, str]:
                 f"probe hung >{timeout:.0f}s (wedged accelerator link? "
                 "a fresh process usually recovers; see BASELINE.md)")
     if proc.returncode != 0:
-        return (FAIL, "device",
-                f"probe failed: {proc.stderr.strip().splitlines()[-1:]}")
-    backend, n, kind, val = proc.stdout.split()
+        err = proc.stderr.strip()
+        detail = err.splitlines()[-1] if err \
+            else f"exit code {proc.returncode}"
+        return (FAIL, "device", f"probe failed: {detail}")
+    backend, n, kind, val = proc.stdout.strip().split("|", 3)
     status = OK if float(val) == 8.0 else FAIL
     return (status, "device",
             f"backend={backend} devices={n} kind={kind} (8x8 matmul "
@@ -100,7 +105,7 @@ def _env_knobs() -> List[Tuple[str, str, str]]:
                 "SEEKR_TPU_COMPILE_CACHE",
                 "SEEKR_TPU_TRACE", "SEEKR_TPU_LOG",
                 "SEEKR_TPU_CORPUS_BUDGET", "SEEKR_TPU_POD_TIMEOUT",
-                "SEEKR_TPU_SCRATCH"):
+                "SEEKR_TPU_SCRATCH", "SEEKR_TPU_CHECK_SCATTER"):
         val = os.environ.get(var)
         if val is not None:
             rows.append((WARN, "env", f"{var}={val} (non-default)"))

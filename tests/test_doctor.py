@@ -29,7 +29,7 @@ def test_device_probe_hang_is_reported_not_hung(monkeypatch):
 def test_device_probe_parses_healthy_output(monkeypatch):
     class P:
         returncode = 0
-        stdout = "tpu 1 TPU_v5_lite 8.0\n"
+        stdout = "tpu|1|TPU v5 lite|8.0\n"
         stderr = ""
 
     monkeypatch.setattr(doctor.subprocess, "run", lambda *a, **kw: P())
@@ -41,7 +41,7 @@ def test_device_probe_parses_healthy_output(monkeypatch):
 def test_device_probe_flags_wrong_math(monkeypatch):
     class P:
         returncode = 0
-        stdout = "tpu 1 TPU_v5_lite 7.5\n"
+        stdout = "tpu|1|TPU v5 lite|7.5\n"
         stderr = ""
 
     monkeypatch.setattr(doctor.subprocess, "run", lambda *a, **kw: P())

@@ -240,3 +240,34 @@ def test_cli_domain_pearson(tmp_path, monkeypatch, capsys):
     with pytest.raises(SystemExit):
         cli.console_domain_pearson([])
     assert "seekr_domain_pearson" in capsys.readouterr().out
+
+
+def test_percentile_nan_semantics():
+    """NaN scores yield NaN percentiles (scipy behavior) instead of a
+    fake 100th-percentile hit, and NaN null entries are excluded from
+    the ranking denominator (review finding)."""
+    from seekr_tpu.models.domain import percentile_of_scores
+
+    null = np.array([0.1, 0.2, np.nan, 0.3, 0.4])
+    scores = np.array([0.35, np.nan, 0.5])
+    got = percentile_of_scores(null, scores)
+    assert np.isnan(got[1])
+    assert got[0] == 75.0   # 3 of 4 finite nulls below
+    assert got[2] == 100.0  # above every finite null despite the NaN
+
+
+def test_window_labels_deduplicate_shared_short_names(tmp_path):
+    """Two targets sharing a pre-'|' short name get pandas-mangle
+    suffixes so window labels never collide (review finding)."""
+    from seekr_tpu.models.domain import DomainPearson
+
+    fa = tmp_path / "t.fa"
+    fa.write_text(">chr1|assemblyA\n" + "AGTC" * 40 + "\n"
+                  ">chr1|assemblyB\n" + "CCCC" * 40 + "\n")
+    q = tmp_path / "q.fa"
+    q.write_text(">q1\n" + "AGTC" * 30 + "\n")
+    dp = DomainPearson(str(q), str(fa), mean=False, std=False,
+                       log2="Log2.none", k=2, window=80, slide=80)
+    dp.split_targets()
+    assert dp.target_names == ["chr1", "chr1.1"]
+    assert len(set(dp.window_labels)) == len(dp.window_labels)

@@ -253,3 +253,20 @@ def test_cli_graph(tmp_path):
                    "-s", "0"])
     df = pd.read_csv(csv_path, index_col=0)
     assert np.all(df["Group"].values == np.array([1, 0, 1, 0, 0]))
+
+
+def test_negative_threshold_drops_negative_edges():
+    """A negative threshold must not feed negative-weight edges into the
+    modularity optimization — the documented contract is strictly
+    positive weights (review finding)."""
+    import numpy as np
+
+    from seekr_tpu.graph.maker import Maker
+
+    adj = np.array([[0.0, -0.05, 0.4],
+                    [-0.05, 0.0, 0.2],
+                    [0.4, 0.2, 0.0]])
+    maker = Maker(adj, gml_path=None, csv_path=None, threshold=-0.1)
+    maker.build(main_sub=False)
+    weights = [d["weight"] for _, _, d in maker.graph.edges(data=True)]
+    assert weights and all(w > 0 for w in weights)
