@@ -20,10 +20,20 @@ are byte-compatible with the reference tool so shell pipelines carry over.
 
 from seekr_tpu.__version__ import __version__, __title__, __description__, __url__, __license__
 
-from seekr_tpu.models.counter import KmerCounter, BasicCounter
-from seekr_tpu.models.pearson import pearson
-from seekr_tpu.stats import adj_pval, find_dist, find_pval
-from seekr_tpu.data import Downloader, filter_gencode
+# Exports resolve lazily (PEP 562): the package root must stay jax-free —
+# every console entry point imports it, and the pure host commands
+# (heatmap, dendrogram, adj_pval, textplots) must not pay the multi-second
+# jax/device import for work that never touches an accelerator.
+_LAZY_EXPORTS = {
+    "KmerCounter": ("seekr_tpu.models.counter", "KmerCounter"),
+    "BasicCounter": ("seekr_tpu.models.counter", "BasicCounter"),
+    "pearson": ("seekr_tpu.models.pearson", "pearson"),
+    "find_dist": ("seekr_tpu.stats", "find_dist"),
+    "find_pval": ("seekr_tpu.stats", "find_pval"),
+    "adj_pval": ("seekr_tpu.stats", "adj_pval"),
+    "Downloader": ("seekr_tpu.data", "Downloader"),
+    "filter_gencode": ("seekr_tpu.data", "filter_gencode"),
+}
 
 __all__ = [
     "KmerCounter",
@@ -41,6 +51,11 @@ __all__ = [
 def __getattr__(name):
     # graph/viz pull in matplotlib/networkx; SeekrPipeline pulls in jax
     # device init — import lazily
+    if name in _LAZY_EXPORTS:
+        import importlib
+
+        mod, attr = _LAZY_EXPORTS[name]
+        return getattr(importlib.import_module(mod), attr)
     if name == "SeekrPipeline":
         from seekr_tpu.models.pipeline import SeekrPipeline
         return SeekrPipeline

@@ -43,3 +43,18 @@ def pearson(counts1, counts2, row_standardize: bool = True, outfile: str | None 
     if outfile:
         np.save(outfile, dist)
     return dist
+
+
+# `from seekr_tpu.models import pearson` yields the FUNCTION while
+# `import seekr_tpu.models.pearson` yields this module — making the
+# module callable keeps `seekr_tpu.models.pearson(...)` and
+# `seekr_tpu.models.pearson.pearson(...)` both working in one process
+# (same collision fix as the top-level reference-layout shims).
+import sys as _sys
+
+
+class _CallableModule(_sys.modules[__name__].__class__):
+    __call__ = staticmethod(pearson)
+
+
+_sys.modules[__name__].__class__ = _CallableModule

@@ -36,10 +36,13 @@ def _normalize_graph(counts, mean, std, log2_mode):
     # provided norm vectors are flat [4^k]; reshape to the count tensor's
     # trailing dims (free — row-major bytes are the flat order) so the
     # unflattened 3-D path broadcasts correctly
+    # cast like ops/normalize._normalize_impl: float64 .npy artifact
+    # vectors under jax_enable_x64 would otherwise promote the whole
+    # pipeline (including the Pearson GEMM) to float64
     if mean is not None:
-        mean = jnp.asarray(mean).reshape(counts.shape[1:])
+        mean = jnp.asarray(mean, dtype=jnp.float32).reshape(counts.shape[1:])
     if std is not None:
-        std = jnp.asarray(std).reshape(counts.shape[1:])
+        std = jnp.asarray(std, dtype=jnp.float32).reshape(counts.shape[1:])
     mean = jnp.mean(counts, axis=0) if mean is None else mean
     counts = counts - mean
     std = jnp.std(counts, axis=0) if std is None else std
@@ -52,7 +55,13 @@ def _normalize_graph(counts, mean, std, log2_mode):
     return counts, mean.reshape(-1), std.reshape(-1)
 
 
-# rows at or below this get the forced-flat GEMM layout (see forward)
+# rows at or below this get the forced-flat GEMM layout (see forward).
+# Note: the flat vs 3-D layouts reduce columns in different XLA orders,
+# so normalized values / mean / std can differ at the ulp level (~1e-6
+# rel) across the gate or across counts(flat=...) choices — same-config
+# runs are bitwise reproducible; cross-layout comparisons are allclose,
+# not array_equal (BasicCounter/normalize_counts, which all CLI
+# artifacts use, always computes in one layout and has no such gate)
 _GEMM_FLAT_MAX_ROWS = 4096
 
 

@@ -201,6 +201,7 @@ class SeekrService:
                 f"norm vectors must have 4^k = {4 ** self.k} entries for "
                 f"k={self.k} (got {len(self.mean)}/{len(self.std)})")
         self.fitres = fitres
+        self._sorted_bkg = None  # lazily sorted empirical background
         self._counter_cls = KmerCounter
         self._lock = threading.Lock()
         self.coalesce = bool(coalesce)
@@ -785,10 +786,13 @@ class SeekrService:
             raise ValueError("service started without fitres: pvals "
                              "unavailable (pass fitres= / --fitres)")
         if isinstance(self.fitres, np.ndarray):
-            from seekr_tpu.ops.ecdf import empirical_pvals
+            if self._sorted_bkg is None:
+                from seekr_tpu.ops.ecdf import SortedBackground
 
-            return np.asarray(empirical_pvals(self.fitres, sim),
-                              dtype=sim.dtype)
+                # sort once for the process: every query pays only the
+                # searchsorted, not an O(N log N) re-sort of the fitres
+                self._sorted_bkg = SortedBackground(self.fitres)
+            return np.asarray(self._sorted_bkg.pvals(sim), dtype=sim.dtype)
         distname, _, params = self.fitres[0]
         from seekr_tpu.stats.fast_cdf import fast_cdf
 

@@ -121,8 +121,18 @@ def _probe_ok(distname: str, params) -> bool:
     if verdict is None:
         import scipy.stats as st
 
-        probe = np.array([-1e9, -2.5, -1.0, 0.0, 0.3, 0.7, 1.0, 1.5,
-                          4.0, 25.0, 1e9, np.nan])
+        base = np.array([-1e9, -2.5, -1.0, 0.0, 0.3, 0.7, 1.0, 1.5,
+                         4.0, 25.0, 1e9, np.nan])
+        # ALSO probe in the fitted frame: for params like loc=500 the
+        # fixed x-grid lands entirely on the saturated tails (both paths
+        # return exactly 0/1 there), and a scipy _cdf formula drift in
+        # the central range would slip past the probe.  loc/scale are
+        # the last two params for every scipy loc-scale family.
+        if len(params) >= 2:
+            loc, scale = float(params[-2]), float(params[-1])
+            probe = np.concatenate([base, loc + scale * base])
+        else:
+            probe = base
         with np.errstate(all="ignore"):
             try:
                 want = getattr(st, distname)(*params).cdf(probe)

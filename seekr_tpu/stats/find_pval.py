@@ -177,8 +177,14 @@ def find_pval(seq1file, seq2file, mean_path, std_path, k_mer, fitres,
             print("No p value is calculated. The output is None.")
             return None
 
+        from seekr_tpu.ops.ecdf import SortedBackground
+
+        # sort ONCE: the streamed mode calls pval_fn per tile, and the
+        # background (possibly millions of r-values) never changes
+        sorted_bkg = SortedBackground(fitres)
+
         def pval_fn(sim):
-            return np.asarray(empirical_pvals(fitres, sim), dtype=sim.dtype)
+            return np.asarray(sorted_bkg.pvals(sim), dtype=sim.dtype)
     else:
         print("fitres should be the output of find_dist. It should be "
               "either a list of distributions or a numpy array.")

@@ -23,7 +23,10 @@ def enable_compilation_cache() -> None:
     setting = os.environ.get("SEEKR_TPU_COMPILE_CACHE", "")
     if setting.lower() == "off":
         return
-    cache_dir = setting or _DEFAULT_DIR
+    # expanduser: env files/Dockerfiles/systemd units set the var
+    # without shell tilde expansion — a literal './~/...' directory
+    # fragments the cache per cwd
+    cache_dir = os.path.expanduser(setting) if setting else _DEFAULT_DIR
     try:
         import jax
 

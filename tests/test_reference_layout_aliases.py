@@ -90,3 +90,40 @@ def test_reference_style_end_to_end(tmp_path):
     # is within 1.3e-5 of the f64 oracle on TPU (BASELINE.md precision
     # sweep) — 1e-4 is the parity budget every pearson test asserts at
     np.testing.assert_allclose(np.diag(sim), 1.0, rtol=1e-4)
+
+
+def test_models_pearson_module_and_function_both_usable():
+    """`import seekr_tpu.models.pearson` must yield a usable module even
+    after the models package exports the FUNCTION of the same name
+    (review finding: the eager from-import shadowed the submodule)."""
+    import numpy as np
+
+    import seekr_tpu.models.pearson as mp
+
+    c = np.random.default_rng(0).normal(size=(3, 16)).astype(np.float32)
+    a = np.asarray(mp.pearson(c, c))      # module attribute
+    b = np.asarray(mp(c, c))              # callable module
+    np.testing.assert_array_equal(a, b)
+    from seekr_tpu.models import pearson as f
+    np.testing.assert_array_equal(np.asarray(f(c, c)), a)
+
+
+def test_package_root_is_jax_free():
+    """`import seekr_tpu` must not pull jax: every console entry point
+    imports the package root, and the pure host commands must not pay
+    the device-init import (review finding)."""
+    import subprocess
+    import sys
+
+    code = (
+        "import sys\n"
+        "assert 'jax' not in sys.modules, 'jax preloaded (env)'\n"
+        "import seekr_tpu\n"
+        "assert 'jax' not in sys.modules, 'package root imported jax'\n"
+        "print('ok')\n"
+    )
+    env = {"PATH": "/usr/bin:/bin", "PYTHONPATH": ""}
+    proc = subprocess.run([sys.executable, "-c", code], env=env,
+                          capture_output=True, text=True,
+                          cwd="/root/repo", timeout=120)
+    assert proc.returncode == 0 and "ok" in proc.stdout, proc.stderr

@@ -340,3 +340,23 @@ def test_sharded_scorer_matches_oracle():
     vals_all, idx_all = (np.asarray(a) for a in scorer.topk(qc, 100))
     assert vals_all.shape == (n_q, n_t)
     assert idx_all.max() < n_t and np.isfinite(vals_all).all()
+
+
+def test_ecdf_sf_n_total_keeps_reference_denominator():
+    """With NaNs dropped before sorting, n_total= keeps the reference's
+    full-sample denominator (review finding: dividing by the finite
+    count alone inflates every p-value on a NaN-containing
+    background)."""
+    import jax.numpy as jnp
+
+    from seekr_tpu.ops.ecdf import ecdf_sf, empirical_pvals
+
+    rng = np.random.default_rng(31)
+    bkg = rng.normal(size=1000)
+    bkg[::10] = np.nan
+    finite = np.sort(bkg[~np.isnan(bkg)]).astype(np.float32)
+    r = rng.normal(size=64).astype(np.float32)
+    got = np.asarray(ecdf_sf(jnp.asarray(finite), jnp.asarray(r),
+                             n_total=len(bkg)))
+    want = empirical_pvals(bkg, r).astype(np.float32)
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)

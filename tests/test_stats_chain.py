@@ -451,3 +451,17 @@ def test_mse_fitting_deterministic_across_n_jobs():
     np.random.seed(7)
     par = fit_distributions(data, ["norm", "uniform"], "mse", n_jobs=2)
     assert par == seq1
+
+
+def test_sorted_background_matches_empirical_pvals():
+    """SortedBackground (the sort-once serving/streaming path) is
+    bitwise-identical to empirical_pvals, including NaN backgrounds."""
+    from seekr_tpu.ops.ecdf import SortedBackground, empirical_pvals
+
+    rng = np.random.default_rng(21)
+    bkg = rng.normal(size=5000)
+    bkg[::17] = np.nan
+    sim = rng.normal(size=(9, 11)).astype(np.float32)
+    sb = SortedBackground(bkg)
+    np.testing.assert_array_equal(sb.pvals(sim), empirical_pvals(bkg, sim))
+    np.testing.assert_array_equal(sb.pvals(sim), empirical_pvals(bkg, sim))
