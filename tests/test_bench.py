@@ -122,3 +122,103 @@ def test_cpu_mesh_non_power_of_two_devices():
     lines = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
     payload = json.loads(lines[-1])
     assert payload["devices"] == 6
+
+
+@pytest.mark.slow
+def test_pod_preflight_cpu_mesh():
+    """`bench.py --pod --cpu-mesh 8` is the turnkey pod dry run (VERDICT
+    r4 #5): env validation + mesh construction + the strong-scaling
+    harness on the virtual mesh, rc=0, one JSON report.  On real
+    multi-chip hardware the identical command produces the SURVEY §6
+    measurement."""
+    proc = _run({}, args=("--pod", "--cpu-mesh", "8"), timeout=600)
+    assert proc.returncode == 0, proc.stderr[-800:]
+    lines = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
+    assert len(lines) == 1
+    payload = json.loads(lines[0])
+    assert payload["metric"] == "pod_preflight"
+    assert payload["devices"] == 8
+    assert payload["mesh_ok"] is True
+    assert payload["virtual_cpu_mesh"] is True
+    assert payload["scaling_efficiency"] > 0
+    assert payload["efficiency_target"] == 0.85
+    # the dry run must NOT assert CPU-mesh efficiency as if it meant
+    # something — that claim is reserved for real multi-chip hardware
+    assert "efficiency_target_met" not in payload
+    assert "harness validation" in payload["note"]
+
+
+@pytest.mark.slow
+def test_tiny_extras_path_emits_all_scoreboard_fields():
+    """SEEKR_TPU_BENCH_TINY exercises the full extras pipeline (k_sweep,
+    chain with the measured-reference denominator attached, serve) at
+    smoke scale on CPU.  Pins that every VERDICT-r4 scoreboard field is
+    present and that extras failures would surface as explicit error
+    fields, not silently-missing keys."""
+    proc = _run({"SEEKR_TPU_BENCH_TINY": "1", "JAX_PLATFORMS": "cpu"},
+                args=("--serve",), timeout=600)
+    assert proc.returncode == 0, proc.stderr[-800:]
+    lines = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
+    payload = json.loads(lines[-1])
+    # k-sweep: tiny regimes, real numbers
+    for key in payload["k_sweep"]:
+        assert payload["k_sweep"][key]["tps"] > 0
+    # chain: live stages + the RECORDED measured reference denominator
+    chain = payload["chain"]
+    assert "error" not in chain, chain
+    assert set(chain["stage_s"]) == {"find_dist", "find_pval", "adj_pval"}
+    assert chain["chain_wall_s"] > 0
+    assert chain["ref"]["chain_wall_s"] > 0
+    assert "measured" in chain["ref"]["source"]
+    # tiny corpus differs from the recorded ref run -> ratio withheld
+    assert chain["wall_ratio"] is None
+    # serve: interleaved A/B medians
+    serve = payload["serve"]
+    assert "error" not in serve, serve
+    assert serve["q1_p50_ms"] > 0
+    assert serve["q128_topk10_seqs_s"] > 0
+    assert "interleaved" in serve["method"]
+
+
+def test_worker_skips_extras_when_budget_exhausted():
+    """A worker whose attempt budget is already consumed must mark every
+    extra as skipped (and still emit valid JSON) rather than running
+    past its supervisor's kill timer."""
+    env = {k: v for k, v in os.environ.items()}
+    env.update({"SEEKR_TPU_BENCH_WORKER": "1", "SEEKR_TPU_BENCH_TINY": "1",
+                "JAX_PLATFORMS": "cpu", "SEEKR_TPU_BENCH_BUDGET_S": "0.01"})
+    proc = subprocess.run([sys.executable, BENCH, "--serve"],
+                          capture_output=True, text=True, timeout=600,
+                          env=env)
+    assert proc.returncode == 0, proc.stderr[-800:]
+    lines = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
+    payload = json.loads(lines[-1])
+    for name in ("k_sweep", "chain", "serve"):
+        assert "skipped" in payload[name], (name, payload[name])
+
+
+def test_formulation_ceiling_model():
+    """The ceiling emitted next to mfu_wall_best (VERDICT r4 weak #2)
+    must follow from the FLOP shares and the two stage rates — and sit
+    in the algorithm-bound ~0.3 band that explains the headline MFU."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("bench_mod", BENCH)
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    bases, lengths = bench.synth_corpus(m=2048, l_min=512, l_max=2048)
+    out = bench._formulation_ceiling(bases, lengths, peak_tflops=197.0)
+    ceil = out["mfu_formulation_ceiling"]
+    # hand-recompute from the model's own definition
+    windows = sum(max(int(n) - 5, 0) for n in lengths)
+    f_count = 2 * 4**6 * windows
+    f_pearson = 2 * 4**6 * 2048 * 2048
+    t_ideal = f_count / 83.5e12 + f_pearson / (197.0 / 3 * 1e12)
+    expect = (f_count + f_pearson) / (t_ideal * 197.0e12)
+    assert abs(ceil - expect) < 1e-3
+    # algorithm-bound band: far below 1.0 by construction, far above the
+    # dispatch floor; mfu_wall_best ~0.23 reads as ~0.65-0.8 of this
+    assert 0.25 < ceil < 0.45
+    shares = out["stage_flops_share"]
+    assert abs(shares["count"] + shares["pearson"] - 1.0) < 0.01

@@ -48,9 +48,14 @@ def test_roundtrip_write(tmp_path):
 
 
 def test_reference_example_fixture(example_fa):
+    # structural contract shared by the reference fixture and the in-repo
+    # fallback (tests/fixtures): 5 toy seqs, first one 6 nt, uppercased
     seqs = Reader(example_fa).get_seqs()
     assert len(seqs) == 5
-    assert seqs[0] == "AAAAAA"
+    assert len(seqs[0]) == 6
+    assert all(set(s) <= set("AGTCN") for s in seqs)
+    assert Reader(example_fa).get_headers() == [
+        f">SEQ{i}" for i in range(1, 6)]
 
 
 class TestNativeParserDivergenceGates:

