@@ -14,6 +14,8 @@ SURVEY.md hard part 5: m up to ~180k rows makes the all-pairs r-matrix up to
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 # Above this many output cells, row blocks are streamed instead of
@@ -24,13 +26,22 @@ STREAM_CELL_THRESHOLD = 64_000_000
 
 
 class StreamingNpyWriter:
-    """Row-block appender producing a valid .npy for a known final shape."""
+    """Row-block appender producing a valid .npy for a known final shape.
+
+    Crash-consistent (VERDICT r4 #8): all bytes go to ``<path>.part`` and
+    ``close()`` publishes with fsync + ``os.replace`` only after the full
+    row count arrived — a crashed or failed run leaves the final path
+    either absent or complete (never truncated), and a restart simply
+    rewrites the ``.part``.  Same discipline as the serve corpus
+    snapshots (serve.py).
+    """
 
     def __init__(self, path: str, shape, dtype=np.float32):
         self.path = path if str(path).endswith(".npy") else f"{path}.npy"
         self.shape = tuple(int(s) for s in shape)
         self.dtype = np.dtype(dtype)
-        self._fh = open(self.path, "wb")
+        self._tmp = self.path + ".part"
+        self._fh = open(self._tmp, "wb")
         header = {"descr": self.dtype.str, "fortran_order": False,
                   "shape": self.shape}
         np.lib.format.write_array_header_2_0(self._fh, header)
@@ -44,12 +55,24 @@ class StreamingNpyWriter:
         self._fh.write(block.tobytes())
 
     def close(self):
-        try:
-            assert self._rows_written == self.shape[0], (
-                f"expected {self.shape[0]} rows, wrote {self._rows_written}")
-        finally:
-            # the handle must not leak when the row-count check fails
+        if self._rows_written != self.shape[0]:
+            msg = (f"expected {self.shape[0]} rows, "
+                   f"wrote {self._rows_written}")
+            self.discard()  # an incomplete artifact must never publish
+            raise AssertionError(msg)
+        self._fh.flush()
+        os.fsync(self._fh.fileno())
+        self._fh.close()
+        os.replace(self._tmp, self.path)
+
+    def discard(self):
+        """Drop the in-flight ``.part`` without touching the final path."""
+        if not self._fh.closed:
             self._fh.close()
+        try:
+            os.unlink(self._tmp)
+        except FileNotFoundError:
+            pass
 
     def __enter__(self):
         return self
@@ -58,7 +81,7 @@ class StreamingNpyWriter:
         if exc_type is None:
             self.close()
         else:
-            self._fh.close()
+            self.discard()
 
 
 class ArrayCollector:
@@ -133,6 +156,11 @@ class StreamingCsvWriter:
     match both pandas ``to_csv`` and the native mode-0 formatter, so
     artifact bytes do not depend on whether the native toolchain was
     available.
+
+    Crash-consistent like StreamingNpyWriter (VERDICT r4 #8): rows
+    accumulate in ``<path>.part``; ``close()`` fsyncs and publishes via
+    ``os.replace``, so a killed run leaves the final path untouched and
+    a restart rewrites the ``.part`` from scratch.
     """
 
     def __init__(self, path: str, columns=None, row_labels=None,
@@ -140,6 +168,7 @@ class StreamingCsvWriter:
         from seekr_tpu.io.fast_csv import _quote  # one quoting policy
 
         self.path = path
+        self._tmp = f"{path}.part"
         self.fmt = fmt
         self.row_labels = list(row_labels) if row_labels is not None else None
         self.labeled = columns is not None
@@ -153,7 +182,7 @@ class StreamingCsvWriter:
         # '%s' on float32 equals pandas shortest-repr bytes (mode 0)
         # except NaN; '%1.6f' is mode 1 — other fmts take the fallback
         self._native_mode = {"%s": 0, "%1.6f": 1}.get(fmt)
-        with open(path, "w") as fh:
+        with open(self._tmp, "w") as fh:
             if self.labeled:
                 fh.write("," + ",".join(_quote(c) for c in columns) + "\n")
         self._row = 0
@@ -176,11 +205,11 @@ class StreamingCsvWriter:
         if is_f64:
             # float64 blocks (the streamed adj_pval emitter): Python-repr
             # bytes == pandas DataFrame(float64).to_csv
-            native.write_csv_f64(self.path, np.ascontiguousarray(block),
+            native.write_csv_f64(self._tmp, np.ascontiguousarray(block),
                                  header_line=None, row_label_cells=labels,
                                  append=True)
         else:
-            native.write_csv_f32(self.path, np.ascontiguousarray(block),
+            native.write_csv_f32(self._tmp, np.ascontiguousarray(block),
                                  header_line=None, row_label_cells=labels,
                                  mode=self._native_mode, append=True)
         return True
@@ -190,7 +219,7 @@ class StreamingCsvWriter:
         if self._native_append(block):
             self._row += block.shape[0]
             return
-        with open(self.path, "a") as fh:
+        with open(self._tmp, "a") as fh:
             for row in block:
                 if self._native_mode == 0:
                     # pandas/native mode 0 writes NaN as an empty cell;
@@ -208,13 +237,27 @@ class StreamingCsvWriter:
                 self._row += 1
 
     def close(self):
-        pass  # every append leaves the file closed and flushed
+        """Publish the accumulated rows atomically."""
+        with open(self._tmp, "a") as fh:
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(self._tmp, self.path)
+
+    def discard(self):
+        """Drop the in-flight ``.part`` without touching the final path."""
+        try:
+            os.unlink(self._tmp)
+        except FileNotFoundError:
+            pass
 
     def __enter__(self):
         return self
 
-    def __exit__(self, *exc):
-        self.close()
+    def __exit__(self, exc_type, *exc):
+        if exc_type is None:
+            self.close()
+        else:
+            self.discard()
 
 
 def _pearson_block_impl(a, b):

@@ -253,13 +253,19 @@ def _stream_pvals(c1, c2, pval_fn, header1, header2, outputname, npy_out,
             for s in sinks:
                 s.append(p)
 
-    if mesh is not None:
-        from seekr_tpu.parallel.dist import stream_pearson_sharded
+    try:
+        if mesh is not None:
+            from seekr_tpu.parallel.dist import stream_pearson_sharded
 
-        stream_pearson_sharded(mesh, c1, _PvalTiles(), counts2=c2,
-                               block_rows=block_rows)
-    else:
-        stream_pearson(c1, c2, _PvalTiles(), block_rows=block_rows)
+            stream_pearson_sharded(mesh, c1, _PvalTiles(), counts2=c2,
+                                   block_rows=block_rows)
+        else:
+            stream_pearson(c1, c2, _PvalTiles(), block_rows=block_rows)
+    except BaseException:
+        # never publish a partial artifact (crash-consistency contract)
+        for s in sinks:
+            s.discard()
+        raise
     paths = []
     for s in sinks:
         s.close()

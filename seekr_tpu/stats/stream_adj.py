@@ -665,18 +665,24 @@ def _assemble(groups: _PairStore, m1: int, m2: int, chunk_rows: int,
             columns=columns, row_labels=index, fmt="%s"))
     group_cells = chunk_rows * m2
     g = 0
-    for i0 in range(0, m1, chunk_rows):
-        rows = min(chunk_rows, m1 - i0)
-        block = np.full((rows, m2), np.nan, dtype=np.float64)
-        if g < len(groups.counts) and groups.counts[g]:
-            corrected, idx = groups.read(g)
-            block.reshape(-1)[idx - g * group_cells] = corrected
-            groups.drop(g)
-        out_block = (block if np.dtype(out_dtype) == np.float64
-                     else block.astype(out_dtype))
+    try:
+        for i0 in range(0, m1, chunk_rows):
+            rows = min(chunk_rows, m1 - i0)
+            block = np.full((rows, m2), np.nan, dtype=np.float64)
+            if g < len(groups.counts) and groups.counts[g]:
+                corrected, idx = groups.read(g)
+                block.reshape(-1)[idx - g * group_cells] = corrected
+                groups.drop(g)
+            out_block = (block if np.dtype(out_dtype) == np.float64
+                         else block.astype(out_dtype))
+            for s in sinks:
+                s.append(out_block if isinstance(s, StreamingNpyWriter)
+                         else block)
+            g += 1
+    except BaseException:
+        # never publish a partial artifact (crash-consistency contract)
         for s in sinks:
-            s.append(out_block if isinstance(s, StreamingNpyWriter)
-                     else block)
-        g += 1
+            s.discard()
+        raise
     for s in sinks:
         s.close()
