@@ -652,18 +652,28 @@ def run_trace():
     n = jax.device_put(lengths)
     _sync(fn(b, n))  # compile outside the trace
     rows = mod.device_op_breakdown(lambda: _sync(fn(b, n)), iters=5)
-    total = sum(r[0] for r in rows)
-    # stage attribution: the Pallas histogram lowers to a custom-call
-    # ("tpu_custom_call"/"custom-call"), the Pearson GEMM to dot fusions
-    stage_ms = {"count_kernel": 0.0, "pearson_gemm": 0.0, "other": 0.0}
+    # stage attribution over HLO-instruction events only (module-level
+    # "jit_*" spans aggregate the whole program and would double-count):
+    # the Pallas histogram lowers to a tpu_custom_call; the Pearson GEMM
+    # lands in the fusion/dot whose result is the [m, m] similarity;
+    # everything else (normalize epilogue, transposes, copies) is
+    # "epilogue_other".
+    m = bases.shape[0]
+    sim_shape = f"f32[{m},{m}]"
+    stage_ms = {"count_kernel": 0.0, "pearson_gemm": 0.0,
+                "epilogue_other": 0.0}
+    total = 0.0
     for ms, _cnt, name in rows:
+        if not name.startswith("%"):
+            continue  # module/program-level event, not an op
         low = name.lower()
-        if "custom" in low:
+        total += ms
+        if "custom_call" in low or "custom-call" in low:
             stage_ms["count_kernel"] += ms
-        elif "dot" in low or "convolution" in low:
+        elif sim_shape in name and ("fusion" in low or "dot" in low):
             stage_ms["pearson_gemm"] += ms
         else:
-            stage_ms["other"] += ms
+            stage_ms["epilogue_other"] += ms
     _emit({
         "metric": "k6_pipeline_device_op_split",
         "unit": "ms/iter (device)",
@@ -671,7 +681,8 @@ def run_trace():
         "stage_device_ms": {k_: round(v, 3) for k_, v in stage_ms.items()},
         "stage_device_share": {k_: round(v / total, 3)
                                for k_, v in stage_ms.items()} if total else {},
-        "top_ops": [[round(ms, 3), cnt, name] for ms, cnt, name in rows[:8]],
+        "top_ops": [[round(ms, 3), cnt, name[:160]]
+                    for ms, cnt, name in rows[:8]],
     })
 
 
