@@ -59,6 +59,16 @@ def main():
                   log2="Log2.post", outputname="pval_out",
                   npy_out="pval_out.npy", stream=True, stream_block_rows=1,
                   progress_bar=False)
+    elif mode == "pval_mem":
+        # oracle for the streamed run, SAME (CPU) backend as the child:
+        # a TPU-backend parent process would differ by ~1e-5 in r, which
+        # moves empirical p-values by whole 1/N grid steps
+        from seekr_tpu.stats.find_pval import find_pval
+
+        fitres = np.load("fitres.npy")
+        want = find_pval("q.fa", "q.fa", "mean.npy", "std.npy", 2, fitres,
+                         log2="Log2.post", stream=False, progress_bar=False)
+        np.save("pval_want.npy", want.values)
     else:
         raise SystemExit(f"unknown mode {mode}")
     print("CRASH_WORKER_DONE", flush=True)

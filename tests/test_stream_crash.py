@@ -191,16 +191,15 @@ def test_pval_stream_sigkill_leaves_no_partial_artifact(tmp_path):
     assert not os.path.exists(tmp_path / "pval_out.npy")
 
     # restart completes and the streamed artifacts agree with the
-    # in-memory (non-streamed) path
+    # in-memory (non-streamed) path computed on the SAME (CPU) backend —
+    # in-process here would run on the real TPU under
+    # SEEKR_TPU_TEST_BACKEND=tpu, whose ~1e-5 r differences move
+    # empirical p-values by whole 1/N grid steps
     _run_worker("pval", tmp_path)
     assert not os.path.exists(csv_part)
-    from seekr_tpu.stats.find_pval import find_pval
-    want = find_pval(str(tmp_path / "q.fa"), str(tmp_path / "q.fa"),
-                     str(tmp_path / "mean.npy"), str(tmp_path / "std.npy"),
-                     2, np.load(tmp_path / "fitres.npy"),
-                     log2="Log2.post", stream=False, progress_bar=False)
+    _run_worker("pval_mem", tmp_path)
+    want = np.load(tmp_path / "pval_want.npy")
     got_csv = pd.read_csv(tmp_path / "pval_out.csv", index_col=0)
-    np.testing.assert_allclose(got_csv.values, want.values,
-                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(got_csv.values, want, rtol=1e-4, atol=1e-5)
     got_npy = np.load(tmp_path / "pval_out.npy")
-    np.testing.assert_allclose(got_npy, want.values, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(got_npy, want, rtol=1e-4, atol=1e-5)
