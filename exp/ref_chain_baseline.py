@@ -72,16 +72,13 @@ from seekr_tpu.stats.multitest import multipletests  # noqa: F401
 
 
 def write_corpus(path, m):
-    """bench.py's corpus, as a fasta file (same seed/lengths/bases)."""
+    """bench.py's corpus, as a fasta file — delegated to the SAME writer
+    bench.py's chain metric uses, so the two measurements cannot silently
+    diverge on corpus bytes (the ratio's premise)."""
     import bench
 
-    bases, lengths = bench.synth_corpus(m=m)
-    seqs = bench.to_strings(bases, lengths)
-    with open(path, "w") as fh:
-        for i, s in enumerate(seqs):
-            fh.write(f">SYNT{i:05d}|{len(s)}\n")
-            for j in range(0, len(s), 80):
-                fh.write(s[j : j + 80] + "\n")
+    bench.write_corpus_fasta(path, m)
+    _, lengths = bench.synth_corpus(m=m)
     return int(lengths.sum())
 
 

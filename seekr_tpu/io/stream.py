@@ -55,6 +55,8 @@ class StreamingNpyWriter:
         self._fh.write(block.tobytes())
 
     def close(self):
+        if getattr(self, "_done", False):
+            return  # idempotent: a second close must not touch anything
         if self._rows_written != self.shape[0]:
             msg = (f"expected {self.shape[0]} rows, "
                    f"wrote {self._rows_written}")
@@ -64,15 +66,23 @@ class StreamingNpyWriter:
         os.fsync(self._fh.fileno())
         self._fh.close()
         os.replace(self._tmp, self.path)
+        self._done = True
 
     def discard(self):
-        """Drop the in-flight ``.part`` without touching the final path."""
+        """Drop any in-flight ``.part`` without touching the final path.
+
+        Safe after close() (nothing in flight) and idempotent — callers
+        use it as the blanket cleanup in error paths.
+        """
+        if getattr(self, "_done", False):
+            return
         if not self._fh.closed:
             self._fh.close()
         try:
             os.unlink(self._tmp)
         except FileNotFoundError:
             pass
+        self._done = True
 
     def __enter__(self):
         return self
@@ -237,18 +247,43 @@ class StreamingCsvWriter:
                 self._row += 1
 
     def close(self):
-        """Publish the accumulated rows atomically."""
+        """Publish the accumulated rows atomically.
+
+        Labeled writers know their final row count (one label per row),
+        so like StreamingNpyWriter a shortfall discards instead of
+        publishing a truncated artifact.  Idempotent; never recreates a
+        missing ``.part`` (a close after discard is a no-op, not a
+        zero-byte publish over a valid file).
+        """
+        if getattr(self, "_done", False):
+            return
+        if self.labeled and self._row != len(self.row_labels):
+            msg = (f"expected {len(self.row_labels)} rows, "
+                   f"wrote {self._row}")
+            self.discard()
+            raise AssertionError(msg)
+        if not os.path.exists(self._tmp):
+            raise FileNotFoundError(
+                f"{self._tmp} missing at close (discarded or externally "
+                "removed); refusing to publish")
         with open(self._tmp, "a") as fh:
             fh.flush()
             os.fsync(fh.fileno())
         os.replace(self._tmp, self.path)
+        self._done = True
 
     def discard(self):
-        """Drop the in-flight ``.part`` without touching the final path."""
+        """Drop any in-flight ``.part`` without touching the final path.
+
+        Safe after close() and idempotent (blanket error-path cleanup).
+        """
+        if getattr(self, "_done", False):
+            return
         try:
             os.unlink(self._tmp)
         except FileNotFoundError:
             pass
+        self._done = True
 
     def __enter__(self):
         return self

@@ -240,12 +240,6 @@ def _stream_pvals(c1, c2, pval_fn, header1, header2, outputname, npy_out,
 
     m1, m2 = len(header1), len(header2)
     sinks = []
-    if outputname:
-        sinks.append(StreamingCsvWriter(f"{outputname}.csv",
-                                        columns=header2,
-                                        row_labels=header1, fmt="%s"))
-    if npy_out:
-        sinks.append(StreamingNpyWriter(npy_out, (m1, m2), np.float32))
 
     class _PvalTiles:
         def append(self, sim_block):
@@ -253,7 +247,18 @@ def _stream_pvals(c1, c2, pval_fn, header1, header2, outputname, npy_out,
             for s in sinks:
                 s.append(p)
 
+    # sink construction, streaming, AND the close loop all sit inside one
+    # discard-on-error envelope: a failure constructing the second sink
+    # (or closing one sink) must not leak the other's .part, and no
+    # partial artifact may ever publish (crash-consistency contract);
+    # discard() is a safe no-op on sinks that already closed
     try:
+        if outputname:
+            sinks.append(StreamingCsvWriter(f"{outputname}.csv",
+                                            columns=header2,
+                                            row_labels=header1, fmt="%s"))
+        if npy_out:
+            sinks.append(StreamingNpyWriter(npy_out, (m1, m2), np.float32))
         if mesh is not None:
             from seekr_tpu.parallel.dist import stream_pearson_sharded
 
@@ -261,15 +266,14 @@ def _stream_pvals(c1, c2, pval_fn, header1, header2, outputname, npy_out,
                                    block_rows=block_rows)
         else:
             stream_pearson(c1, c2, _PvalTiles(), block_rows=block_rows)
+        paths = []
+        for s in sinks:
+            s.close()
+            paths.append(s.path)
     except BaseException:
-        # never publish a partial artifact (crash-consistency contract)
         for s in sinks:
             s.discard()
         raise
-    paths = []
-    for s in sinks:
-        s.close()
-        paths.append(s.path)
     print(f"p values streamed: {m1} x {m2} matrix written to "
           f"{' and '.join(paths)}.")
     print("The output is None (streamed mode does not materialize the "

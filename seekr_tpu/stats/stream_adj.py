@@ -650,22 +650,26 @@ def _assemble(groups: _PairStore, m1: int, m2: int, chunk_rows: int,
     from seekr_tpu.io.stream import StreamingCsvWriter, StreamingNpyWriter
 
     sinks = []
-    if out_npy:
-        sinks.append(StreamingNpyWriter(out_npy, (m1, m2), out_dtype))
-    if outputname:
-        if columns is None:
-            columns = [str(i) for i in range(m2)]
-        if index is None:
-            index = [str(i) for i in range(m1)]
-        # the in-memory path (and the reference, adj_pval.py:90) always
-        # append ".csv" — match it exactly so both paths name artifacts
-        # identically for any outputname
-        sinks.append(StreamingCsvWriter(
-            f"{outputname}.csv",
-            columns=columns, row_labels=index, fmt="%s"))
     group_cells = chunk_rows * m2
     g = 0
+    # sink construction, the assembly loop, AND the close loop share one
+    # discard-on-error envelope (see find_pval._stream_pvals): no partial
+    # artifact may publish and no .part may leak; discard() is a safe
+    # no-op on sinks that already closed
     try:
+        if out_npy:
+            sinks.append(StreamingNpyWriter(out_npy, (m1, m2), out_dtype))
+        if outputname:
+            if columns is None:
+                columns = [str(i) for i in range(m2)]
+            if index is None:
+                index = [str(i) for i in range(m1)]
+            # the in-memory path (and the reference, adj_pval.py:90)
+            # always append ".csv" — match it exactly so both paths name
+            # artifacts identically for any outputname
+            sinks.append(StreamingCsvWriter(
+                f"{outputname}.csv",
+                columns=columns, row_labels=index, fmt="%s"))
         for i0 in range(0, m1, chunk_rows):
             rows = min(chunk_rows, m1 - i0)
             block = np.full((rows, m2), np.nan, dtype=np.float64)
@@ -679,10 +683,9 @@ def _assemble(groups: _PairStore, m1: int, m2: int, chunk_rows: int,
                 s.append(out_block if isinstance(s, StreamingNpyWriter)
                          else block)
             g += 1
+        for s in sinks:
+            s.close()
     except BaseException:
-        # never publish a partial artifact (crash-consistency contract)
         for s in sinks:
             s.discard()
         raise
-    for s in sinks:
-        s.close()

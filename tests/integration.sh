@@ -6,6 +6,9 @@ set -euo pipefail
 
 REPO="$(cd "$(dirname "$0")/.." && pwd)"
 FIXTURES="${SEEKR_FIXTURES:-/root/reference/seekr/tests/data}"
+# absolutize: the chain below cds into a mktemp workdir, so a relative
+# SEEKR_FIXTURES (CI passes tests/fixtures/data) must be resolved first
+FIXTURES="$(cd "$FIXTURES" && pwd)"
 FA="$FIXTURES/example.fa"
 WORK="$(mktemp -d)"
 trap 'rm -rf "$WORK"' EXIT

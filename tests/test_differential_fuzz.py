@@ -20,6 +20,7 @@ attributed by proving both sides faithful to scipy on their own data
 rather than papered over with looser tolerances.
 """
 
+import os
 import sys
 
 import numpy as np
@@ -32,6 +33,8 @@ BASES = "AGTC"
 
 @pytest.fixture(scope="module")
 def ref_pkg():
+    if os.environ.get("SEEKR_TPU_FORCE_LOCAL_FIXTURES"):
+        pytest.skip("bare-clone reproduction (SEEKR_TPU_FORCE_LOCAL_FIXTURES)")
     sys.path.insert(0, REFERENCE)
     try:
         from seekr.kmer_counts import BasicCounter as RefCounter

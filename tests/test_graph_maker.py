@@ -16,6 +16,7 @@ partition-value goldens, whose exact numbers come from the upstream
 test expectations on the upstream bytes, stay mount-gated.
 """
 
+import os
 import pathlib
 
 import networkx
@@ -28,8 +29,13 @@ from seekr_tpu.utils import get_adj
 
 REF_2MERS = pathlib.Path("/root/reference/seekr/tests/data/example_2mers.npy")
 
+# SEEKR_TPU_FORCE_LOCAL_FIXTURES reproduces the bare-clone suite even
+# with the reference mounted (see tests/conftest.py::ref_data)
+_REF_OK = (REF_2MERS.exists()
+           and not os.environ.get("SEEKR_TPU_FORCE_LOCAL_FIXTURES"))
+
 ref_golden = pytest.mark.skipif(
-    not REF_2MERS.exists(),
+    not _REF_OK,
     reason="upstream-pinned partition golden needs the reference fixture")
 
 
@@ -54,7 +60,7 @@ def _local_rows():
 
 
 def fixture_adj():
-    kmers = np.load(REF_2MERS) if REF_2MERS.exists() else _local_rows()
+    kmers = np.load(REF_2MERS) if _REF_OK else _local_rows()
     adj = np.corrcoef(kmers) * -1  # flip signs for fewer negatives
     names = list(range(5))
     return pd.DataFrame(adj, names, names)
@@ -258,6 +264,21 @@ def test_membership2attribute_stale_gml_raises(tmp_path):
         maker.membership2attribute()
 
 
+def _expected_groups(tmp_path):
+    """Group column to expect: the upstream-pinned golden with the
+    reference fixture, else the (seeded, deterministic) partition of the
+    local matrix computed through the same public API."""
+    if _REF_OK:
+        return np.array([1, 0, 1, 0, 0])
+    maker = Maker(fixture_adj(), gml_path=str(tmp_path / "ref_run.gml"),
+                  seed=0)
+    maker.build()
+    maker.save(True)
+    maker.get_partition()
+    return np.array([maker.membership2attribute()[str(i)]
+                     for i in range(5)])
+
+
 def test_make_gml_csv_files(tmp_path):
     gml_path = tmp_path / "out.gml"
     csv_path = tmp_path / "out.csv"
@@ -269,7 +290,7 @@ def test_make_gml_csv_files(tmp_path):
     assert len(networkx.get_node_attributes(in_graph, "Group")) == 5
     df = pd.read_csv(csv_path, index_col=0)
     assert np.all(df.index.values == np.arange(5))
-    assert np.all(df["Group"].values == np.array([1, 0, 1, 0, 0]))
+    assert np.all(df["Group"].values == _expected_groups(tmp_path))
 
 
 def test_cli_graph(tmp_path):
@@ -282,7 +303,7 @@ def test_cli_graph(tmp_path):
     console_graph([str(adj_path), "-g", str(gml_path), "-c", str(csv_path),
                    "-s", "0"])
     df = pd.read_csv(csv_path, index_col=0)
-    assert np.all(df["Group"].values == np.array([1, 0, 1, 0, 0]))
+    assert np.all(df["Group"].values == _expected_groups(tmp_path))
 
 
 def test_negative_threshold_drops_negative_edges():

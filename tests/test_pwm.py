@@ -6,6 +6,7 @@ and the 2-mer counts fixture are read from the mounted reference, never
 copied.
 """
 
+import os
 import pathlib
 
 import numpy as np
@@ -17,6 +18,12 @@ from seekr_tpu.models.pwm import CountsWeighter
 REF_PWM_DIR = pathlib.Path("/root/reference/seekr/tests/data/pwms")
 REF_COUNTS = pathlib.Path(
     "/root/reference/seekr/tests/data/example_2mers.npy")
+
+# SEEKR_TPU_FORCE_LOCAL_FIXTURES reproduces the bare-clone suite even
+# with the reference mounted (see tests/conftest.py::ref_data)
+if os.environ.get("SEEKR_TPU_FORCE_LOCAL_FIXTURES"):
+    REF_PWM_DIR = pathlib.Path("/nonexistent_forced_local/pwms")
+    REF_COUNTS = pathlib.Path("/nonexistent_forced_local/counts.npy")
 
 
 def minimal_pwm():

@@ -5,6 +5,7 @@ compares whole pipeline stages on its larger test corpora (111 and 151 real
 transcripts).  Skipped when the reference is not mounted.
 """
 
+import os
 import sys
 
 import numpy as np
@@ -15,6 +16,8 @@ REFERENCE = "/root/reference"
 
 @pytest.fixture(scope="module")
 def ref_pkg():
+    if os.environ.get("SEEKR_TPU_FORCE_LOCAL_FIXTURES"):
+        pytest.skip("bare-clone reproduction (SEEKR_TPU_FORCE_LOCAL_FIXTURES)")
     sys.path.insert(0, REFERENCE)
     try:
         from seekr.kmer_counts import BasicCounter as RefCounter

@@ -14,6 +14,7 @@ reference module object, ours resolve at call time from
 scipy.cluster.hierarchy.
 """
 
+import os
 import sys
 
 import matplotlib
@@ -29,6 +30,8 @@ REFERENCE = "/root/reference"
 
 @pytest.fixture(scope="module")
 def ref_viz():
+    if os.environ.get("SEEKR_TPU_FORCE_LOCAL_FIXTURES"):
+        pytest.skip("bare-clone reproduction (SEEKR_TPU_FORCE_LOCAL_FIXTURES)")
     sys.path.insert(0, REFERENCE)
     try:
         from seekr.kmer_count_barplot import \
