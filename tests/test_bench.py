@@ -197,6 +197,32 @@ def test_worker_skips_extras_when_budget_exhausted():
         assert "skipped" in payload[name], (name, payload[name])
 
 
+def test_extras_error_is_contained():
+    """A crashing extra must become an explicit error field in the same
+    JSON line, not kill the run (the headline number survives)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("bench_mod2", BENCH)
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    emitted = []
+    bench._emit = emitted.append
+
+    def boom():
+        raise RuntimeError("synthetic extra failure")
+
+    bench.bench_k_sweep = boom
+    bench.bench_chain = lambda: {"ok": True}
+    payload = {"value": 1.0}
+    bench._run_extras(payload, serve_enabled=False)
+    assert payload["k_sweep"] == {"error": "RuntimeError: synthetic extra "
+                                           "failure"}
+    assert payload["chain"] == {"ok": True}
+    # re-emitted after each extra so a timeout harvests what completed
+    assert len(emitted) == 2
+
+
 def test_formulation_ceiling_model():
     """The ceiling emitted next to mfu_wall_best (VERDICT r4 weak #2)
     must follow from the FLOP shares and the two stage rates — and sit
