@@ -328,6 +328,13 @@ def bench_chain():
     is RECORDED_REF_CHAIN — the reference's own code measured on this
     container's CPU — so the ratio is measured-vs-measured, not
     self-relative.
+
+    The chain runs TWICE and reports the second (warm) pass: the first
+    pass pays executable-cache loads a steady-state process never pays,
+    while the reference side has no compile step at all — its median-of-3
+    reps are identical — so warm-vs-median is the like-for-like
+    comparison.  The cold first-pass wall is emitted alongside
+    (cold_chain_wall_s) so startup cost stays visible.
     """
     import shutil
     import tempfile
@@ -345,39 +352,46 @@ def bench_chain():
     cwd = os.getcwd()
     os.chdir(workdir)  # bkg_{mean,std}_{k}mers.npy land here, like the ref
     try:
-        np.random.seed(0)  # the subset draw consumes global np.random
-        stage = {}
-        t0 = time.perf_counter()
-        fitres = find_dist(inputseq=fa, k_mer=chain_k, log2="Log2.post",
-                           models="common10", subsetting=True,
-                           subset_size=100_000, fit_model=True,
-                           statsmethod="ks", progress_bar=False)
-        stage["find_dist"] = time.perf_counter() - t0
-        if not fitres:
-            raise RuntimeError("find_dist fitted no distributions")
-        t0 = time.perf_counter()
-        pvals = find_pval(fa, fa, f"bkg_mean_{chain_k}mers.npy",
-                          f"bkg_std_{chain_k}mers.npy",
-                          chain_k, fitres, log2="Log2.post", bestfit=1,
-                          progress_bar=False)
-        stage["find_pval"] = time.perf_counter() - t0
-        if pvals is None:
-            raise RuntimeError("find_pval returned None")
-        t0 = time.perf_counter()
-        adj = adj_pval(pvals, "fdr_bh")
-        stage["adj_pval"] = time.perf_counter() - t0
-        if adj is None:
-            raise RuntimeError("adj_pval returned None")
+        walls = []
+        for _ in range(2):
+            np.random.seed(0)  # the subset draw consumes global np.random
+            stage = {}
+            t0 = time.perf_counter()
+            fitres = find_dist(inputseq=fa, k_mer=chain_k, log2="Log2.post",
+                               models="common10", subsetting=True,
+                               subset_size=100_000, fit_model=True,
+                               statsmethod="ks", progress_bar=False)
+            stage["find_dist"] = time.perf_counter() - t0
+            if not fitres:
+                raise RuntimeError("find_dist fitted no distributions")
+            t0 = time.perf_counter()
+            pvals = find_pval(fa, fa, f"bkg_mean_{chain_k}mers.npy",
+                              f"bkg_std_{chain_k}mers.npy",
+                              chain_k, fitres, log2="Log2.post", bestfit=1,
+                              progress_bar=False)
+            stage["find_pval"] = time.perf_counter() - t0
+            if pvals is None:
+                raise RuntimeError("find_pval returned None")
+            t0 = time.perf_counter()
+            adj = adj_pval(pvals, "fdr_bh")
+            stage["adj_pval"] = time.perf_counter() - t0
+            if adj is None:
+                raise RuntimeError("adj_pval returned None")
+            walls.append(sum(stage.values()))
+            if _left() < 1.5 * walls[0] + 20:
+                break  # keep the cold pass rather than blow the budget
     finally:
         os.chdir(cwd)
         shutil.rmtree(workdir, ignore_errors=True)
 
-    wall = sum(stage.values())
+    wall = walls[-1]
     out = {
         "metric": "k6_stats_chain_wall_ratio",
         "m": m,
         "stage_s": {k_: round(v, 3) for k_, v in stage.items()},
         "chain_wall_s": round(wall, 3),
+        "cold_chain_wall_s": round(walls[0], 3),
+        "passes": len(walls),
         "ref": RECORDED_REF_CHAIN,
         "stages": "find_dist -> find_pval(fitted) -> adj_pval(fdr_bh)",
     }
@@ -615,7 +629,7 @@ def _run_extras(payload, serve_enabled):
     """Budget-gated extra metrics, re-emitting the (growing) final line
     after each so a timeout harvests everything that completed."""
     extras = [("k_sweep", 30, bench_k_sweep),
-              ("chain", 30, bench_chain)]
+              ("chain", 75, bench_chain)]  # chain runs cold + warm passes
     if serve_enabled:
         extras.append(("serve", 90, bench_serve))
     for name, need_s, fn in extras:
