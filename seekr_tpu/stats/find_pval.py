@@ -20,6 +20,8 @@ TPU-native changes:
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from seekr_tpu.models.counter import KmerCounter
@@ -101,15 +103,25 @@ def find_pval(seq1file, seq2file, mean_path, std_path, k_mer, fitres,
 
     t1 = KmerCounter(seq1file, mean=mean_path, std=std_path, k=k_mer,
                      log2=log2, silent=True)
-    t2 = KmerCounter(seq2file, mean=mean_path, std=std_path, k=k_mer,
-                     log2=log2, silent=True)
+    # self-comparison (the background-vs-itself workflow): one counter,
+    # one count pass, and — crucially — ONE array object, so the
+    # downstream self-similarity logic (single standardize, upper-triangle
+    # mirror in models.pearson) engages and the p-value matrix is exactly
+    # symmetric, taking adj_pval's triu path like the reference's
+    # bitwise-symmetric np.inner output does (its (i,j) and (j,i) are the
+    # same row-dot-row; our blocked GEMM computes them in different-shaped
+    # tiles whose ~1e-5 retiling differences can flip the 5-dp detector)
+    same_file = os.path.realpath(seq1file) == os.path.realpath(seq2file)
+    t2 = t1 if same_file else KmerCounter(seq2file, mean=mean_path,
+                                          std=std_path, k=k_mer,
+                                          log2=log2, silent=True)
     # device-resident counts: the reference calls make_count_file (with no
     # outfile, so no artifact is written — seekr/kmer_counts.py:243-262);
     # here the [m, 4^k] matrices stay on device and feed Pearson directly,
     # so only the [m1, m2] similarity matrix (or, streamed, one tile of it
     # at a time) ever crosses to the host
     c1 = t1.get_counts_device()
-    c2 = t2.get_counts_device()
+    c2 = c1 if same_file else t2.get_counts_device()
 
     # counters already read and parsed both fastas; re-Reader-ing them
     # would re-parse multi-hundred-MB files at background scale

@@ -155,7 +155,11 @@ def test_tiny_extras_path_emits_all_scoreboard_fields():
     smoke scale on CPU.  Pins that every VERDICT-r4 scoreboard field is
     present and that extras failures would surface as explicit error
     fields, not silently-missing keys."""
-    proc = _run({"SEEKR_TPU_BENCH_TINY": "1", "JAX_PLATFORMS": "cpu"},
+    # one generous attempt: the default 300 s first attempt can expire on
+    # a loaded CI host, and the supervisor would then (by design) harvest
+    # a partially-enriched line missing the very fields this test pins
+    proc = _run({"SEEKR_TPU_BENCH_TINY": "1", "JAX_PLATFORMS": "cpu",
+                 "SEEKR_TPU_BENCH_TIMEOUTS": "570"},
                 args=("--serve",), timeout=600)
     assert proc.returncode == 0, proc.stderr[-800:]
     lines = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]

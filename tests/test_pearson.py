@@ -87,3 +87,50 @@ def test_pearson_pairs_index_validation_and_negatives():
     got = pearson_pairs(c, [-1, 0], [0, -2])
     want = pearson_pairs(c, [5, 0], [0, 4])
     np.testing.assert_array_equal(got, want)
+
+
+def test_self_similarity_is_bitwise_symmetric_blocked():
+    """Self-comparison output must be EXACTLY symmetric even through the
+    row-blocked path with ragged blocks — the reference's np.inner is
+    bitwise symmetric and downstream adj_pval's 5-dp detector flips to
+    full-matrix correction otherwise (observed live at m=13k)."""
+    import numpy as np
+
+    import seekr_tpu.models.pearson as mp
+
+    rng = np.random.default_rng(3)
+    c = rng.normal(size=(50, 64)).astype(np.float32)
+    old = mp._BLOCK_THRESHOLD
+    mp._BLOCK_THRESHOLD = 100  # force the blocked path, ragged last block
+    try:
+        sim = mp.pearson(c, c)
+    finally:
+        mp._BLOCK_THRESHOLD = old
+    assert sim.shape == (50, 50)
+    np.testing.assert_array_equal(sim, sim.T)
+
+
+def test_equal_content_numpy_arrays_take_self_path():
+    """Two separately-loaded copies of the same counts are a
+    self-comparison too (find_pval's historical calling pattern)."""
+    import numpy as np
+
+    from seekr_tpu.models.pearson import pearson
+
+    rng = np.random.default_rng(4)
+    c = rng.normal(size=(20, 32)).astype(np.float32)
+    sim = pearson(c, c.copy())
+    np.testing.assert_array_equal(sim, sim.T)
+
+
+def test_mirror_upper_inplace_blockwise():
+    import numpy as np
+
+    from seekr_tpu.models.pearson import _mirror_upper_inplace
+
+    rng = np.random.default_rng(5)
+    a = rng.normal(size=(37, 37))
+    want_upper = np.triu(a).copy()
+    _mirror_upper_inplace(a, block=8)  # ragged blocking
+    np.testing.assert_array_equal(a, a.T)
+    np.testing.assert_array_equal(np.triu(a), want_upper)
