@@ -1363,6 +1363,17 @@ def console_adj_pval(argv=None):
     parser.add_argument("-bo", "--binary_outfile", default=None,
                         help="also write the corrected float64 matrix as "
                              ".npy (extension; -bi mode only).")
+    parser.add_argument("--symmetric", default="auto",
+                        choices=["auto", "yes", "no"],
+                        help="-bi mode only (extension): force the "
+                             "upper-triangle (yes) or full-matrix (no) "
+                             "correction instead of the 5-decimal "
+                             "transpose auto-detection.  Use 'yes' for "
+                             "STREAMED self-pval artifacts at extreme "
+                             "scale, whose tile-wise writers cannot "
+                             "mirror to exact symmetry (PARITY.md); "
+                             "also skips the detection's full extra "
+                             "read of the artifact.")
     args = _parse_args_or_exit(parser, argv)
 
     if args.binary_input:
@@ -1370,10 +1381,15 @@ def console_adj_pval(argv=None):
 
         adj_pval_stream(args.pval_path, args.method, float(args.alpha),
                         outputname=args.outputname,
-                        out_npy=args.binary_outfile)
+                        out_npy=args.binary_outfile,
+                        symmetric={"auto": None, "yes": True,
+                                   "no": False}[args.symmetric])
         return
     if args.binary_outfile:
         parser.error("-bo requires -bi (the streamed binary path)")
+    if args.symmetric != "auto":
+        parser.error("--symmetric requires -bi (the in-memory path keeps "
+                     "the reference's auto-detection contract)")
     pvals = pd.read_csv(args.pval_path, header=0, index_col=0)
     adj_pval(pvals, args.method, float(args.alpha), args.outputname)
 

@@ -33,14 +33,13 @@ def pearson(counts1, counts2, row_standardize: bool = True, outfile: str | None 
     same = counts2 is counts1
     c1 = counts1 if isinstance(counts1, jax.Array) else np.asarray(counts1, dtype=np.float32)
     if not same and not isinstance(counts1, jax.Array) \
-            and not isinstance(counts2, jax.Array):
+            and not isinstance(counts2, jax.Array) \
+            and np.shape(counts1) == np.shape(counts2):
         # equal-content host arrays (e.g. two loads of the same artifact)
-        # are a self-comparison too — the compare is ~ms against a
-        # multi-second GEMM and buys the single-standardize +
+        # are a self-comparison too; buys the single-standardize +
         # exact-symmetry path below (never attempted on device arrays:
         # it would fetch them over the wire just to check)
-        same = (np.shape(counts1) == np.shape(counts2)
-                and np.array_equal(np.asarray(counts1), np.asarray(counts2)))
+        same = _equal_content(np.asarray(counts1), np.asarray(counts2))
     c2 = c1 if same else (counts2 if isinstance(counts2, jax.Array)
                           else np.asarray(counts2, dtype=np.float32))
     m1, m2 = c1.shape[0], c2.shape[0]
@@ -67,9 +66,48 @@ def pearson(counts1, counts2, row_standardize: bool = True, outfile: str | None 
     return dist
 
 
-def _mirror_upper_inplace(a: np.ndarray, block: int = 4096) -> None:
+def _equal_content(a1: np.ndarray, a2: np.ndarray) -> bool:
+    """Same-shape content equality, NaN-tolerant, cheap on mismatches.
+
+    A strided row probe rejects genuinely different matrices in O(m/8)
+    rows; only a probe match pays the full confirm, and that runs in
+    row chunks so the equal_nan machinery's isnan masks / masked copies
+    stay bounded (a monolithic array_equal(equal_nan=True) on GENCODE-
+    scale inputs would transiently allocate multiple GB).  equal_nan:
+    computed-std counts can carry NaN columns (documented kmer_counts
+    behavior); int inputs (the reference's own test matrices) don't
+    support equal_nan, hence the fallback.
+    """
+    def _eq(x, y):
+        try:
+            return np.array_equal(x, y, equal_nan=True)
+        except TypeError:
+            return np.array_equal(x, y)
+
+    if a1.ndim != 2:
+        return _eq(a1, a2)
+    rows = a1.shape[0]
+    step = max(1, rows // 8)
+    if not _eq(a1[::step], a2[::step]):
+        return False
+    per_row = a1.shape[1] or 1
+    chunk = max(1, (1 << 24) // per_row)  # <=16M elements of temporaries
+    for i in range(0, rows, chunk):
+        if not _eq(a1[i:i + chunk], a2[i:i + chunk]):
+            return False
+    return True
+
+
+def mirror_upper_inplace(a: np.ndarray, block: int = 4096) -> None:
     """Copy the strict upper triangle over the lower, blockwise (no
-    full-size temporary; ~ms per GB on host)."""
+    full-size temporary; ~ms per GB on host).
+
+    The canonical-symmetry primitive for self-similarity matrices: every
+    in-memory self-Pearson producer (this module, models.workflow's
+    big_pearson, find_pval's mesh collector) runs it so downstream 5-dp
+    symmetric detection behaves like the reference's bitwise-symmetric
+    np.inner output.
+    """
     m = a.shape[0]
     for i0 in range(0, m, block):
         i1 = min(i0 + block, m)
@@ -79,6 +117,9 @@ def _mirror_upper_inplace(a: np.ndarray, block: int = 4096) -> None:
         d = a[i0:i1, i0:i1]
         il = np.tril_indices(i1 - i0, -1)
         d[il] = d.T[il]
+
+
+_mirror_upper_inplace = mirror_upper_inplace  # existing-test alias
 
 
 # `from seekr_tpu.models import pearson` yields the FUNCTION while

@@ -115,16 +115,30 @@ def run_workflow(seq1file, seq2file=None, background=None, k=6,
         os.makedirs(outdir, exist_ok=True)
 
     def big_pearson(c1, c2):
-        """Self/cross Pearson on the mesh when one is configured."""
-        if mesh is None:
-            return pearson_blocked(c1, c2) if c1 is c2 else pearson(c1, c2)
-        from seekr_tpu.io.stream import ArrayCollector
-        from seekr_tpu.parallel.dist import stream_pearson_sharded
+        """Self/cross Pearson on the mesh when one is configured.
 
-        out = ArrayCollector()
-        stream_pearson_sharded(mesh, c1, out,
-                               counts2=None if c2 is c1 else c2)
-        return out.result()
+        Self results are mirrored to exact symmetry (models.pearson's
+        canonical-upper contract): the blocked/sharded GEMMs' ~1e-5
+        cross-tile retiling differences would otherwise flip the
+        downstream adj_pval 5-dp symmetric detector at large m
+        (measured at 13k) where the reference's bitwise-symmetric
+        np.inner takes the upper-triangle path.
+        """
+        from seekr_tpu.models.pearson import mirror_upper_inplace
+
+        if mesh is None:
+            sim = pearson_blocked(c1, c2) if c1 is c2 else pearson(c1, c2)
+        else:
+            from seekr_tpu.io.stream import ArrayCollector
+            from seekr_tpu.parallel.dist import stream_pearson_sharded
+
+            out = ArrayCollector()
+            stream_pearson_sharded(mesh, c1, out,
+                                   counts2=None if c2 is c1 else c2)
+            sim = out.result()
+        if c2 is c1:
+            mirror_upper_inplace(sim)
+        return sim
 
     with stage_timer("workflow/background"):
         from seekr_tpu.ops.normalize import normalize_counts

@@ -122,6 +122,22 @@ def find_pval(seq1file, seq2file, mean_path, std_path, k_mer, fitres,
     # at a time) ever crosses to the host
     c1 = t1.get_counts_device()
     c2 = c1 if same_file else t2.get_counts_device()
+    if c2 is not c1 and c1.shape == c2.shape:
+        # identical-content files under different names (copies,
+        # hardlinks the realpath check missed) are the same comparison:
+        # the reference's np.inner would produce a bitwise-symmetric
+        # matrix for them, so detect equality ON DEVICE (one compiled
+        # reduce; only a bool crosses the wire) and collapse to the
+        # self path.  Labels (header2) are kept as parsed — adj_pval's
+        # detector compares them too, exactly like the reference.
+        import jax.numpy as jnp
+
+        try:
+            if bool(jnp.array_equal(c1, c2, equal_nan=True)):
+                c2 = c1
+        except TypeError:  # older jax without equal_nan
+            if bool(jnp.array_equal(c1, c2)):
+                c2 = c1
 
     # counters already read and parsed both fastas; re-Reader-ing them
     # would re-parse multi-hundred-MB files at background scale
@@ -222,12 +238,18 @@ def find_pval(seq1file, seq2file, mean_path, std_path, k_mer, fitres,
 
     if mesh is not None:
         from seekr_tpu.io.stream import ArrayCollector
+        from seekr_tpu.models.pearson import mirror_upper_inplace
         from seekr_tpu.parallel.dist import stream_pearson_sharded
 
         coll = ArrayCollector()
-        stream_pearson_sharded(mesh, c1, coll, counts2=c2,
+        # counts2=None on self: one standardize pass, one device copy
+        stream_pearson_sharded(mesh, c1, coll,
+                               counts2=None if c2 is c1 else c2,
                                block_rows=stream_block_rows)
         sim = coll.result()
+        if c2 is c1:
+            # exact symmetry like the non-mesh path (models.pearson)
+            mirror_upper_inplace(sim)
     else:
         sim = pearson(c1, c2)
     p_values = pval_fn(sim)

@@ -134,3 +134,23 @@ def test_mirror_upper_inplace_blockwise():
     _mirror_upper_inplace(a, block=8)  # ragged blocking
     np.testing.assert_array_equal(a, a.T)
     np.testing.assert_array_equal(np.triu(a), want_upper)
+
+
+def test_self_path_detected_with_nan_columns():
+    """Two loads of a counts artifact carrying NaN columns (computed-std
+    Log2.post, documented) are still a self-comparison; int inputs (the
+    reference's own test matrices) must not crash the detection."""
+    import numpy as np
+
+    from seekr_tpu.models.pearson import pearson
+
+    rng = np.random.default_rng(6)
+    c = rng.normal(size=(12, 16)).astype(np.float32)
+    c[:, 3] = np.nan
+    sim = pearson(c, c.copy())
+    valid = ~np.isnan(sim)
+    np.testing.assert_array_equal(sim[valid], sim.T[valid])
+    # int inputs take the fallback compare without raising
+    ci = rng.integers(0, 9, size=(5, 8))
+    sim = pearson(ci, ci.copy())
+    np.testing.assert_array_equal(sim, sim.T)
