@@ -215,6 +215,12 @@ is corrected with BOUNDED memory — the matrix stays on disk, values are
 bucket-sorted through memory-mapped scratch, results are bitwise equal
 to the in-memory path (every method except hommel):
   $ seekr_adj_pval pvals.npy fdr_bh -bi -o adj_pvals -bo adj.npy
+
+Streamed SELF artifacts (extension): tile-wise writers cannot mirror to
+exact symmetry, so at extreme scale the 5-decimal auto-detection can
+read asymmetric retiling noise — force the upper-triangle contract
+(and skip the detection's full extra read of the artifact):
+  $ seekr_adj_pval pvals.npy fdr_bh -bi --symmetric yes -o adj_pvals
 """
 
 KMER_HEATMAP_DOC = """
