@@ -65,6 +65,12 @@ def similarity_graph(inputfile, mean, std, k, pearsoncutoff=0,
         m = int(counts.shape[0])
         sim = np.empty((m, m), dtype=np.float32)
         stream_pearson_sharded(mesh, counts, _RowFiller(sim))
+        # exact self-similarity symmetry like the non-mesh path (the
+        # edge builder reads only the strict triu, but the returned
+        # frame is user-visible and must not carry retiling asymmetry)
+        from seekr_tpu.models.pearson import mirror_upper_inplace
+
+        mirror_upper_inplace(sim)
     else:
         sim = np.asarray(pearson(counts, counts)).copy()
     sim[sim < pearsoncutoff] = 0
