@@ -103,10 +103,11 @@ import numpy as np
 # CPU (see BASELINE.md): counts 1.19-1.36 s + pearson 0.23-0.68 s.
 RECORDED_CPU_BASELINE_TPS = 1068.0
 
-# Recorded round-2 TPU headline (BASELINE.md): only ever emitted as the
-# last-resort fallback when the device is UNREACHABLE at bench time, and
-# then clearly labeled as recorded rather than live (see supervise()).
-RECORDED_TPU_TPS = 1_263_941.0
+# Recorded round-5 TPU headline (BASELINE.md closing certification,
+# 2026-08-20 live): only ever emitted as the last-resort fallback when
+# the device is UNREACHABLE at bench time, and then clearly labeled as
+# recorded rather than live (see supervise()).
+RECORDED_TPU_TPS = 1_670_245.0
 
 # MEASURED reference downstream chain (exp/ref_chain_baseline.py --side ref,
 # median of 3 full runs of the reference's own find_dist -> find_pval ->
@@ -819,6 +820,14 @@ def main(argv):
 
     import jax
 
+    if os.environ.get("JAX_PLATFORMS", "").lower() == "cpu" and not cpu_mesh:
+        # honor the caller's CPU pin even under the axon sitecustomize,
+        # which re-pins the platform at interpreter start and IGNORES the
+        # env var — without this, "CPU" test runs silently initialize the
+        # tunneled TPU backend and hang forever when the tunnel is down
+        # (observed live: the tiny-bench tests wedged a full suite run)
+        jax.config.update("jax_platforms", "cpu")
+
     from seekr_tpu.utils.compile_cache import enable_compilation_cache
 
     enable_compilation_cache()
@@ -954,10 +963,10 @@ def supervise(argv):
     if any_timeout and "--cpu-mesh" not in argv and not _device_reachable():
         _emit(_payload(RECORDED_TPU_TPS, RECORDED_CPU_BASELINE_TPS, extra={
             "degraded": True,
-            "source": "recorded_round2_measurement",
+            "source": "recorded_round5_measurement",
             "note": ("TPU unreachable at bench time; value is the "
-                     "recorded BASELINE.md round-2 measurement, NOT a "
-                     "live run"),
+                     "recorded BASELINE.md round-5 closing measurement, "
+                     "NOT a live run"),
         }))
         return 0
     raise SystemExit(f"bench failed after {len(ATTEMPT_TIMEOUTS)} attempts: "

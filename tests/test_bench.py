@@ -22,8 +22,12 @@ BENCH = os.path.join(os.path.dirname(__file__), "..", "bench.py")
 
 
 def _run(env_extra, args=(), timeout=600):
+    # strip conftest's 8-virtual-device XLA_FLAGS: now that bench.py
+    # honors JAX_PLATFORMS=cpu (axon pins otherwise), a leaked flag
+    # would flip the child into auto mesh mode and skip the
+    # single-device extras these tests pin
     env = {k: v for k, v in os.environ.items()
-           if k not in ("SEEKR_TPU_BENCH_WORKER",)}
+           if k not in ("SEEKR_TPU_BENCH_WORKER", "XLA_FLAGS")}
     env.update(env_extra)
     return subprocess.run(
         [sys.executable, BENCH, *args],
@@ -68,7 +72,7 @@ def test_supervisor_fails_cleanly_when_no_json():
 
 def test_supervisor_recorded_fallback_when_device_unreachable():
     """All attempts stall with zero JSON AND the device probe fails ->
-    the supervisor emits the recorded round-2 measurement, explicitly
+    the supervisor emits the recorded round-5 measurement, explicitly
     labeled degraded/recorded (a dead tunnel must not leave the
     scoreboard empty)."""
     proc = _run({"SEEKR_TPU_BENCH_SELFTEST_HANG_EARLY": "1",
@@ -79,8 +83,8 @@ def test_supervisor_recorded_fallback_when_device_unreachable():
     assert len(lines) == 1
     payload = json.loads(lines[0])
     assert payload["degraded"] is True
-    assert payload["source"] == "recorded_round2_measurement"
-    assert payload["value"] == 1263941.0
+    assert payload["source"] == "recorded_round5_measurement"
+    assert payload["value"] == 1670245.0
     assert "NOT a live run" in payload["note"]
 
 
@@ -188,7 +192,7 @@ def test_worker_skips_extras_when_budget_exhausted():
     """A worker whose attempt budget is already consumed must mark every
     extra as skipped (and still emit valid JSON) rather than running
     past its supervisor's kill timer."""
-    env = {k: v for k, v in os.environ.items()}
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
     env.update({"SEEKR_TPU_BENCH_WORKER": "1", "SEEKR_TPU_BENCH_TINY": "1",
                 "JAX_PLATFORMS": "cpu", "SEEKR_TPU_BENCH_BUDGET_S": "0.01"})
     proc = subprocess.run([sys.executable, BENCH, "--serve"],
