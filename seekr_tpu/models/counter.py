@@ -85,20 +85,26 @@ def _isnan_any_impl(x):
     return jnp.isnan(x).any()
 
 
-@functools.partial(jax.jit, static_argnames=("m", "keep"))
-def _assemble_impl(blocks, dest, *, m: int, keep: tuple):
+@functools.partial(jax.jit, static_argnames=("m",))
+def _assemble_impl(blocks, dest, *, m: int):
     """Scatter per-bucket count blocks into one [m, n_cols] file-order matrix.
 
-    ``blocks`` is a tuple of [rows_i, n_cols] device arrays (rows_i may
-    exceed keep[i] when a bucket was padded); ``dest`` holds the file-order
-    row id of each kept row, concatenated in block order.  One compiled
-    graph per (shape tuple, m, keep) — routed through the AOT store so a
-    fresh process pays zero backend compiles for a seen corpus shape.
+    ``blocks`` is a tuple of [rows_i, n_cols] device arrays INCLUDING any
+    bucket row padding; ``dest`` holds the file-order row id of every
+    block row, concatenated in block order, with pad rows pointing at
+    ``m`` — one past the end, so the scatter's ``mode="drop"`` discards
+    them.  The compiled graph therefore keys only on the PADDED block
+    shapes and ``m``.  That matters: padded shapes are powers of two
+    (O(log) distinct values) while the exact per-bucket keep counts vary
+    with every length mix — keying on keep made each novel mix a fresh
+    backend compile, which the serving path pays per query batch
+    (measured live: 1.1 s over the tunnel vs 60 ms warm; BASELINE.md
+    round-5 serve-jitter note).  Routed through the AOT store so a fresh
+    process pays zero backend compiles for a seen shape.
     """
-    trimmed = [b[:n] for b, n in zip(blocks, keep)]
-    cat = trimmed[0] if len(trimmed) == 1 else jnp.concatenate(trimmed, axis=0)
+    cat = blocks[0] if len(blocks) == 1 else jnp.concatenate(blocks, axis=0)
     out = jnp.zeros((m, cat.shape[1]), dtype=jnp.float32)
-    return out.at[dest].set(cat)
+    return out.at[dest].set(cat, mode="drop")
 
 
 class KmerCounter:
@@ -116,6 +122,12 @@ class KmerCounter:
     leave, silent: tqdm controls
     label: bool (default=False)            labeled csv output
     alphabet: str (default='AGTC')         valid letters (column order = product)
+    min_bucket_len: int (default=256)      TPU-native extension: floor for the
+        power-of-two encode length buckets.  Raising it to the corpus max
+        forces a SINGLE bucket — more padded count FLOPs (trivial on the
+        MXU) for one stable compiled shape, which is what a latency-bound
+        caller (the serving query path) wants: re-mixed length buckets
+        otherwise re-tile the assemble scatter every batch.
     """
 
     def __init__(
@@ -131,6 +143,7 @@ class KmerCounter:
         silent=False,
         label=False,
         alphabet="AGTC",
+        min_bucket_len=256,
     ):
         self.infasta = infasta
         self.seqs = None
@@ -160,6 +173,7 @@ class KmerCounter:
         self.silent = silent
         self.label = label
         self.counts = None
+        self.min_bucket_len = int(min_bucket_len)
         self.alphabet = alphabet
         self.alpha_len = len(alphabet)
         self.kmers = kmer_strings(self.k, alphabet)
@@ -211,6 +225,7 @@ class KmerCounter:
         try:
             encoded = encode_fasta(
                 self.infasta, self.k, self.alphabet,
+                min_bucket_len=self.min_bucket_len,
                 max_rows_per_bucket=_MAX_ROWS_PER_BUCKET,
                 include_ids=include_ids,
             )
@@ -245,7 +260,8 @@ class KmerCounter:
             return jnp.asarray(count_kmers_host(self.seqs, self.k,
                                                 self.alphabet))
 
-        # (dest row ids, device block) pairs covering all m rows
+        # (padded dest row ids, device block) pairs covering all m rows;
+        # dest id m marks a pad row (dropped by the assemble scatter)
         parts = []
 
         long_ids = [i for i, s in enumerate(self.seqs)
@@ -260,7 +276,7 @@ class KmerCounter:
                                  self.k)
                 for i in long_ids])
             parts.append((np.asarray(long_ids, dtype=np.int32),
-                          jnp.asarray(rows), len(long_ids)))
+                          jnp.asarray(rows)))
 
         long_set = set(long_ids)
         short_ids = [i for i in range(m) if i not in long_set]
@@ -279,6 +295,7 @@ class KmerCounter:
             if encoded is None:
                 encoded = encode_seqs(
                     [self.seqs[i] for i in short_ids], self.k, self.alphabet,
+                    min_bucket_len=self.min_bucket_len,
                     max_rows_per_bucket=_MAX_ROWS_PER_BUCKET,
                 )
                 id_map = np.asarray(short_ids, dtype=np.int64)
@@ -288,25 +305,26 @@ class KmerCounter:
                 buckets = my_tqdm()(buckets, desc="Kmers", leave=self.leave)
             for bases, lengths, row_ids in buckets:
                 res = count_kmers_device(bases, lengths, self.k)
-                dest = row_ids if id_map is None else id_map[row_ids]
-                parts.append((np.asarray(dest, dtype=np.int32),
-                              res, len(row_ids)))
+                real = row_ids if id_map is None else id_map[row_ids]
+                dest = np.full(res.shape[0], m, dtype=np.int32)
+                dest[: len(real)] = real
+                parts.append((dest, res))
 
         if not parts:
             return jnp.zeros((m, n_cols), dtype=jnp.float32)
         dest = np.concatenate([p[0] for p in parts])
-        keep = tuple(p[2] for p in parts)
-        if len(parts) == 1 and keep[0] == parts[0][1].shape[0] \
+        if len(parts) == 1 and parts[0][1].shape[0] == m \
                 and np.array_equal(dest, np.arange(m)):
             return parts[0][1]  # already whole and in file order
-        # one compiled trim+concat+scatter restores file order (buckets
-        # group rows by length); through the AOT store — scattered eager
-        # ops would each pay a fresh remote compile per process
+        # one compiled concat+scatter restores file order (buckets group
+        # rows by length; pad rows scatter out of range and drop);
+        # through the AOT store — scattered eager ops would each pay a
+        # fresh remote compile per process
         from seekr_tpu.utils.aot import aot_call
 
         return aot_call(_assemble_impl,
                         (tuple(p[1] for p in parts), jnp.asarray(dest)),
-                        dict(m=m, keep=keep))
+                        dict(m=m))
 
     def get_counts_device(self, nan_check: bool = True):
         """Normalized counts as a DEVICE array — no host round trip.

@@ -467,6 +467,33 @@ class SeekrService:
             with self._lock:  # never interleave STOP with a device call
                 self._scorer.stop()
 
+    def _seq_counter(self, seqs: Sequence[str]):
+        """In-memory counter with the SERVING bucket policy: one length
+        bucket, padded to the batch max (power of two).
+
+        Bucketed encode minimizes count FLOPs, but a latency-bound query
+        path cares about compiled-shape reuse, not FLOPs (the padded
+        count work is microseconds on the MXU): every novel mix of
+        length buckets is a novel assemble shape, and a fresh backend
+        compile mid-traffic costs ~1 s over a remote link (BASELINE.md
+        round-5 serve-jitter note).  A single bucket keyed on
+        (padded rows, padded max length) makes every query land on the
+        warmup grid.  Sequences past the long-sequence threshold keep
+        their own chunked path and don't inflate the floor.
+        """
+        counter = self._counter_cls(None, k=self.k, mean=self.mean,
+                                    std=self.std, log2=self.log2,
+                                    silent=True)
+        counter.seqs = list(seqs)
+        from seekr_tpu.io.encode import pick_bucket_length
+        from seekr_tpu.models.counter import _LONG_SEQ_THRESHOLD
+
+        short_max = max((len(s) for s in counter.seqs
+                         if len(s) <= _LONG_SEQ_THRESHOLD), default=0)
+        if short_max:
+            counter.min_bucket_len = pick_bucket_length(short_max, self.k)
+        return counter
+
     def _count(self, seqs: Sequence[str], nan_check: bool = False):
         """Device-resident normalized counts of in-memory sequences.
 
@@ -474,20 +501,12 @@ class SeekrService:
         per call, which the per-query path cannot afford — the one-time
         target-load path turns it back on.
         """
-        counter = self._counter_cls(None, k=self.k, mean=self.mean,
-                                    std=self.std, log2=self.log2,
-                                    silent=True)
-        counter.seqs = list(seqs)
-        return counter.get_counts_device(nan_check=nan_check)
+        return self._seq_counter(seqs).get_counts_device(nan_check=nan_check)
 
     def _count_raw(self, seqs: Sequence[str]):
         """Device-resident RAW counts-per-kb (no normalize epilogue) —
         the coalesced path applies the segmented epilogue itself."""
-        counter = self._counter_cls(None, k=self.k, mean=self.mean,
-                                    std=self.std, log2=self.log2,
-                                    silent=True)
-        counter.seqs = list(seqs)
-        return counter._raw_counts_device()
+        return self._seq_counter(seqs)._raw_counts_device()
 
     @staticmethod
     def _pad_batch(seqs: Sequence[str]):
@@ -516,15 +535,19 @@ class SeekrService:
             padded *= 2
         return list(seqs) + [seqs[-1]] * (padded - q)
 
-    def warmup(self, lengths=(512, 2048), max_batch: int = 16,
+    def warmup(self, lengths=(512, 1024, 2048), max_batch: int = 16,
                topk: int = 10) -> None:
         """Compile (or AOT-load) the bucket executables before traffic.
 
         Covers query batches up to ``max_batch`` at the given sequence
-        lengths: batch padding (power-of-two rows) plus length bucketing
-        make this the whole compile space for such traffic (including
-        the device top-k executable for sizes up to ``topk``).  With a
-        warm AOT store the loop loads executables instead of compiling.
+        lengths: batch padding (power-of-two rows) plus the serving
+        single-bucket policy (one bucket at the power-of-two batch max,
+        ``_seq_counter``) make this the WHOLE compile space for any
+        traffic whose longest sequence is <= max(lengths) — including
+        the device top-k executable for sizes up to ``topk``.  List
+        every power of two from the shortest to the longest expected
+        query length; with a warm AOT store the loop loads executables
+        instead of compiling.
 
         Runs under the device lock: on a pod the scorer calls below ride
         the ordered broadcast channel, and the liveness heartbeat (also

@@ -415,3 +415,66 @@ def test_occurrences_mutates_list_like_reference():
     assert row[1] == pytest.approx(250.0)   # G
     assert row[2] == pytest.approx(250.0)   # T
     assert row[3] == 0.0                    # C absent
+
+
+def test_assemble_shape_stable_across_length_mixes():
+    """The assemble scatter keys on PADDED bucket shapes + m, never the
+    exact per-bucket keep counts: a re-mixed batch with the same padded
+    shapes must reuse the warm executable (the serving path pays a fresh
+    backend compile per novel keep split otherwise — BASELINE.md round-5
+    serve-jitter note), and the pad rows it scatters must be dropped.
+    """
+    from seekr_tpu.models.counter import _assemble_impl
+
+    rng = np.random.default_rng(7)
+    letters = np.array(list("AGTC"))
+
+    def corpus(n_short, n_long):
+        # two buckets (lpad 256 floor and 512); both row counts pad to
+        # the same powers of two across the splits below
+        seqs = (["".join(letters[rng.integers(0, 4, rng.integers(60, 200))])
+                 for _ in range(n_short)]
+                + ["".join(letters[rng.integers(0, 4,
+                                                rng.integers(280, 500))])
+                   for _ in range(n_long)])
+        order = rng.permutation(len(seqs))
+        return [seqs[i] for i in order]
+
+    def device_counts(seqs):
+        c = KmerCounter(None, k=2, mean=False, std=False, log2="Log2.none",
+                        silent=True)
+        c.seqs = list(seqs)
+        return np.asarray(c._raw_counts_device())
+
+    cache_size = getattr(_assemble_impl, "_cache_size", None)
+    sizes = []
+    # keeps (5,11) / (6,12) / (7,15) all pad to rows (8, 16); m pads the
+    # batch externally in serve, so pin m by keeping totals equal via
+    # padding the shorter corpora with extra short rows
+    for n_short, n_long in ((5, 11), (6, 10), (7, 9)):
+        seqs = corpus(n_short, n_long)
+        got = device_counts(seqs)
+        np.testing.assert_allclose(got, count_kmers_host(seqs, 2),
+                                   rtol=1e-5, atol=1e-3)
+        if cache_size is not None:
+            sizes.append(cache_size())
+    if sizes:
+        # the first mix compiles; the re-mixes (same padded shapes,
+        # different keeps) must not
+        assert sizes[-1] == sizes[0], sizes
+
+
+def test_assemble_pad_rows_dropped_odd_m():
+    """Row-padded buckets (m not a power of two) scatter their pad rows
+    out of range; file order is restored exactly."""
+    rng = np.random.default_rng(11)
+    letters = np.array(list("AGTC"))
+    seqs = ["".join(letters[rng.integers(0, 4, rng.integers(60, 500))])
+            for _ in range(13)]  # odd m, mixed buckets, rows pad 8/16
+    c = KmerCounter(None, k=3, mean=False, std=False, log2="Log2.none",
+                    silent=True)
+    c.seqs = list(seqs)
+    got = np.asarray(c._raw_counts_device())
+    assert got.shape == (13, 64)
+    np.testing.assert_allclose(got, count_kmers_host(seqs, 3),
+                               rtol=1e-5, atol=1e-3)

@@ -1025,3 +1025,52 @@ def test_warmup_can_raise_coalesce_cap(artifacts):
     assert svc.max_coalesce_rows == 4  # raised, not min()'d to 2
     svc.warmup(lengths=(64,), max_batch=2, topk=0)
     assert svc.max_coalesce_rows == 4  # largest EVER warmed wins
+
+
+def test_serve_single_bucket_policy(artifacts):
+    """The serving counter forces ONE length bucket at the power-of-two
+    batch max: every query batch lands on the warmup shape grid instead
+    of minting a novel assemble shape per length mix (compiled-shape
+    reuse beats count FLOPs for a latency-bound path).  The padded
+    counts must be bitwise the bucketed-policy counts (integer window
+    sums are exact in f32, so tiling cannot move them).
+    """
+    from seekr_tpu.io.encode import encode_seqs, pick_bucket_length
+
+    tmp, _ = artifacts
+    svc = SeekrService(str(tmp / "mean.npy"), str(tmp / "std.npy"), k=K)
+    rng = np.random.default_rng(5)
+    mixed = _seqs(rng, 9, lo=60, hi=900)  # spans several default buckets
+
+    counter = svc._seq_counter(mixed)
+    expect_floor = pick_bucket_length(max(len(s) for s in mixed), K)
+    assert counter.min_bucket_len == expect_floor
+    enc = encode_seqs(mixed, K, min_bucket_len=expect_floor)
+    assert len(enc.buckets) == 1
+
+    single = np.asarray(counter._raw_counts_device())
+    from seekr_tpu.models.counter import KmerCounter
+
+    bucketed = KmerCounter(None, k=K, mean=False, std=False,
+                           log2="Log2.none", silent=True)
+    bucketed.seqs = list(mixed)
+    np.testing.assert_array_equal(single,
+                                  np.asarray(bucketed._raw_counts_device()))
+
+
+def test_serve_fresh_length_mixes_share_shapes(artifacts):
+    """Distinct random length mixes of the same batch size produce the
+    SAME encoded device shapes (the whole point of the serving bucket
+    policy — a novel mix must not imply a novel executable)."""
+    from seekr_tpu.io.encode import encode_seqs
+
+    tmp, _ = artifacts
+    svc = SeekrService(str(tmp / "mean.npy"), str(tmp / "std.npy"), k=K)
+    rng = np.random.default_rng(6)
+    shapes = set()
+    for _ in range(4):
+        batch = svc._pad_batch(_seqs(rng, 7, lo=300, hi=1000))
+        c = svc._seq_counter(batch)
+        enc = encode_seqs(batch, K, min_bucket_len=c.min_bucket_len)
+        shapes.add(tuple(b[0].shape for b in enc.buckets))
+    assert len(shapes) == 1, shapes
