@@ -69,6 +69,13 @@ import numpy as np
 
 _MAX_REQUEST = 256 << 20  # 256 MB of request line is a caller bug
 
+# Batches up to this many rows take the serving single-bucket encode
+# policy (compiled-shape reuse over minimal padding — see _seq_counter);
+# larger batches are bulk loads and keep the throughput-oriented
+# bucketed encode.  1024 comfortably covers any query batch (the
+# coalesce cap and warmup grid top out far below it).
+_SINGLE_BUCKET_MAX_ROWS = 1024
+
 
 def _topk_impl_factory():
     """Build the jitted device top-k lazily (keeps jax import off the
@@ -485,13 +492,22 @@ class SeekrService:
                                     std=self.std, log2=self.log2,
                                     silent=True)
         counter.seqs = list(seqs)
-        from seekr_tpu.io.encode import pick_bucket_length
-        from seekr_tpu.models.counter import _LONG_SEQ_THRESHOLD
+        # Latency policy only for query-sized batches: a one-time bulk
+        # load (the 13k-target corpus, a large add_targets) is
+        # throughput-bound, and padding every row to the corpus max
+        # would multiply its host encode + upload bytes for a compile
+        # space nobody re-enters.  Counting is row-local and
+        # bucket-invariant (integer window sums are exact in f32), so
+        # the policy switch cannot change any value.
+        if len(counter.seqs) <= _SINGLE_BUCKET_MAX_ROWS:
+            from seekr_tpu.io.encode import pick_bucket_length
+            from seekr_tpu.models.counter import _LONG_SEQ_THRESHOLD
 
-        short_max = max((len(s) for s in counter.seqs
-                         if len(s) <= _LONG_SEQ_THRESHOLD), default=0)
-        if short_max:
-            counter.min_bucket_len = pick_bucket_length(short_max, self.k)
+            short_max = max((len(s) for s in counter.seqs
+                             if len(s) <= _LONG_SEQ_THRESHOLD), default=0)
+            if short_max:
+                counter.min_bucket_len = pick_bucket_length(short_max,
+                                                            self.k)
         return counter
 
     def _count(self, seqs: Sequence[str], nan_check: bool = False):

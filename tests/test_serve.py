@@ -1074,3 +1074,19 @@ def test_serve_fresh_length_mixes_share_shapes(artifacts):
         enc = encode_seqs(batch, K, min_bucket_len=c.min_bucket_len)
         shapes.add(tuple(b[0].shape for b in enc.buckets))
     assert len(shapes) == 1, shapes
+
+
+def test_bulk_loads_keep_bucketed_encode(artifacts):
+    """Batches past the single-bucket row cap (corpus loads, bulk
+    add_targets) keep the throughput-oriented bucketed encode — padding
+    thousands of rows to the corpus max would multiply host encode and
+    upload bytes for a compile space nobody re-enters."""
+    from seekr_tpu.serve import _SINGLE_BUCKET_MAX_ROWS
+
+    tmp, _ = artifacts
+    svc = SeekrService(str(tmp / "mean.npy"), str(tmp / "std.npy"), k=K)
+    rng = np.random.default_rng(9)
+    bulk = _seqs(rng, _SINGLE_BUCKET_MAX_ROWS + 1, lo=60, hi=900)
+    assert svc._seq_counter(bulk).min_bucket_len == 256  # default floor
+    small = bulk[:8]
+    assert svc._seq_counter(small).min_bucket_len > 256
