@@ -92,19 +92,28 @@ def _assemble_impl(blocks, dest, *, m: int):
     ``blocks`` is a tuple of [rows_i, n_cols] device arrays INCLUDING any
     bucket row padding; ``dest`` holds the file-order row id of every
     block row, concatenated in block order, with pad rows pointing at
-    ``m`` — one past the end, so the scatter's ``mode="drop"`` discards
-    them.  The compiled graph therefore keys only on the PADDED block
-    shapes and ``m``.  That matters: padded shapes are powers of two
-    (O(log) distinct values) while the exact per-bucket keep counts vary
-    with every length mix — keying on keep made each novel mix a fresh
-    backend compile, which the serving path pays per query batch
-    (measured live: 1.1 s over the tunnel vs 60 ms warm; BASELINE.md
-    round-5 serve-jitter note).  Routed through the AOT store so a fresh
-    process pays zero backend compiles for a seen shape.
+    ``m`` — a TRASH row inside an [m+1, n_cols] buffer that the final
+    slice discards.  The compiled graph therefore keys only on the
+    PADDED block shapes and ``m``.  That matters: padded shapes are
+    powers of two (O(log) distinct values) while the exact per-bucket
+    keep counts vary with every length mix — keying on keep made each
+    novel mix a fresh backend compile, which the serving path pays per
+    query batch (measured live: 1.1 s over the tunnel vs 60 ms warm;
+    BASELINE.md round-5 serve-jitter note).  Routed through the AOT
+    store so a fresh process pays zero backend compiles for a seen
+    shape.
+
+    Every index is IN RANGE by construction — deliberately.  The first
+    cut used out-of-range pads with ``mode="drop"``, and the TPU
+    backend miscompiled exactly the [m=2, 256-column] output shape
+    (row 0's update was dropped along with the pads; fuzz seeds 32/33
+    caught it).  In-range scatter is portable; the duplicate pad
+    updates race only against each other on the trash row, which is
+    discarded.
     """
     cat = blocks[0] if len(blocks) == 1 else jnp.concatenate(blocks, axis=0)
-    out = jnp.zeros((m, cat.shape[1]), dtype=jnp.float32)
-    return out.at[dest].set(cat, mode="drop")
+    out = jnp.zeros((m + 1, cat.shape[1]), dtype=jnp.float32)
+    return out.at[dest].set(cat)[:m]
 
 
 class KmerCounter:

@@ -478,3 +478,20 @@ def test_assemble_pad_rows_dropped_odd_m():
     assert got.shape == (13, 64)
     np.testing.assert_allclose(got, count_kmers_host(seqs, 3),
                                rtol=1e-5, atol=1e-3)
+
+
+def test_assemble_tiny_m_bucket_padded():
+    """m=2 with a 256-column bucket and six pad rows is the exact shape
+    where TPU scatter with out-of-range mode="drop" pads silently lost
+    row 0's update (fuzz seeds 32/33).  The assemble now scatters pads
+    to an in-range trash row; pin the shape on every backend."""
+    rng = np.random.default_rng(32)
+    letters = np.array(list("AGTC"))
+    seqs = ["".join(letters[rng.integers(0, 4, n)]) for n in (137, 75)]
+    c = KmerCounter(None, k=4, mean=False, std=False, log2="Log2.none",
+                    silent=True)
+    c.seqs = list(seqs)
+    got = np.asarray(c._raw_counts_device())
+    host = count_kmers_host(seqs, 4)
+    assert host[0].sum() > 0  # the row the miscompile zeroed
+    np.testing.assert_allclose(got, host, rtol=1e-5, atol=1e-3)
